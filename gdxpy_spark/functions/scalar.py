@@ -1,0 +1,447 @@
+"""SURVEY §2.2 category G — scalar function surface.
+
+string / regex / date / timestamp / math / conditional / cast / GDX
+special values / array (higher-order fns) / JSON / pivot / unpivot.
+
+Dialect notes encoded in the oracles:
+- Spark ``dayofweek`` is 1=Sunday; DuckDB's is 0=Sunday → oracle adds 1.
+- DuckDB ``regexp_replace`` replaces the first match unless the 'g' flag
+  is given; Spark always replaces all → oracle passes 'g'.
+- Spark array indexing (element_at/slice) and DuckDB list indexing are
+  both 1-based; Spark ``posexplode`` positions are 0-based → oracle
+  subtracts 1 from generate_series.
+- events.ts is TIMESTAMP_NS in DuckDB, µs NTZ in Spark → oracles CAST to
+  TIMESTAMP first (same truncation the Spark loader applies).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gdxpy_spark.operators._util import davg, dsum, r4, sql_davg, sql_dsum
+from gdxpy_spark.registry import register
+from gdxpy_spark.tables import table
+
+
+@register(
+    "fn_string_basic",
+    oracle="""
+SELECT p_partkey,
+       upper(p_name) AS name_upper,
+       lower(p_brand) AS brand_lower,
+       substr(p_name, 1, 5) AS name_pfx,
+       CAST(length(p_name) AS INT) AS name_len,
+       trim(concat(' ', p_name, ' ')) AS name_trim,
+       lpad(p_brand, 10, '*') AS brand_pad,
+       p_name || '-' || p_type AS name_type
+FROM part
+""",
+    category="G",
+)
+def fn_string_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/substr/length/trim/lpad/concat."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_pfx"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.lpad("p_brand", 10, "*").alias("brand_pad"),
+        F.concat_ws("-", "p_name", "p_type").alias("name_type"),
+    )
+
+
+@register(
+    "fn_string_regex",
+    oracle=r"""
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS BIGINT) AS id_num,
+       regexp_replace(c_name, '0+', '-', 'g') AS squashed,
+       string_split(c_name, '#')[2] AS name_suffix
+FROM customer
+""",
+    category="G",
+)
+def fn_string_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract (capture group), regexp_replace (global), split.
+
+    Patterns stay in the portable RE2/PCRE intersection (\\d, +, literal
+    text) — regex dialects diverge on lookaround/anchors, not these.
+    """
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"Customer#(\d+)", 1).cast("bigint").alias("id_num"),
+        F.regexp_replace("c_name", "0+", "-").alias("squashed"),
+        F.element_at(F.split("c_name", "#"), 2).alias("name_suffix"),
+    )
+
+
+@register(
+    "fn_date_parts",
+    oracle="""
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(month(o_orderdate) AS INT) AS o_month,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start
+FROM orders
+""",
+    category="G",
+)
+def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/dayofweek/date_trunc (dow normalized to Spark's 1=Sunday)."""
+    od = table(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+    )
+
+
+@register(
+    "fn_date_arith",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       strftime(CAST(l_shipdate AS DATE) + 30, '%Y-%m-%d') AS ship_plus_30,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+            AS INT) AS days_to_ship,
+       strftime(o_orderdate, '%Y-%m') AS order_month
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+""",
+    category="G",
+)
+def fn_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_add / datediff / month bucketing across a join."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders")
+    j = li.join(od, li.l_orderkey == od.o_orderkey)
+    return j.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.date_format(F.date_add(F.col("l_shipdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "ship_plus_30"
+        ),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).cast("int").alias("days_to_ship"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    )
+
+
+@register(
+    "fn_timestamp_unix",
+    oracle="""
+SELECT event_id,
+       epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS epoch_s,
+       strftime(date_trunc('minute', CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS minute_floor
+FROM events
+""",
+    category="G",
+)
+def fn_timestamp_unix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch seconds + floor-to-minute on the events stream table."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias("epoch_s"),
+        F.date_format(F.date_trunc("minute", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "minute_floor"
+        ),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(sqrt(l_quantity), 4) AS sqrt_qty,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       ROUND(abs(-l_discount), 4) + 0.0 AS abs_disc,
+       ROUND(ln(l_extendedprice), 4) AS ln_price,
+       ROUND(exp(l_discount), 4) AS exp_disc,
+       ROUND(power(l_quantity, 2), 4) AS qty_sq,
+       CAST(l_orderkey % 7 AS BIGINT) AS key_mod7,
+       CAST(sign(l_tax - 0.04) AS INT) AS tax_sign
+FROM lineitem
+""",
+    category="G",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """round/floor/ceil/abs/sqrt/ln/exp/power/mod/sign."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        r4(F.sqrt("l_quantity"), "sqrt_qty"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("bigint").alias("price_ceil"),
+        (F.round(F.abs(-F.col("l_discount")), 4) + F.lit(0.0)).alias("abs_disc"),
+        r4(F.log("l_extendedprice"), "ln_price"),
+        r4(F.exp("l_discount"), "exp_disc"),
+        r4(F.pow("l_quantity", 2), "qty_sq"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod7"),
+        F.signum(F.col("l_tax") - 0.04).cast("int").alias("tax_sign"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 50000 THEN 'low'
+            WHEN o_totalprice < 200000 THEN 'mid'
+            ELSE 'high' END AS price_band,
+       coalesce(NULLIF(o_orderstatus, 'F'), 'finished') AS status_or_default,
+       ROUND(least(o_totalprice, 100000.0), 4) AS capped,
+       ROUND(greatest(o_totalprice, 10000.0), 4) AS floored
+FROM orders
+""",
+    category="G",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bands, coalesce/nullif, least/greatest."""
+    od = table(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 200000, "mid")
+        .otherwise("high")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("finished")).alias(
+            "status_or_default"
+        ),
+        r4(F.least("o_totalprice", F.lit(100000.0)), "capped"),
+        r4(F.greatest("o_totalprice", F.lit(10000.0)), "floored"),
+    )
+
+
+@register(
+    "fn_cast",
+    oracle="""
+SELECT o_orderkey,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec_str,
+       CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+       CAST(o_orderkey AS VARCHAR) AS key_str,
+       CAST(trunc(o_totalprice) AS BIGINT) AS price_int
+FROM orders
+""",
+    category="G",
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Casts: double→DECIMAL(12,2) (rendered with fixed scale), string→int,
+    int→string, double→bigint. Spark's double→int cast truncates toward
+    zero while DuckDB's rounds — the oracle applies trunc() explicitly to
+    pin the (Spark) truncation semantics."""
+    od = table(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("price_dec_str"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_num"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+    )
+
+
+@register(
+    "fn_special_values",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(isnan(v) AS INT) AS is_nan,
+       CAST(v = CAST('inf' AS DOUBLE) AS INT) AS is_pinf,
+       CAST(v = CAST('-inf' AS DOUBLE) AS INT) AS is_minf,
+       CAST(abs(v) < 1e-299 AS INT) AS is_eps,
+       CASE WHEN isnan(v) THEN NULL
+            WHEN v = CAST('inf' AS DOUBLE) THEN NULL
+            WHEN v = CAST('-inf' AS DOUBLE) THEN NULL
+            WHEN abs(v) < 1e-299 THEN 0.0
+            ELSE ROUND(v, 4) END AS normalized
+FROM (SELECT l_orderkey, l_linenumber,
+             CASE CAST(l_orderkey % 5 AS INT)
+                  WHEN 0 THEN CAST('inf' AS DOUBLE)
+                  WHEN 1 THEN CAST('-inf' AS DOUBLE)
+                  WHEN 2 THEN CAST('nan' AS DOUBLE)
+                  WHEN 3 THEN 5e-300
+                  ELSE l_quantity END AS v
+      FROM lineitem) t
+""",
+    category="G",
+)
+def fn_special_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDX special-value semantics on plain doubles (SURVEY §1.1): the six
+    GDX sentinels map to IEEE specials on read — +INF/-INF stay infinite,
+    NA/UNDEF→NaN→NULL, EPS ("present but numerically zero", |x|<1e-299)
+    →0.0 while *membership survives* via the is_eps flag. This is the
+    scan-normalization contract of the GDX reader, exercised on synthetic
+    sentinels so it is oracle-checkable."""
+    li = table(spark, sf_dir, "lineitem")
+    v = (
+        F.when(F.col("l_orderkey") % 5 == 0, F.lit(float("inf")))
+        .when(F.col("l_orderkey") % 5 == 1, F.lit(float("-inf")))
+        .when(F.col("l_orderkey") % 5 == 2, F.lit(float("nan")))
+        .when(F.col("l_orderkey") % 5 == 3, F.lit(5e-300))
+        .otherwise(F.col("l_quantity"))
+    )
+    t = li.select("l_orderkey", "l_linenumber", v.alias("v"))
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.isnan("v").cast("int").alias("is_nan"),
+        (F.col("v") == float("inf")).cast("int").alias("is_pinf"),
+        (F.col("v") == float("-inf")).cast("int").alias("is_minf"),
+        (F.abs("v") < 1e-299).cast("int").alias("is_eps"),
+        F.when(F.isnan("v"), F.lit(None).cast("double"))
+        .when(F.col("v") == float("inf"), F.lit(None).cast("double"))
+        .when(F.col("v") == float("-inf"), F.lit(None).cast("double"))
+        .when(F.abs("v") < 1e-299, F.lit(0.0))
+        .otherwise(F.round("v", 4))
+        .alias("normalized"),
+    )
+
+
+@register(
+    "fn_array_basic",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS n_dims,
+       ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+       ROUND(CAST(embedding[64] AS DOUBLE), 4) AS last_val,
+       CAST(list_contains(embedding, embedding[1]) AS INT) AS has_first
+FROM embeddings
+""",
+    category="G",
+)
+def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """size/element_at/array_contains on the embedding ArrayType column
+    (1-based indexing on both engines)."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("int").alias("n_dims"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(F.element_at("embedding", 64).cast("double"), 4).alias("last_val"),
+        F.array_contains("embedding", F.element_at("embedding", 1))
+        .cast("int")
+        .alias("has_first"),
+    )
+
+
+@register(
+    "fn_array_explode",
+    oracle="""
+SELECT vec_id, CAST(i - 1 AS INT) AS pos,
+       CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS val
+FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+WHERE i <= len(embedding)
+""",
+    category="G",
+)
+def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: vector → (vec_id, 0-based position, value) rows."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val_f")
+    ).select("vec_id", F.col("pos").cast("int"), F.col("val_f").cast("double").alias("val"))
+
+
+@register(
+    "fn_array_lambda",
+    oracle="""
+SELECT vec_id,
+       ROUND(sqrt(list_aggregate(
+           list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)),
+           'sum')), 4) AS l2_norm
+FROM embeddings
+""",
+    category="G",
+)
+def fn_array_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions: L2 norm via transform + aggregate (a
+    sequential fold — same summation order on both engines)."""
+    e = table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        F.col("embedding"), lambda v: v.cast("double") * v.cast("double")
+    )
+    return e.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)), 4
+        ).alias("l2_norm"),
+    )
+
+
+@register(
+    "fn_json_extract",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+FROM events
+""",
+    category="G",
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events props column."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "fn_pivot",
+    oracle="""
+SELECT user_id,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+FROM events GROUP BY user_id
+""",
+    category="G",
+)
+def fn_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long → wide: event counts per user × type. This is gdxpy's pandas
+    MultiIndex ``unstack`` (SURVEY §2.1 R9) as a Spark pivot; the value
+    list is explicit so the plan is a single pass (no distinct-values
+    pre-query) and the output schema is stable."""
+    ev = table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+@register(
+    "fn_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      FROM lineitem)
+UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, l_discount))
+""",
+    category="G",
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → long (melt/stack): three measures into (measure, value) rows
+    — gdxpy's MultiIndex ``stack`` equivalent."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )

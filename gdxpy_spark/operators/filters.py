@@ -1,0 +1,131 @@
+"""SURVEY §2.2 category B — projections / filters / predicates.
+
+Reference parity: gdxpy users slice loaded symbols with pandas
+``.loc``/``.xs`` (SURVEY §2.1 R14). Here every predicate is a Catalyst
+filter that reaches the parquet scan (PushedFilters), so at 100 TB the
+row groups that can't match are never decoded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gdxpy_spark.registry import register
+from gdxpy_spark.tables import table
+
+
+@register(
+    "proj_select_rename",
+    oracle="""
+SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+       l_extendedprice AS price, l_returnflag AS flag
+FROM lineitem
+""",
+    category="B",
+)
+def proj_select_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column projection + rename + reorder (pure ReadSchema pruning)."""
+    return table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_returnflag").alias("flag"),
+    )
+
+
+@register(
+    "proj_computed_expr",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)), 4)
+            AS DOUBLE) AS revenue,
+       CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                       AS DECIMAL(18,6)), 4) AS DOUBLE) AS charge
+FROM lineitem
+""",
+    category="B",
+)
+def proj_computed_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row arithmetic projection (whole-stage-codegen'd, no shuffle).
+    Money outputs go through the decimal-canonicalized round (see
+    _util.money4 for why raw double ROUND diverges across engines)."""
+    from gdxpy_spark.operators._util import money4
+
+    li = table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        money4(revenue, "revenue"),
+        money4(revenue * (1 + F.col("l_tax")), "charge"),
+    )
+
+
+@register(
+    "filt_comparison",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+FROM lineitem
+WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+""",
+    category="B",
+)
+def filt_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range + BETWEEN predicates (both pushed to the parquet scan)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") < 24) & F.col("l_discount").between(0.05, 0.07)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+
+
+@register(
+    "filt_in_like",
+    oracle="""
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE p_name LIKE '%bolt%' OR p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+""",
+    category="B",
+)
+def filt_in_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE pattern + IN-list predicates (OR-combined)."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%bolt%")
+        | F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@register(
+    "filt_null_semantics",
+    oracle="""
+SELECT COUNT(*) AS n_total,
+       COUNT(null_status) AS n_notnull,
+       COUNT(*) - COUNT(null_status) AS n_null,
+       COUNT(CASE WHEN (null_status = 'O') IS NULL THEN 1 END) AS n_unknown
+FROM (SELECT NULLIF(o_orderstatus, 'F') AS null_status FROM orders) t
+""",
+    category="B",
+)
+def filt_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued logic: NULLIF-injected NULLs, COUNT vs COUNT(col),
+    and the UNKNOWN truth value of a comparison against NULL."""
+    od = table(spark, sf_dir, "orders").withColumn(
+        "null_status", F.expr("nullif(o_orderstatus, 'F')")
+    )
+    return od.agg(
+        F.count("*").alias("n_total"),
+        F.count("null_status").alias("n_notnull"),
+        (F.count("*") - F.count("null_status")).alias("n_null"),
+        F.count(F.when(F.expr("(null_status = 'O') IS NULL"), 1)).alias("n_unknown"),
+    )
+
+
+@register(
+    "filt_distinct_rows",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    category="B",
+)
+def filt_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a two-column projection (hash aggregate on both keys)."""
+    return table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()

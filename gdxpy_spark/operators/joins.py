@@ -1,0 +1,292 @@
+"""SURVEY §2.2 category C — joins.
+
+Scale notes baked into each operator: dimension tables (region, nation,
+customer at small SF) are broadcast explicitly where the real-world
+cardinality stays bounded; fact-fact joins shuffle on their equi keys and
+rely on AQE for skew splitting. The as-of join is implemented with the
+union+window trick (one shuffle, no O(n·m) candidate blow-up) — the plan
+that survives 100 TB, unlike a naive range join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from gdxpy_spark.registry import register
+from gdxpy_spark.tables import table
+
+# DuckDB-side CTE normalizing events.ts from TIMESTAMP_NS to µs TIMESTAMP,
+# matching the Spark-side ns→µs normalization in tables.table().
+EV_CTE = """
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+  FROM events
+)
+"""
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+SELECT o_orderkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+    category="C",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash equi-join orders ⋈ customer on custkey."""
+    od = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return od.join(cust, od.o_custkey == cust.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "join_multi_key",
+    oracle="""
+SELECT a.l_orderkey, a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+       a.l_quantity AS qty_a, b.l_quantity AS qty_b
+FROM lineitem a
+JOIN lineitem b
+  ON a.l_orderkey = b.l_orderkey AND a.l_linenumber + 1 = b.l_linenumber
+""",
+    category="C",
+)
+def join_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key self-join: consecutive line numbers within an order."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.alias("a")
+    b = li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") + 1 == F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("ln_a"),
+        F.col("b.l_linenumber").alias("ln_b"),
+        F.col("a.l_quantity").alias("qty_a"),
+        F.col("b.l_quantity").alias("qty_b"),
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+""",
+    category="C",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⟕ orders — customers without orders survive with NULLs."""
+    cust = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders")
+    return cust.join(od, cust.c_custkey == od.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+SELECT c_custkey, c_name, o_orderkey
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+""",
+    category="C",
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⟖ customer (mirror of the left-outer case)."""
+    cust = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders")
+    return od.join(cust, od.o_custkey == cust.c_custkey, "right").select(
+        "c_custkey", "c_name", "o_orderkey"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+SELECT n_nationkey, n_name, n_customers
+FROM nation
+FULL JOIN (SELECT c_nationkey, COUNT(*) AS n_customers
+           FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey) g
+  ON n_nationkey = c_nationkey
+""",
+    category="C",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation ⟗ rich-customer counts — unmatched sides survive both ways."""
+    nation = table(spark, sf_dir, "nation")
+    counts = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return nation.join(counts, nation.n_nationkey == counts.c_nationkey, "full").select(
+        "n_nationkey", "n_name", "n_customers"
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    category="C",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS: customers with at least one order (no right columns leak)."""
+    cust = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders")
+    return cust.join(od, cust.c_custkey == od.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+    category="C",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: customers with no orders."""
+    cust = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders")
+    return cust.join(od, cust.c_custkey == od.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+    category="C",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product region × nation (5 × 25 = 125 rows)."""
+    return (
+        table(spark, sf_dir, "region")
+        .crossJoin(table(spark, sf_dir, "nation"))
+        .select("r_name", "n_name")
+    )
+
+
+@register(
+    "join_theta",
+    oracle="""
+SELECT r_name, n_name
+FROM region JOIN nation ON r_regionkey < n_regionkey
+""",
+    category="C",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join — broadcast nested-loop physical plan."""
+    region = table(spark, sf_dir, "region")
+    nation = table(spark, sf_dir, "nation")
+    return region.join(nation, region.r_regionkey < nation.n_regionkey).select(
+        "r_name", "n_name"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+SELECT c_custkey, c_name, n_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+""",
+    category="C",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: nation ships to every task, the
+    customer side never shuffles — same result as a plain equi join,
+    different physical plan (checked in tests/test_plans.py)."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    return cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        "c_custkey", "c_name", "n_name"
+    )
+
+
+@register(
+    "join_range_interval",
+    oracle=EV_CTE
+    + """
+SELECT e.event_id AS purchase_id, s.event_id AS signup_id, e.user_id
+FROM ev e JOIN ev s
+  ON e.user_id = s.user_id
+ AND e.event_type = 'purchase' AND s.event_type = 'signup'
+ AND e.ts >= s.ts AND e.ts <= s.ts + INTERVAL 1 HOUR
+""",
+    category="C",
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join: purchases within 1h after a signup of the
+    same user. Physically an equi join on user_id with a residual range
+    filter — the hash join carries the equality, so this scales with the
+    per-user event count, not |events|²."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    s = ev.filter(F.col("event_type") == "signup").alias("s")
+    return p.join(
+        s,
+        (F.col("p.user_id") == F.col("s.user_id"))
+        & (F.col("p.ts") >= F.col("s.ts"))
+        & (F.col("p.ts") <= F.col("s.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("s.event_id").alias("signup_id"),
+        F.col("p.user_id").alias("user_id"),
+    )
+
+
+@register(
+    "join_asof",
+    oracle=EV_CTE
+    + """
+SELECT p.event_id AS purchase_id, p.user_id, s.event_id AS signup_id
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+    category="C",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the latest signup of the same
+    user at-or-before its timestamp.
+
+    Spark has no native ASOF JOIN; the scalable formulation is
+    union-both-sides + a single window pass (last signup carried forward):
+    one shuffle on user_id, O(n log n) in the partition, no candidate
+    explosion. A range-join formulation would be O(purchases × signups)
+    per user and die at scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    sign = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("sid"), F.lit(1).alias("is_signup")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("sid"), F.lit(0).alias("is_signup")
+    )
+    both = sign.unionByName(pur)
+    # At equal ts a signup sorts before the purchase (at-or-before includes
+    # same-instant); among same-ts signups the max event_id wins (ASOF has
+    # no tiebreak — collisions don't occur in this data, noted in tests).
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_signup").desc(), F.col("sid").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    carried = both.withColumn(
+        "signup_id",
+        F.last(F.when(F.col("is_signup") == 1, F.col("sid")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("is_signup") == 0).select(
+        F.col("sid").alias("purchase_id"), "user_id", "signup_id"
+    )

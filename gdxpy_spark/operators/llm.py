@@ -1,0 +1,353 @@
+"""SURVEY §2.2 category K — LLM-data-pipeline operators.
+
+Dedup, text analysis, and similarity search over the `documents` and
+`embeddings` tables. These are the ops a 100 TB training-data pipeline
+runs, so each docstring notes the scale path; MinHash/LSH variants live
+here too (signature generation oracle-weak — hash functions are
+engine-specific by nature).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from gdxpy_spark.operators._util import davg, r4, sql_davg
+from gdxpy_spark.registry import register
+from gdxpy_spark.tables import table
+
+
+@register(
+    "llm_exact_dedup",
+    oracle="""
+SELECT sha256(text) AS text_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY sha256(text)
+""",
+    category="K",
+)
+def llm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content hash → keep the smallest doc_id per hash.
+    Scale: the groupBy shuffles 32-byte hashes + ids, never text bodies;
+    Spark's partial aggregation collapses duplicates map-side first."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.sha2("text", 256).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@register(
+    "llm_token_wordcount",
+    oracle="""
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+WHERE token <> ''
+GROUP BY token
+""",
+    category="K",
+)
+def llm_token_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequencies (split → explode → count). The explode
+    multiplies rows before the shuffle, but partial aggregation collapses
+    per-partition counts so the shuffle carries |vocab| rows per task."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@register(
+    "llm_tf",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents) t
+  WHERE token <> ''
+  GROUP BY doc_id, token)
+SELECT doc_id, token AS top_token, cnt AS top_cnt
+FROM (SELECT doc_id, token, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, token ASC) AS rn
+      FROM tf) r
+WHERE rn = 1
+""",
+    category="K",
+)
+def llm_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document term frequency; emit the top term per document
+    (tiebreak: token ascending)."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token").alias("top_token"), F.col("cnt").alias("top_cnt"))
+    )
+
+
+@register(
+    "llm_doc_stats",
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       {sql_davg('n_chars', 'avg_chars')},
+       {sql_davg("len(string_split(text, ' '))", 'avg_tokens')}
+FROM documents
+GROUP BY lang
+""",
+    category="K",
+)
+def llm_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus stats: doc count, avg chars, avg token count —
+    the quality-scoring primitives of a data pipeline."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        davg("n_chars", "avg_chars"),
+        davg(F.size(F.split("text", " ")), "avg_tokens"),
+    )
+
+
+# --- cosine similarity machinery -------------------------------------------
+
+def _with_norm(e: DataFrame) -> DataFrame:
+    sq = F.transform(F.col("embedding"), lambda v: v.cast("double") * v.cast("double"))
+    return e.withColumn(
+        "norm", F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_COS_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding,
+                  sqrt(list_aggregate(list_transform(embedding,
+                       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS norm
+           FROM embeddings)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label,
+       ROUND(SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                 * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+             / (a.norm * b.norm), 4) + 0.0 AS cos_sim
+FROM e a
+JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+CROSS JOIN generate_series(1, 64) AS t(i)
+WHERE i <= len(a.embedding)
+GROUP BY a.vec_id, b.vec_id, a.label, a.norm, b.norm
+"""
+
+
+@register("llm_cosine_pairs", oracle=_COS_ORACLE, category="K")
+def llm_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity within each label block (vec_id_a <
+    vec_id_b). Blocking by label keeps the self-join O(n²/blocks); the
+    dot product is a JVM-side higher-order fold (zip_with + aggregate) —
+    no Python in the hot path. At 100 TB the label would be an LSH/IVF
+    bucket id from llm_minhash_sig-style hashing."""
+    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.col("a.label").alias("label"),
+            (
+                F.round(
+                    _dot(F.col("a.embedding"), F.col("b.embedding"))
+                    / (F.col("a.norm") * F.col("b.norm")),
+                    4,
+                )
+                + F.lit(0.0)  # canonicalize -0.0 (see _util.r4z)
+            ).alias("cos_sim"),
+        )
+    )
+
+
+_KNN_ORACLE = """
+WITH e AS (SELECT vec_id, label, embedding,
+                  sqrt(list_aggregate(list_transform(embedding,
+                       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS norm
+           FROM embeddings),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+         SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+             * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+           / (a.norm * b.norm) AS cos_sim
+  FROM e a
+  JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE i <= len(a.embedding)
+  GROUP BY a.vec_id, b.vec_id, a.norm, b.norm
+)
+SELECT vec_id, nn_id, ROUND(cos_sim, 4) + 0.0 AS cos_sim
+FROM (SELECT vec_id, nn_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, nn_id ASC) AS rn
+      FROM pairs) t
+WHERE rn = 1
+"""
+
+
+@register("llm_knn_topk", oracle=_KNN_ORACLE, category="K")
+def llm_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 nearest neighbor per vector within its label block (brute
+    force cosine + row_number). The baseline ANN path: exact within a
+    block, blocks bounded — the IVF pattern where `label` is the coarse
+    centroid assignment."""
+    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nn_id"),
+        (
+            _dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.norm") * F.col("b.norm"))
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
+        )
+    )
+
+
+# Fixed (a, b, p) permutation parameters — deterministic across runs.
+_MINHASH_PERMS = [(1299721, 217645177), (15485863, 982451653),
+                  (32452843, 57885161), (49979687, 715225739)]
+_MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime; keeps a·crc32+b in-range)
+
+
+def _perm_hash(a: int, b: int):
+    """One-arg lambda factory (Spark binds higher-order-function lambdas
+    by arity, so the permutation constants must be closed over)."""
+
+    def f(t):
+        return (F.crc32(t) * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)
+
+    return f
+
+
+@register("llm_minhash_sig", oracle=None, category="K")  # weak: hash fns are engine-specific
+def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 permutations) per document over its distinct
+    token set: sig_i = min over tokens of (a_i·crc32(token) + b_i mod p).
+    Entirely JVM-side array math (transform + array_min) — per-doc cost
+    is O(tokens × perms) with no shuffle at all; the LSH band join built
+    on top is llm_length_blocking's bucket pattern. Weak-checked: CRC32
+    keys are portable in principle but DuckDB exposes no matching hash."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
+    )
+    cols = []
+    for i, (a, b) in enumerate(_MINHASH_PERMS):
+        hashed = F.transform(F.col("tokens"), _perm_hash(a, b))
+        cols.append(F.array_min(hashed).alias(f"sig{i}"))
+    return toks.filter(F.size("tokens") > 0).select("doc_id", *cols)
+
+
+_BLOCK_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id, n_chars // 100 AS bucket,
+         unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM tok a JOIN tok b
+    ON a.bucket = b.bucket AND a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common), 4)
+           AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.2
+"""
+
+
+@register("llm_length_blocking", oracle=_BLOCK_ORACLE, category="K")
+def llm_length_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates: block by length bucket (n_chars // 100), then
+    token-set Jaccard ≥ 0.2 within a block. The join key is (bucket,
+    token) so intersections accumulate in one shuffle — the same
+    band-bucket-join shape an LSH pipeline uses, with length as the
+    (cheap, recall-lossy) banding function."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        (F.col("n_chars") / 100).cast("bigint").alias("bucket"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    ).filter(F.col("token") != "")
+    # NB: list_distinct(split) keeps '' if present; mirror the filter above
+    # in the oracle via token <> ''? Texts are single-spaced with no
+    # leading/trailing spaces, so '' never occurs; asserted in tests.
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("sa.n_tok") + F.col("sb.n_tok") - F.col("n_common"))
+            ).alias("jaccard_raw"),
+        )
+    )
+    return jac.filter(F.col("jaccard_raw") >= 0.2).select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
+    )

@@ -1,0 +1,100 @@
+"""SURVEY §2.2 category A — scans / sources / sinks.
+
+GDX-format queries (src_gdx_*) live in gdxpy_spark.sources and register
+from there (M2); this module covers the generic source/sink surface.
+Round-trip queries write to a per-run temp dir — they are weak-checked
+(rows-only) by the driver and exactly-checked in tests/.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gdxpy_spark.registry import register
+from gdxpy_spark.tables import table
+
+
+@register(
+    "src_parquet_scan",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key
+FROM lineitem
+""",
+    category="A",
+)
+def src_parquet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan summary. count/min/max come from row-group
+    statistics + a metadata-only count at the scan level — the parquet
+    reader never materializes data pages for this plan."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+    )
+
+
+@register(
+    "src_values_inline",
+    oracle="""
+SELECT v.rk, v.tag, r.r_name
+FROM (VALUES (0, 'alpha'), (1, 'beta'), (2, 'gamma'), (3, 'delta'), (4, 'epsilon'))
+     AS v(rk, tag)
+JOIN region r ON v.rk = r.r_regionkey
+""",
+    category="A",
+)
+def src_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal (VALUES) relation joined to a real table."""
+    rows = [(0, "alpha"), (1, "beta"), (2, "gamma"), (3, "delta"), (4, "epsilon")]
+    inline = spark.createDataFrame(rows, "rk INT, tag STRING")
+    region = table(spark, sf_dir, "region")
+    return inline.join(region, inline.rk == region.r_regionkey).select(
+        "rk", "tag", "r_name"
+    )
+
+
+def _tmpdir(name: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "gdxpy_spark_io", name)
+    os.makedirs(d, exist_ok=True)
+    return tempfile.mkdtemp(dir=d)
+
+
+@register("src_csv_roundtrip", oracle=None, category="A")  # weak: sink+source
+def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → CSV (header, overwrite) → read back with an explicit
+    schema (never inferSchema in production paths). Exact-equality is
+    asserted in tests; the driver sees the read-back frame."""
+    nation = table(spark, sf_dir, "nation")
+    out = _tmpdir("csv")
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    return spark.read.schema(schema).option("header", True).csv(out)
+
+
+@register("src_json_roundtrip", oracle=None, category="A")  # weak: sink+source
+def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → JSON lines → read back with explicit schema."""
+    sup = table(spark, sf_dir, "supplier")
+    out = _tmpdir("json")
+    sup.write.mode("overwrite").json(out)
+    schema = "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"
+    return spark.read.schema(schema).json(out).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
+@register("src_stream_events", oracle=None, category="A")  # weak: streaming source
+def src_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file stream (Trigger.AvailableNow) → per-type counts.
+
+    The same parquet directory is replayed through the streaming engine;
+    the memory sink holds the complete-mode aggregate. At scale this is
+    the pattern for backfill-through-the-streaming-path."""
+    from gdxpy_spark.streaming.replay import stream_events_counts
+
+    return stream_events_counts(spark, sf_dir)

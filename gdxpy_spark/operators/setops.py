@@ -1,0 +1,158 @@
+"""SURVEY §2.2 category F — sorts / limits / set operations.
+
+The driver's value-hash is order-insensitive, so the two sort queries
+encode the order *into* row values via row_number — that is what actually
+verifies NULLS FIRST/LAST and tiebreak behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from gdxpy_spark.registry import register
+from gdxpy_spark.tables import table
+
+
+@register(
+    "sort_multi_nulls",
+    oracle="""
+SELECT ROW_NUMBER() OVER (ORDER BY NULLIF(o_orderstatus, 'P') ASC NULLS FIRST,
+                          o_totalprice DESC NULLS LAST,
+                          o_orderkey ASC) AS rn,
+       o_orderkey, NULLIF(o_orderstatus, 'P') AS null_status, o_totalprice
+FROM orders
+""",
+    category="F",
+)
+def sort_multi_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column sort with injected NULLs, NULLS FIRST vs LAST; the
+    rank column materializes the order so the hash check can see it."""
+    od = table(spark, sf_dir, "orders").withColumn(
+        "null_status", F.expr("nullif(o_orderstatus, 'P')")
+    )
+    w = W.orderBy(
+        F.col("null_status").asc_nulls_first(),
+        F.col("o_totalprice").desc_nulls_last(),
+        F.col("o_orderkey").asc(),
+    )
+    return od.select(
+        F.row_number().over(w).alias("rn"),
+        "o_orderkey",
+        "null_status",
+        "o_totalprice",
+    )
+
+
+@register(
+    "sort_limit_topk",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 10
+""",
+    category="F",
+)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by price (TakeOrderedAndProject: each task keeps a
+    10-row heap, the driver merges — no global sort even at 100 TB)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(10)
+    )
+
+
+def _year_slice(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    od = table(spark, sf_dir, "orders")
+    return od.filter(F.year("o_orderdate") == year).select(
+        "o_custkey", "o_orderstatus"
+    )
+
+
+_SLICE = "SELECT o_custkey, o_orderstatus FROM orders WHERE year(o_orderdate) = {y}"
+
+
+@register(
+    "set_union_all",
+    oracle=f"{_SLICE.format(y=1995)} UNION ALL {_SLICE.format(y=1996)}",
+    category="F",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag union of the 1995 and 1996 order slices (duplicates kept)."""
+    return _year_slice(spark, sf_dir, 1995).unionByName(
+        _year_slice(spark, sf_dir, 1996)
+    )
+
+
+@register(
+    "set_union_distinct",
+    oracle=f"{_SLICE.format(y=1995)} UNION {_SLICE.format(y=1996)}",
+    category="F",
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union (dedup after concatenation)."""
+    return (
+        _year_slice(spark, sf_dir, 1995)
+        .unionByName(_year_slice(spark, sf_dir, 1996))
+        .distinct()
+    )
+
+
+_KEY_SLICE = "SELECT o_custkey FROM orders WHERE year(o_orderdate) = {y}"
+
+
+@register(
+    "set_intersect",
+    oracle=f"{_KEY_SLICE.format(y=1995)} INTERSECT {_KEY_SLICE.format(y=1996)}",
+    category="F",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in both 1995 and 1996 (set semantics)."""
+    a = _year_slice(spark, sf_dir, 1995).select("o_custkey")
+    b = _year_slice(spark, sf_dir, 1996).select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    oracle=f"{_KEY_SLICE.format(y=1995)} EXCEPT {_KEY_SLICE.format(y=1996)}",
+    category="F",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers active in 1995 but not 1996 (set difference)."""
+    a = _year_slice(spark, sf_dir, 1995).select("o_custkey")
+    b = _year_slice(spark, sf_dir, 1996).select("o_custkey")
+    return a.subtract(b)
+
+
+_ST_SLICE = "SELECT o_orderstatus FROM orders WHERE year(o_orderdate) = {y}"
+
+
+@register(
+    "set_intersect_all",
+    oracle=f"{_ST_SLICE.format(y=1995)} INTERSECT ALL {_ST_SLICE.format(y=1996)}",
+    category="F",
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersect — multiplicity = min(count_a, count_b) per value."""
+    a = _year_slice(spark, sf_dir, 1995).select("o_orderstatus")
+    b = _year_slice(spark, sf_dir, 1996).select("o_orderstatus")
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    oracle=f"{_ST_SLICE.format(y=1995)} EXCEPT ALL {_ST_SLICE.format(y=1996)}",
+    category="F",
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag except — multiplicity = max(0, count_a - count_b) per value."""
+    a = _year_slice(spark, sf_dir, 1995).select("o_orderstatus")
+    b = _year_slice(spark, sf_dir, 1996).select("o_orderstatus")
+    return a.exceptAll(b)

@@ -1,0 +1,176 @@
+"""SURVEY §2.2 category I — UDF / UDAF / UDTF surface.
+
+This module demonstrates the *sanctioned* Python escape hatches in
+preference order: row-at-a-time Python UDF (kept for API parity only —
+the docstring says why it's the slow path), Arrow-vectorized pandas UDF,
+grouped-map applyInPandas (gdxpy users' per-symbol pandas transforms,
+SURVEY §2.1 R15), pandas UDAF, and a Spark-4 Python UDTF. Each has a
+pure-SQL oracle so the semantics stay hash-checkable.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from gdxpy_spark.registry import register
+from gdxpy_spark.tables import table
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount < 0.03 THEN 'low'
+            WHEN l_discount < 0.07 THEN 'mid'
+            ELSE 'high' END AS disc_band
+FROM lineitem
+""",
+    category="I",
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF (discount band label). Deliberately the
+    slow path — one Python call per row, no codegen, no pushdown through
+    it; exists for parity with arbitrary user lambdas. Anything hot at
+    100 TB uses the built-in CASE (the oracle) or a pandas UDF instead."""
+
+    @F.udf(T.StringType())
+    def band(d: float) -> str:
+        if d < 0.03:
+            return "low"
+        if d < 0.07:
+            return "mid"
+        return "high"
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", band("l_discount").alias("disc_band"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)), 4)
+            AS DOUBLE) AS revenue
+FROM lineitem
+""",
+    category="I",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF: whole columns cross the JVM↔Python
+    boundary as Arrow batches (one call per ~10k rows, not per row)."""
+    from gdxpy_spark.operators._util import money4
+
+    @F.pandas_udf(T.DoubleType())
+    def revenue(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        money4(revenue("l_extendedprice", "l_discount"), "revenue"),
+    )
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+SELECT o_orderkey, c_nationkey,
+       ROUND((o_totalprice - AVG(o_totalprice) OVER (PARTITION BY c_nationkey))
+             / stddev_samp(o_totalprice) OVER (PARTITION BY c_nationkey), 4) + 0.0
+           AS z_score
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+    category="I",
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: z-score normalize order totals within
+    each nation. This is the gdxpy user's per-symbol pandas transform
+    (R15) done distributed: one shuffle on the group key, then plain
+    pandas per group. Groups must fit in a worker's memory — fine for
+    nation-sized groups, never for a skewed power-law key."""
+    od = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    j = od.join(cust, od.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_nationkey", "o_totalprice"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mean = pdf["o_totalprice"].mean()
+        std = pdf["o_totalprice"].std(ddof=1)  # matches stddev_samp
+        z = (pdf["o_totalprice"] - mean) / std
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "c_nationkey": pdf["c_nationkey"],
+                "z_score": z.round(4) + 0.0,  # canonicalize -0.0
+            }
+        )
+
+    return j.groupBy("c_nationkey").applyInPandas(
+        zscore, schema="o_orderkey BIGINT, c_nationkey INT, z_score DOUBLE"
+    )
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+           AS weighted_avg_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="I",
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas UDAF: quantity-weighted average price per return flag,
+    computed as a grouped-aggregate pandas UDF (one Arrow batch per
+    group-partition, partial aggregation handled by Spark)."""
+
+    @F.pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias(
+            "weighted_avg_price"
+        )
+    )
+
+
+@register(
+    "udtf_split_words",
+    oracle="""
+SELECT doc_id, token
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) t
+WHERE token <> ''
+""",
+    category="I",
+)
+def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one output row per token of each document —
+    a table function with per-row fan-out. The built-in equivalent is
+    explode(split(...)), which is what the oracle uses; the UDTF exists
+    to cover arbitrary user tokenizers (BPE, sentencepiece) that have no
+    SQL form."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id BIGINT, token STRING")
+    class SplitWords:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for tok in text.split(" "):
+                if tok:
+                    yield (doc_id, tok)
+
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("gdxps_udtf_docs")
+    spark.udtf.register("gdxps_split_words", SplitWords)
+    return spark.sql(
+        "SELECT s.doc_id, s.token "
+        "FROM gdxps_udtf_docs d, "
+        "LATERAL gdxps_split_words(d.doc_id, d.text) s"
+    )

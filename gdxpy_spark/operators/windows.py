@@ -1,0 +1,245 @@
+"""SURVEY §2.2 category E — window functions.
+
+Every window is PARTITION BY + a total ORDER BY (unique-key tiebreak), so
+results are deterministic and hash-comparable. Scale: one shuffle on the
+partition key, sort within partition; no window here is unbounded over
+the whole table (that would serialize onto one task at 100 TB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from gdxpy_spark.operators._util import dec
+from gdxpy_spark.registry import register
+from gdxpy_spark.tables import table
+
+
+@register(
+    "win_row_number_topk",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders) t
+WHERE rn <= 3
+""",
+    category="E",
+)
+def win_row_number_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by total price (rank-then-filter; Spark
+    pushes the rn<=3 filter into the window sort as a group-limit)."""
+    od = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        od.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+SELECT p_brand, p_partkey, p_size,
+       RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS drnk
+FROM part
+""",
+    category="E",
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank of parts by size within brand (ties share rank —
+    deterministic without a tiebreak because rank is order-insensitive
+    among peers)."""
+    p = table(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_size").desc())
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        "p_size",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "win_ntile_pct",
+    oracle="""
+SELECT o_orderkey,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 4) AS cume
+FROM orders
+WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
+""",
+    category="E",
+)
+def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist over a total order. Note: a global
+    (unpartitioned) window is the one window shape that does NOT scale —
+    acceptable for a ranking over an aggregated/bounded set, never over a
+    100 TB fact table."""
+    od = table(spark, sf_dir, "orders")
+    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return od.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       date_diff('day',
+                 CAST(LAG(o_orderdate) OVER w AS DATE),
+                 CAST(o_orderdate AS DATE)) AS days_since_prev,
+       CAST(LEAD(o_orderkey) OVER w AS BIGINT) AS next_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""",
+    category="E",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer day gap between consecutive orders (lag) + next order
+    key (lead)."""
+    od = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag("o_orderdate").over(w).cast("date"),
+        ).alias("days_since_prev"),
+        F.lead("o_orderkey").over(w).alias("next_orderkey"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE), 4) AS running_total
+FROM orders
+""",
+    category="E",
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer (ROWS frame; decimal-routed so the
+    running sum is exact and order-independent across engines)."""
+    od = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec("o_totalprice")).over(w).cast("double"), 4).alias(
+            "running_total"
+        ),
+    )
+
+
+@register(
+    "win_moving_avg",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 4) AS moving_avg
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    category="E",
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-row moving average of order totals per customer (exact decimal
+    sum / frame count, so both engines agree bit-for-bit)."""
+    od = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(-2, W.currentRow)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(dec("o_totalprice")).over(w).cast("double")
+            / F.count("*").over(w),
+            4,
+        ).alias("moving_avg"),
+    )
+
+
+@register(
+    "win_range_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice
+           RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING
+       ) AS DOUBLE), 4) AS nearby_total
+FROM orders
+""",
+    category="E",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame: sum of orders whose total price is within ±100 of the
+    current row's (value-based frame, tie-safe by construction)."""
+    od = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-100, 100)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec("o_totalprice")).over(w).cast("double"), 4).alias(
+            "nearby_total"
+        ),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey) OVER w AS last_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    category="E",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value with an explicit full frame (the default
+    frame would make last_value = current row — classic trap)."""
+    od = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )

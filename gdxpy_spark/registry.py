@@ -1,0 +1,80 @@
+"""Query/oracle registry.
+
+Every operator from SURVEY.md §2.2 registers itself here with:
+
+- a name (the ``queries()`` key the driver runs on Spark),
+- a callable ``(spark, sf_dir) -> DataFrame``,
+- optionally a DuckDB-runnable ANSI-SQL oracle string (``oracle=None``
+  marks a *weak* query: the driver records a rows-only check).
+
+Determinism discipline (SURVEY.md §2.2 preamble): every computed column is
+aliased identically on both sides; float outputs are rounded to 4 decimals;
+sums of doubles go through a per-row DECIMAL cast so the aggregate is
+order-independent (Spark sums partition-parallel, DuckDB sequentially —
+raw double sums would differ in the last ulps and can flip ROUND).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: Optional[str]  # DuckDB SQL, or None for weak (rows-only) checks
+    category: str
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: Optional[str] = None, category: str = "") -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query implementation (and its oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
+        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, category=category, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    from gdxpy_spark import operators, functions, streaming  # noqa: F401
+    from gdxpy_spark.operators import (  # noqa: F401
+        scans,
+        filters,
+        joins,
+        aggregates,
+        windows,
+        setops,
+        gdx_composites,
+        llm,
+        udfs,
+    )
+    from gdxpy_spark.functions import scalar  # noqa: F401
+    from gdxpy_spark.streaming import replay, windows as stream_windows  # noqa: F401
+
+
+def all_queries() -> dict[str, Query]:
+    load_all()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {n: q.fn for n, q in all_queries().items()}
+
+
+def oracles() -> dict[str, str]:
+    return {n: q.oracle for n, q in all_queries().items() if q.oracle is not None}

@@ -1,0 +1,43 @@
+"""SparkSession builder.
+
+Tuned for the bench/test host (local[N], single JVM) but every knob here
+is the one you'd also set on a real cluster: AQE for runtime re-planning
+(skew joins, partition coalescing), Arrow for the Python boundary, UTC
+session time zone for deterministic timestamp semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from gdxpy_spark.tables import configure
+
+
+def get_spark(
+    app: str = "gdxpy_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    if shuffle_partitions is None:
+        # local mode: ~cores; a 1000-executor cluster would size this to
+        # ~2-3× total cores (or let AQE coalesce from a higher initial).
+        shuffle_partitions = max(4, cpus)
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    return configure(spark)

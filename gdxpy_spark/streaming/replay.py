@@ -1,0 +1,238 @@
+"""Structured Streaming replay operators (SURVEY §2.2 H, weak-checked).
+
+These genuinely run the streaming engine: events are written out as
+ordered batch files, replayed with Trigger.AvailableNow +
+maxFilesPerTrigger=1 (one micro-batch per file, so watermarks advance
+*between* batches — the only way late-data semantics are observable), and
+collected through a memory sink.
+
+Raw events schema on disk: ts is INT64 nanoseconds (read via the
+nanosAsLong conf); the stream reader takes ts as LONG and rebuilds the
+timestamp exactly like gdxpy_spark.tables.table does for batch.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gdxpy_spark.registry import register
+from gdxpy_spark.tables import configure, table
+
+_RAW_SCHEMA = (
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING,"
+    " value DOUBLE, props STRING"
+)
+
+
+def _ts_col() -> F.Column:
+    # watermarks require TIMESTAMP (not NTZ); the session is pinned UTC so
+    # wall-clock values still line up with the batch-side NTZ timestamps
+    return F.timestamp_micros(F.expr("ts div 1000"))
+
+
+def _replay_dir(name: str) -> str:
+    d = os.path.join(tempfile.gettempdir(), "gdxpy_spark_replay", name, uuid.uuid4().hex)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _write_batch_files(dfs: list[DataFrame], out: str) -> None:
+    """Write each df as one parquet file; mtimes ordered so the stream
+    source picks them up in list order."""
+    for i, df in enumerate(dfs):
+        sub = os.path.join(out, f"batch{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        for f in os.listdir(sub):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(sub, f), os.path.join(out, f"{i:03d}.parquet"))
+    # leave only the flat files
+    import shutil
+
+    for i in range(len(dfs)):
+        shutil.rmtree(os.path.join(out, f"batch{i}"), ignore_errors=True)
+    for i in range(len(dfs)):
+        # strictly increasing mtimes → deterministic file order in the source
+        os.utime(os.path.join(out, f"{i:03d}.parquet"), (1e9 + i, 1e9 + i))
+
+
+def _run_stream(spark: SparkSession, src_dir: str, build, name: str) -> DataFrame:
+    """readStream(src_dir) → build(stream_df) → memory sink, AvailableNow
+    with one file per micro-batch; returns the sink contents."""
+    configure(spark)
+    stream = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("ts", _ts_col())
+    )
+    sink = f"gdxps_sink_{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        build(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _replay_dir(f"ckpt_{name}"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
+def _raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure(spark)
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+@register("stream_watermark_late", oracle=None, category="H")  # weak: stateful streaming
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregate under a 2-hour watermark with replayed
+    late data: batch 1 = everything except a sample of early-day events,
+    batch 3 = those early events arriving after the watermark has passed
+    them → they must be dropped, so window counts differ from the batch
+    analog exactly on the late rows. The on-time data ships as two
+    batches because Spark filters late rows with the watermark computed
+    at the end of batch N-1 — a row exactly one batch late is still
+    accepted (observed empirically); two batches of full-time-span data
+    guarantee the filter watermark has advanced before the late file.
+    Tests assert the drop happened."""
+    raw = _raw_events(spark, sf_dir)
+    late = raw.filter((F.col("event_id") % 97 == 0)).filter(
+        F.col("ts") < raw.agg(F.min("ts")).first()[0] + int(3600e9 * 6)
+    )
+    on_time = raw.join(late.select("event_id"), "event_id", "left_anti")
+    src = _replay_dir("late")
+    _write_batch_files(
+        [
+            on_time.filter(F.col("event_id") % 2 == 0),
+            on_time.filter(F.col("event_id") % 2 == 1),
+            late,
+        ],
+        src,
+    )
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    return _run_stream(spark, src, build, "late")
+
+
+@register("stream_dedup", oracle=None, category="H")  # weak: stateful streaming
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark(event_id) under replay-with-duplicates:
+    batch 2 re-delivers a sample of batch-1 events (an at-least-once
+    source); the stateful dedup must emit each event_id once. Output is
+    per-type counts of the deduplicated stream (append via watermarked
+    window to make the memory sink deterministic)."""
+    raw = _raw_events(spark, sf_dir)
+    dupes = raw.filter(F.col("event_id") % 53 == 0)
+    src = _replay_dir("dedup")
+    _write_batch_files([raw, dupes], src)
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.withWatermark("ts", "24 hours")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy(F.window("ts", "24 hours").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+
+    return _run_stream(spark, src, build, "dedup")
+
+
+@register("stream_stateful_running", oracle=None, category="H")  # weak: arbitrary state
+def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: running per-user event count across
+    micro-batches via applyInPandasWithState (state = one long per user,
+    update mode; each batch emits the user's cumulative count so far).
+    The final row per user equals the batch groupBy count — asserted in
+    tests; the driver records rows-only."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    raw = _raw_events(spark, sf_dir)
+    half = raw.filter(F.col("event_id") % 2 == 0)
+    rest = raw.filter(F.col("event_id") % 2 == 1)
+    src = _replay_dir("stateful")
+    _write_batch_files([half, rest], src)
+
+    def update(key, pdf_iter, state: GroupState):
+        count = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            count += len(pdf)
+        state.update((count,))
+        yield pd.DataFrame({"user_id": [key[0]], "running_count": [count]})
+
+    def build(stream: DataFrame) -> DataFrame:
+        return stream.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id BIGINT, running_count BIGINT",
+            stateStructType="count BIGINT",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+
+    configure(spark)
+    stream = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink = f"gdxps_sink_stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        build(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _replay_dir("ckpt_stateful"))
+        .start()
+    )
+    q.awaitTermination()
+    # keep the final (max) running count per user — the per-batch emissions
+    # accumulate in the sink
+    out = spark.table(sink)
+    return out.groupBy("user_id").agg(F.max("running_count").alias("running_count"))
+
+
+def stream_events_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """src_stream_events: replay the events directory through the stream
+    engine (single AvailableNow pass) → complete-mode per-type counts."""
+    configure(spark)
+    # file-stream sources need a directory; glob down to the events file
+    stream = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sink = f"gdxps_sink_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", _replay_dir("ckpt_counts"))
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -1,0 +1,130 @@
+"""SURVEY §2.2 category H — time-window operators over `events`.
+
+The three oracle-checkable entries here are the *batch analogs* of the
+streaming aggregations (identical F.window/session_window expressions run
+over the same data — Structured Streaming's unified model guarantees the
+batch and micro-batch results agree for complete inputs). The genuinely
+stateful/replay operators (watermark-late-drop, stream dedup, stateful
+running counts) live in gdxpy_spark.streaming.replay and are weak-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gdxpy_spark.operators._util import dsum, sql_dsum
+from gdxpy_spark.registry import register
+from gdxpy_spark.tables import table
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+SELECT strftime(time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+""",
+    category="H",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows × event_type: count + sum(value).
+    In streaming this is exactly `withWatermark + groupBy(window(...))`;
+    windows are epoch-aligned on both engines."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle=f"""
+WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+assigned AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type, value FROM ev
+  UNION ALL
+  SELECT time_bucket(INTERVAL '1 hour', ts, TIMESTAMP '1970-01-01 00:30:00') AS ws,
+         event_type, value
+  FROM ev
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 'sum_value')}
+FROM assigned
+GROUP BY 1, 2
+""",
+    category="H",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes — every event lands in
+    exactly two windows (starts at :00 and :30). The oracle reproduces
+    the window-assignment expansion with two time_buckets + UNION ALL."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum("value", "sum_value"))
+        .select(
+            F.date_format("w.start", _FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_session",
+    oracle="""
+WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts >= LAG(ts) OVER w + INTERVAL 15 MINUTE
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_id
+""",
+    category="H",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 15-minute inactivity gap (Spark
+    session_window; end = last event + gap). The oracle is the classic
+    gaps-and-islands rewrite (lag + cumulative sum). A boundary event at
+    exactly prev+15min starts a new session on both sides."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "15 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", _FMT).alias("session_start"),
+            F.date_format("w.end", _FMT).alias("session_end"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,114 @@
+"""Semantic assertions for the weak-checked streaming replay operators:
+the rows-only driver check can't see semantics, so these tests pin them —
+late-drop actually drops, stateful dedup actually dedups, running counts
+converge to the batch ground truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gdxpy_spark import registry
+from gdxpy_spark.tables import table
+from tests.conftest import SF_DIR
+
+ALL = registry.all_queries()
+
+
+def test_src_stream_events_matches_batch(spark):
+    got = {
+        r["event_type"]: r["n_events"]
+        for r in ALL["src_stream_events"].fn(spark, SF_DIR).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def _hourly_counts(df):
+    return {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in df.groupBy(
+            F.date_format(F.window("ts", "1 hour").start, "yyyy-MM-dd HH:mm:ss").alias(
+                "ws"
+            ),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+
+def test_watermark_drops_late_rows(spark):
+    """Append mode emits only windows closed by the final watermark; every
+    emitted window must hold the ON-TIME count (late rows dropped), and at
+    least one emitted window must differ from the full-data count."""
+    res = ALL["stream_watermark_late"].fn(spark, SF_DIR)
+    emitted = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in res.collect()
+    }
+    assert emitted, "stream must emit closed windows"
+
+    ev = table(spark, SF_DIR, "events")
+    min_ts = ev.agg(F.min("ts")).first()[0]
+    late = ev.filter(
+        (F.col("event_id") % 97 == 0)
+        & (F.col("ts") < F.lit(min_ts) + F.expr("INTERVAL 6 HOURS"))
+    )
+    assert late.count() > 0, "fixture must actually produce late rows"
+    on_time = ev.join(late.select("event_id"), "event_id", "left_anti")
+    full_c = _hourly_counts(ev)
+    on_time_c = _hourly_counts(on_time)
+
+    for k, n in emitted.items():
+        assert n == on_time_c[k], f"late rows leaked into window {k}"
+    # windows that lost rows to the late-drop (all in the first 6h, so all
+    # closed well before end-of-stream) must show the on-time count — or
+    # not exist at all if the late row was their only member
+    affected = [k for k in full_c if full_c[k] != on_time_c.get(k, 0)]
+    assert affected, "fixture produced no late-affected windows"
+    for k in affected:
+        assert emitted.get(k, 0) == on_time_c.get(k, 0), (
+            f"late-affected window {k} holds the late contribution"
+        )
+
+
+def test_stream_dedup_removes_duplicates(spark):
+    """Every emitted 24h window count must equal the distinct-event count
+    for that window (the batch-2 re-deliveries were suppressed)."""
+    res = ALL["stream_dedup"].fn(spark, SF_DIR)
+    emitted = {
+        (r["window_start"], r["event_type"]): r["n_events"] for r in res.collect()
+    }
+    assert emitted
+    ev = table(spark, SF_DIR, "events")
+    want = {
+        (r["ws"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.date_format(F.window("ts", "24 hours").start, "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+        )
+        .agg(F.countDistinct("event_id").alias("n"))
+        .collect()
+    }
+    n_dupes_in_emitted = ev.filter(F.col("event_id") % 53 == 0).count()
+    assert n_dupes_in_emitted > 0
+    for k, n in emitted.items():
+        assert n == want[k], f"duplicates leaked into window {k}"
+
+
+def test_stateful_running_counts_converge(spark):
+    res = ALL["stream_stateful_running"].fn(spark, SF_DIR)
+    got = {r["user_id"]: r["running_count"] for r in res.collect()}
+    want = {
+        r["user_id"]: r["n"]
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
