@@ -64,6 +64,7 @@ def load_all() -> None:
         udfs,
     )
     from gdxpy_spark.functions import scalar  # noqa: F401
+    from gdxpy_spark.sources import gdx_queries  # noqa: F401
     from gdxpy_spark.streaming import replay, windows as stream_windows  # noqa: F401
 
 

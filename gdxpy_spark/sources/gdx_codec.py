@@ -1,0 +1,471 @@
+"""Pure-Python GDX codec (SURVEY §7 M2, Appendix B).
+
+Implements the GAMS GDX *data model* from the publicly documented format
+(the open-sourced GAMS-dev/gdx implementation and the gclgms.h constants):
+
+- a global UEL table (file-wide ordered label dictionary, 1-based codes),
+- a symbol catalog (name ≤63 chars, dim 0..20, type set/parameter/
+  variable/equation/alias, subtype, explanatory text ≤255, per-dimension
+  domain names, record count),
+- per-symbol sparse record blocks, records sorted lexicographically by
+  UEL-code tuple, keys delta-encoded (a prefix byte counts leading
+  dimensions shared with the previous record), values stored with
+  per-value type markers that compress the common cases (0.0, 1.0,
+  small ints) and encode the six GMS_SV_* special sentinels
+  (UNDEF/NA/±INF/EPS/acronyms) as markers rather than 1e300 doubles,
+- a set-text table and an acronym table,
+- a trailer with section offsets (direct seek → per-symbol partition
+  pruning) plus intra-symbol chunk offsets every CHUNK records so a
+  distributed reader can split one large symbol across tasks,
+- optional zlib compression per data block.
+
+Byte-level compatibility with GAMS-written files is *not* claimed: no
+GAMS installation exists in this environment to produce or validate real
+fixtures (SURVEY §0), so the container is a clean-room encoding of the
+documented structures, validated by write→read round-trip property tests
+(tests/test_gdx_codec.py). The semantic model — what a reader of
+jackjackk/gdxpy observes (symbols, UELs, 5-value records, special-value
+mapping, domains) — is implemented faithfully.
+
+Special values (SURVEY §1.1): gdxpy maps +INF→inf, -INF→-inf,
+NA/UNDEF→NaN, EPS→0.0 on read. EPS→0.0 is lossy (membership survives,
+magnitude doesn't); this codec keeps a per-value EPS bitmask so
+write-back round-trips losslessly (SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import struct
+import zlib
+from dataclasses import dataclass, field
+
+MAGIC = b"GDXPY7\x00"
+VERSION = 1
+
+# symbol types (codes follow the public GMS_DT_* numbering)
+DT_SET, DT_PAR, DT_VAR, DT_EQU, DT_ALIAS = 0, 1, 2, 3, 4
+TYPE_NAMES = {DT_SET: "set", DT_PAR: "parameter", DT_VAR: "variable",
+              DT_EQU: "equation", DT_ALIAS: "alias"}
+VALUE_FIELDS = ("level", "marginal", "lower", "upper", "scale")
+
+# value-type markers (per-value compression of common cases)
+VT_ZERO, VT_ONE, VT_INT8, VT_INT32, VT_DOUBLE, VT_SPECIAL = range(6)
+# special sentinel ids (order mirrors GMS_SV_*: UNDEF NA PINF MINF EPS ACR)
+SV_UNDEF, SV_NA, SV_PINF, SV_MINF, SV_EPS, SV_ACR = range(6)
+
+MAX_DIM = 20
+CHUNK = 65536  # records per splittable chunk within a symbol data block
+
+
+@dataclass
+class SymbolMeta:
+    name: str
+    dim: int
+    type: int  # DT_*
+    subtype: int = 0
+    expl_text: str = ""
+    domains: tuple[str, ...] = ()
+    nrecs: int = 0
+    alias_of: str = ""  # for DT_ALIAS
+
+    def __post_init__(self):
+        if not (0 <= self.dim <= MAX_DIM):
+            raise ValueError(f"dim {self.dim} outside [0, {MAX_DIM}]")
+        if len(self.name) > 63:
+            raise ValueError("symbol name > 63 chars")
+        if len(self.expl_text) > 255:
+            raise ValueError("explanatory text > 255 chars")
+        if not self.domains:
+            self.domains = ("*",) * self.dim
+
+    @property
+    def n_values(self) -> int:
+        return 5 if self.type in (DT_VAR, DT_EQU) else 1
+
+    @property
+    def type_name(self) -> str:
+        return TYPE_NAMES[self.type]
+
+
+@dataclass
+class SymbolData:
+    """In-memory symbol: keys are label tuples; values are per-record
+    float lists (len n_values); eps_mask marks which fields were EPS;
+    text holds set-element text (sets only, '' if none)."""
+
+    meta: SymbolMeta
+    keys: list[tuple[str, ...]] = field(default_factory=list)
+    values: list[tuple[float, ...]] = field(default_factory=list)
+    eps_mask: list[int] = field(default_factory=list)
+    text: list[str] = field(default_factory=list)
+
+
+# --- primitive encoders -----------------------------------------------------
+
+def _wv(b: io.BytesIO, n: int) -> None:  # unsigned varint
+    while True:
+        x = n & 0x7F
+        n >>= 7
+        b.write(bytes([x | (0x80 if n else 0)]))
+        if not n:
+            return
+
+
+def _rv(b) -> int:
+    shift = out = 0
+    while True:
+        x = b.read(1)[0]
+        out |= (x & 0x7F) << shift
+        if not (x & 0x80):
+            return out
+        shift += 7
+
+
+def _ws(b: io.BytesIO, s: str) -> None:
+    raw = s.encode("utf-8")
+    _wv(b, len(raw))
+    b.write(raw)
+
+
+def _rs(b) -> str:
+    n = _rv(b)
+    return b.read(n).decode("utf-8")
+
+
+def _write_value(b: io.BytesIO, v: float, is_eps: bool) -> None:
+    if is_eps:
+        b.write(bytes([VT_SPECIAL, SV_EPS]))
+    elif math.isnan(v):
+        b.write(bytes([VT_SPECIAL, SV_NA]))
+    elif v == math.inf:
+        b.write(bytes([VT_SPECIAL, SV_PINF]))
+    elif v == -math.inf:
+        b.write(bytes([VT_SPECIAL, SV_MINF]))
+    elif v == 0.0:
+        b.write(bytes([VT_ZERO]))
+    elif v == 1.0:
+        b.write(bytes([VT_ONE]))
+    elif v == int(v) and -128 <= int(v) < 128:
+        b.write(bytes([VT_INT8]))
+        b.write(struct.pack("<b", int(v)))
+    elif v == int(v) and -(2**31) <= int(v) < 2**31:
+        b.write(bytes([VT_INT32]))
+        b.write(struct.pack("<i", int(v)))
+    else:
+        b.write(bytes([VT_DOUBLE]))
+        b.write(struct.pack("<d", v))
+
+
+def _read_value(b) -> tuple[float, bool]:
+    """→ (value, is_eps); specials map per gdxpy: NA/UNDEF→NaN, ±INF→±inf,
+    EPS→0.0 (+flag), acronyms→NaN."""
+    vt = b.read(1)[0]
+    if vt == VT_ZERO:
+        return 0.0, False
+    if vt == VT_ONE:
+        return 1.0, False
+    if vt == VT_INT8:
+        return float(struct.unpack("<b", b.read(1))[0]), False
+    if vt == VT_INT32:
+        return float(struct.unpack("<i", b.read(4))[0]), False
+    if vt == VT_DOUBLE:
+        return struct.unpack("<d", b.read(8))[0], False
+    sv = b.read(1)[0]
+    if sv == SV_EPS:
+        return 0.0, True
+    if sv == SV_PINF:
+        return math.inf, False
+    if sv == SV_MINF:
+        return -math.inf, False
+    if sv == SV_ACR:
+        _rv(b)  # acronym index — reads as NaN like gdxpy
+        return math.nan, False
+    return math.nan, False  # NA, UNDEF
+
+
+# --- writer -----------------------------------------------------------------
+
+class GdxWriter:
+    """Streaming writer. Usage:
+
+        w = GdxWriter(path, producer="gdxpy_spark", compress=True)
+        w.add_symbol(SymbolData(meta, keys, values, eps_mask, text))
+        w.close()
+
+    Records are sorted here (by UEL code tuple, insertion order of first
+    appearance per dimension — the GDX convention of mapped ordering) —
+    callers may pass unsorted records. At cluster scale the DataSource
+    writer pre-sorts per partition and merges at commit.
+    """
+
+    def __init__(self, path: str, producer: str = "gdxpy_spark", compress: bool = False):
+        self.path = path
+        self.producer = producer
+        self.compress = compress
+        self.uel: dict[str, int] = {}  # label → 1-based code
+        self.set_text: dict[str, int] = {}  # text → index (0 = none)
+        self.acronyms: list[str] = []
+        self.symbols: list[SymbolData] = []
+
+    def _code(self, label: str) -> int:
+        c = self.uel.get(label)
+        if c is None:
+            if len(label) > 63:
+                raise ValueError("UEL label > 63 chars")
+            c = len(self.uel) + 1
+            self.uel[label] = c
+        return c
+
+    def _text_idx(self, t: str) -> int:
+        if not t:
+            return 0
+        i = self.set_text.get(t)
+        if i is None:
+            i = len(self.set_text) + 1
+            self.set_text[t] = i
+        return i
+
+    def add_symbol(self, data: SymbolData) -> None:
+        if any(s.meta.name.lower() == data.meta.name.lower() for s in self.symbols):
+            raise ValueError(f"duplicate symbol {data.meta.name}")
+        data.meta.nrecs = len(data.keys)
+        self.symbols.append(data)
+
+    def close(self) -> None:
+        out = io.BytesIO()
+        out.write(MAGIC)
+        out.write(struct.pack("<HB", VERSION, 1 if self.compress else 0))
+        _ws(out, self.producer)
+
+        # encode data blocks first (they intern UELs/set text in order)
+        blocks: list[bytes] = []
+        chunk_offsets: list[list[int]] = []
+        for sym in self.symbols:
+            block, chunks = self._encode_block(sym)
+            blocks.append(block)
+            chunk_offsets.append(chunks)
+
+        # section: UEL table
+        uel_off = out.tell()
+        _wv(out, len(self.uel))
+        for label in self.uel:  # insertion order == code order
+            _ws(out, label)
+
+        # section: set-text table
+        text_off = out.tell()
+        _wv(out, len(self.set_text))
+        for t in self.set_text:
+            _ws(out, t)
+
+        # section: acronyms
+        acr_off = out.tell()
+        _wv(out, len(self.acronyms))
+        for a in self.acronyms:
+            _ws(out, a)
+
+        # section: symbol catalog
+        cat_off = out.tell()
+        _wv(out, len(self.symbols))
+        data_offsets: list[int] = []
+        cat = io.BytesIO()
+        # data blocks start after the catalog; compute forward offsets by
+        # writing the catalog into a buffer with placeholder base 0, then
+        # fixing up with the real base
+        for sym, block, chunks in zip(self.symbols, blocks, chunk_offsets):
+            m = sym.meta
+            _ws(cat, m.name)
+            cat.write(bytes([m.dim, m.type]))
+            _wv(cat, m.subtype)
+            _ws(cat, m.expl_text)
+            _ws(cat, m.alias_of)
+            for d in m.domains:
+                _ws(cat, d)
+            _wv(cat, m.nrecs)
+            _wv(cat, len(block))
+            data_offsets.append(len(block))  # placeholder: block length
+            _wv(cat, len(chunks))
+            for c in chunks:
+                _wv(cat, c)
+        cat_bytes = cat.getvalue()
+        out.write(cat_bytes)
+
+        # section: data blocks (offsets recorded in trailer)
+        block_offs = []
+        for block in blocks:
+            block_offs.append(out.tell())
+            out.write(block)
+
+        # trailer: section offsets + per-symbol block offsets
+        trailer_off = out.tell()
+        for off in (uel_off, text_off, acr_off, cat_off):
+            out.write(struct.pack("<Q", off))
+        _wv(out, len(block_offs))
+        for off in block_offs:
+            out.write(struct.pack("<Q", off))
+        out.write(struct.pack("<Q", trailer_off))
+
+        with open(self.path, "wb") as f:
+            f.write(out.getvalue())
+
+    def _encode_block(self, sym: SymbolData) -> tuple[bytes, list[int]]:
+        m = sym.meta
+        nv = m.n_values
+        # map labels → codes, sort records by code tuple (GDX mapped order)
+        recs = []
+        for i, key in enumerate(sym.keys):
+            if len(key) != m.dim:
+                raise ValueError(f"{m.name}: key arity {len(key)} != dim {m.dim}")
+            codes = tuple(self._code(k) for k in key)
+            vals = sym.values[i] if sym.values else ()
+            eps = sym.eps_mask[i] if sym.eps_mask else 0
+            txt = sym.text[i] if sym.text else ""
+            recs.append((codes, vals, eps, txt))
+        recs.sort(key=lambda r: r[0])
+
+        b = io.BytesIO()
+        prev: tuple[int, ...] | None = None
+        chunks = [0]
+        for n, (codes, vals, eps, txt) in enumerate(recs):
+            if n and n % CHUNK == 0:
+                chunks.append(b.tell())
+                prev = None  # chunks are self-delimiting (restart delta)
+            shared = 0
+            if prev is not None:
+                while shared < m.dim and codes[shared] == prev[shared]:
+                    shared += 1
+            b.write(bytes([shared]))
+            for c in codes[shared:]:
+                _wv(b, c)
+            prev = codes
+            if m.type == DT_SET:
+                _wv(b, self._text_idx(txt))
+            else:
+                for j in range(nv):
+                    v = vals[j] if j < len(vals) else 0.0
+                    _write_value(b, v, bool(eps >> j & 1))
+        raw = b.getvalue()
+        if self.compress:
+            raw = zlib.compress(raw, 6)
+        return raw, chunks
+
+
+# --- reader -----------------------------------------------------------------
+
+class GdxFile:
+    """Random-access reader: catalog + UELs parsed eagerly (small), record
+    blocks decoded on demand per symbol (and per chunk range — the unit a
+    distributed scan parallelizes over)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(path, "rb") as f:
+            self._buf = f.read()
+        buf = self._buf
+        if buf[: len(MAGIC)] != MAGIC:
+            raise ValueError(f"{path}: not a gdxpy_spark GDX container")
+        off = len(MAGIC)
+        self.version, flags = struct.unpack_from("<HB", buf, off)
+        self.compressed = bool(flags & 1)
+        b = io.BytesIO(buf)
+        b.seek(off + 3)
+        self.producer = _rs(b)
+
+        # trailer
+        t_off = struct.unpack_from("<Q", buf, len(buf) - 8)[0]
+        b.seek(t_off)
+        uel_off, text_off, acr_off, cat_off = struct.unpack(
+            "<4Q", b.read(32)
+        )
+        n_blocks = _rv(b)
+        self.block_offsets = list(struct.unpack(f"<{n_blocks}Q", b.read(8 * n_blocks)))
+
+        b.seek(uel_off)
+        self.uels = [_rs(b) for _ in range(_rv(b))]  # code i+1 → label
+        b.seek(text_off)
+        self.set_texts = [_rs(b) for _ in range(_rv(b))]
+        b.seek(acr_off)
+        self.acronyms = [_rs(b) for _ in range(_rv(b))]
+
+        b.seek(cat_off)
+        n_sym = _rv(b)
+        self.symbols: list[SymbolMeta] = []
+        self._block_len: list[int] = []
+        self._chunks: list[list[int]] = []
+        for _ in range(n_sym):
+            name = _rs(b)
+            dim, typ = b.read(2)
+            subtype = _rv(b)
+            expl = _rs(b)
+            alias_of = _rs(b)
+            domains = tuple(_rs(b) for _ in range(dim))
+            nrecs = _rv(b)
+            blen = _rv(b)
+            n_chunks = _rv(b)
+            chunks = [_rv(b) for _ in range(n_chunks)]
+            self.symbols.append(
+                SymbolMeta(name=name, dim=dim, type=typ, subtype=subtype,
+                           expl_text=expl, domains=domains, nrecs=nrecs,
+                           alias_of=alias_of)
+            )
+            self._block_len.append(blen)
+            self._chunks.append(chunks)
+
+    def find(self, name: str) -> int:
+        """Case-insensitive symbol lookup (gdxFindSymbol semantics);
+        aliases resolve to their target."""
+        for i, s in enumerate(self.symbols):
+            if s.name.lower() == name.lower():
+                if s.type == DT_ALIAS:
+                    return self.find(s.alias_of)
+                return i
+        raise KeyError(f"symbol {name!r} not in {self.path}")
+
+    def _block(self, idx: int) -> bytes:
+        off = self.block_offsets[idx]
+        raw = self._buf[off : off + self._block_len[idx]]
+        return zlib.decompress(raw) if self.compressed else raw
+
+    def n_chunks(self, idx: int) -> int:
+        return len(self._chunks[idx])
+
+    def read_records(self, idx: int, chunk: int | None = None) -> SymbolData:
+        """Decode one symbol's records (or one chunk of them)."""
+        m = self.symbols[idx]
+        data = SymbolData(meta=m)
+        if m.type == DT_ALIAS:
+            return self.read_records(self.find(m.alias_of), chunk)
+        block = self._block(idx)
+        chunks = self._chunks[idx]
+        if chunk is None:
+            start, end, n_from, n_to = 0, len(block), 0, m.nrecs
+        else:
+            start = chunks[chunk]
+            end = chunks[chunk + 1] if chunk + 1 < len(chunks) else len(block)
+            n_from = chunk * CHUNK
+            n_to = min(n_from + CHUNK, m.nrecs)
+        b = io.BytesIO(block[start:end])
+        prev: tuple[int, ...] = ()
+        nv = m.n_values
+        for _ in range(n_to - n_from):
+            shared = b.read(1)[0]
+            codes = tuple(prev[:shared]) + tuple(
+                _rv(b) for _ in range(m.dim - shared)
+            )
+            prev = codes
+            data.keys.append(tuple(self.uels[c - 1] for c in codes))
+            if m.type == DT_SET:
+                ti = _rv(b)
+                data.text.append(self.set_texts[ti - 1] if ti else "")
+                data.values.append((0.0,))
+                data.eps_mask.append(0)
+            else:
+                vals, eps = [], 0
+                for j in range(nv):
+                    v, is_eps = _read_value(b)
+                    vals.append(v)
+                    eps |= int(is_eps) << j
+                data.values.append(tuple(vals))
+                data.eps_mask.append(eps)
+        return data

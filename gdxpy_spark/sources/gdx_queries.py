@@ -1,0 +1,65 @@
+"""SURVEY §2.2 category A — GDX source/sink queries (weak-checked: DuckDB
+cannot read GDX, so the driver records rows-only; exact read-back equality
+is asserted in tests/test_gdx_datasource.py)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gdxpy_spark.registry import register
+from gdxpy_spark.sources import gdx_datasource
+from gdxpy_spark.sources.fixtures import build_fixture_gdx
+from gdxpy_spark.tables import table
+
+
+@register("src_gdx_catalog", oracle=None, category="A")  # weak: DuckDB can't read GDX
+def src_gdx_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symbol catalog of a .gdx (gdxpy R2: name/dim/type/nrecs/expl text)
+    via the metadata scan of the custom DataSource."""
+    gdx_datasource.register(spark)
+    path = build_fixture_gdx(sf_dir)
+    return spark.read.format("gdx").option("symbol", "*").load(path)
+
+
+@register("src_gdx_read", oracle=None, category="A")  # weak: DuckDB can't read GDX
+def src_gdx_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read one symbol (monthly_sales, dim 2 parameter) from a .gdx as a
+    long DataFrame (gdxpy R5 — but a lazy Arrow-batched scan, not a
+    per-record C loop)."""
+    gdx_datasource.register(spark)
+    path = build_fixture_gdx(sf_dir)
+    return spark.read.format("gdx").option("symbol", "monthly_sales").load(path)
+
+
+@register("src_gdx_write", oracle=None, category="A")  # weak: DuckDB can't read GDX
+def src_gdx_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame → .gdx symbol → read back (gdxpy R16 + round-trip): the
+    per-nation customer count written as a dim-1 parameter."""
+    gdx_datasource.register(spark)
+    counts = (
+        table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count("*").cast("double").alias("value"))
+        .select(
+            F.col("n_name").alias("k1"), "value", F.lit(False).alias("is_eps")
+        )
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), "gdxpy_spark_io", "gdx", f"{uuid.uuid4().hex}.gdx"
+    )
+    (
+        counts.write.format("gdx")
+        .option("symbol", "cust_count")
+        .option("symtype", "parameter")
+        .mode("overwrite")
+        .save(out)
+    )
+    return spark.read.format("gdx").option("symbol", "cust_count").load(out)

@@ -1,0 +1,206 @@
+"""GDX codec round-trip tests (BASELINE.md #5): property-based write→read
+equality over random symbols (dims 0–5, special values incl. EPS/NA/±INF,
+both compression modes) plus fixed golden fixtures."""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from gdxpy_spark.sources.gdx_codec import (
+    DT_ALIAS,
+    DT_EQU,
+    DT_PAR,
+    DT_SET,
+    DT_VAR,
+    GdxFile,
+    GdxWriter,
+    SymbolData,
+    SymbolMeta,
+)
+
+LABELS = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+    min_size=1,
+    max_size=12,
+)
+
+SPECIALS = [math.inf, -math.inf, math.nan]
+VALUES = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=False, width=64),
+    st.sampled_from(SPECIALS),
+    st.integers(-1000, 1000).map(float),
+    st.just(0.0),
+    st.just(1.0),
+)
+
+
+def _tmp(name: str) -> str:
+    d = tempfile.mkdtemp(prefix="gdx_codec_")
+    return os.path.join(d, name)
+
+
+def _eq_val(a: float, b: float) -> bool:
+    return (math.isnan(a) and math.isnan(b)) or a == b
+
+
+@st.composite
+def symbol(draw, typ=None):
+    typ = typ if typ is not None else draw(st.sampled_from([DT_SET, DT_PAR, DT_VAR, DT_EQU]))
+    dim = draw(st.integers(0, 5))
+    if typ == DT_SET and dim == 0:
+        dim = 1  # 0-dim sets are not meaningful
+    nv = 5 if typ in (DT_VAR, DT_EQU) else 1
+    n = draw(st.integers(0 if dim else 1, 30))
+    keys = draw(
+        st.lists(
+            st.tuples(*[LABELS] * dim), min_size=n, max_size=n, unique=True
+        )
+    )
+    if dim == 0:
+        keys = [()]
+    vals, eps, text = [], [], []
+    for _ in keys:
+        row = tuple(draw(VALUES) for _ in range(nv))
+        # sets store a text index, not values — no EPS semantics there
+        mask = 0 if typ == DT_SET else draw(st.integers(0, (1 << nv) - 1))
+        # an EPS field reads back as 0.0+flag; keep stored value consistent
+        row = tuple(0.0 if (mask >> j) & 1 else v for j, v in enumerate(row))
+        vals.append(row)
+        eps.append(mask)
+        text.append(draw(st.sampled_from(["", "some text", "x"])) if typ == DT_SET else "")
+    name = draw(st.from_regex(r"[A-Za-z][A-Za-z0-9_]{0,20}", fullmatch=True))
+    meta = SymbolMeta(name=name, dim=dim, type=typ, expl_text="prop test")
+    return SymbolData(meta=meta, keys=keys, values=vals, eps_mask=eps, text=text)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(sym=symbol(), compress=st.booleans())
+def test_roundtrip_property(sym, compress):
+    path = _tmp("prop.gdx")
+    w = GdxWriter(path, compress=compress)
+    w.add_symbol(sym)
+    w.close()
+
+    f = GdxFile(path)
+    assert f.compressed == compress
+    idx = f.find(sym.meta.name)
+    m = f.symbols[idx]
+    assert (m.dim, m.type, m.nrecs) == (sym.meta.dim, sym.meta.type, len(sym.keys))
+
+    got = f.read_records(idx)
+    want = sorted(
+        zip(sym.keys, sym.values, sym.eps_mask, sym.text or [""] * len(sym.keys)),
+        key=lambda r: tuple(  # mapped (insertion-code) order, like the writer
+            {k: i for i, k in enumerate(dict.fromkeys(x for key in sym.keys for x in key))}[c]
+            for c in r[0]
+        )
+        if sym.meta.dim
+        else (),
+    )
+    assert got.keys == [r[0] for r in want]
+    for grow, wrow in zip(got.values, [r[1] for r in want]):
+        if sym.meta.type == DT_SET:
+            continue
+        assert all(_eq_val(a, b) for a, b in zip(grow, wrow))
+    assert got.eps_mask == [r[2] for r in want]
+    if sym.meta.type == DT_SET:
+        assert got.text == [r[3] for r in want]
+
+
+def test_golden_fixture_multi_symbol():
+    """One file holding every symbol type + special values + chunking."""
+    path = _tmp("golden.gdx")
+    w = GdxWriter(path, compress=True)
+    w.add_symbol(
+        SymbolData(
+            meta=SymbolMeta("i", 1, DT_SET, expl_text="plants"),
+            keys=[("seattle",), ("san_diego",)],
+            text=["", "south"],
+        )
+    )
+    w.add_symbol(
+        SymbolData(
+            meta=SymbolMeta("d", 2, DT_PAR, domains=("i", "j")),
+            keys=[("seattle", "new_york"), ("seattle", "topeka")],
+            values=[(2.5,), (1.8,)],
+            eps_mask=[0, 0],
+        )
+    )
+    w.add_symbol(
+        SymbolData(
+            meta=SymbolMeta("x", 2, DT_VAR, subtype=1),
+            keys=[("seattle", "new_york")],
+            values=[(50.0, 0.0, 0.0, math.inf, 1.0)],
+            eps_mask=[0b00010],  # marginal is EPS
+        )
+    )
+    w.add_symbol(
+        SymbolData(
+            meta=SymbolMeta("total", 0, DT_PAR),
+            keys=[()],
+            values=[(153.675,)],
+            eps_mask=[0],
+        )
+    )
+    w.add_symbol(SymbolData(meta=SymbolMeta("ii", 1, DT_ALIAS, alias_of="i")))
+    w.close()
+
+    f = GdxFile(path)
+    assert [s.name for s in f.symbols] == ["i", "d", "x", "total", "ii"]
+    assert f.symbols[0].type_name == "set"
+
+    d = f.read_records(f.find("d"))
+    assert d.keys == [("seattle", "new_york"), ("seattle", "topeka")]
+    assert [v[0] for v in d.values] == [2.5, 1.8]
+    assert f.symbols[f.find("d")].domains == ("i", "j")
+
+    x = f.read_records(f.find("x"))
+    assert x.values[0][0] == 50.0
+    assert x.values[0][3] == math.inf
+    assert x.eps_mask[0] == 0b00010  # EPS marginal survives losslessly
+
+    total = f.read_records(f.find("total"))
+    assert total.keys == [()] and total.values[0][0] == 153.675
+
+    # alias resolves to target
+    ii = f.read_records(f.find("ii"))
+    assert ii.keys == f.read_records(f.find("i")).keys
+
+
+def test_chunked_symbol_split_reads():
+    """A symbol larger than one chunk decodes identically whole or
+    chunk-by-chunk (the distributed-scan unit)."""
+    import gdxpy_spark.sources.gdx_codec as codec
+
+    old = codec.CHUNK
+    codec.CHUNK = 100
+    try:
+        path = _tmp("chunks.gdx")
+        w = GdxWriter(path)
+        keys = [(f"a{i // 50}", f"b{i}") for i in range(505)]
+        vals = [(float(i),) for i in range(505)]
+        w.add_symbol(
+            SymbolData(
+                meta=SymbolMeta("big", 2, DT_PAR),
+                keys=keys,
+                values=vals,
+                eps_mask=[0] * 505,
+            )
+        )
+        w.close()
+        f = GdxFile(path)
+        idx = f.find("big")
+        assert f.n_chunks(idx) == 6
+        whole = f.read_records(idx)
+        pieces: list = []
+        for c in range(f.n_chunks(idx)):
+            part = f.read_records(idx, chunk=c)
+            pieces.extend(zip(part.keys, part.values))
+        assert pieces == list(zip(whole.keys, whole.values))
+        assert len(whole.keys) == 505
+    finally:
+        codec.CHUNK = old
