@@ -184,19 +184,24 @@ def gdx_domain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = table(spark, sf_dir, "orders")
     cust = table(spark, sf_dir, "customer")
 
+    def cnt(df, alias):
+        return df.agg(F.count("*").alias(alias))
+
     bad_part = li.join(
-        F.broadcast(part), li.l_partkey == part.p_partkey, "left_anti"
-    ).count()
+        F.broadcast(part.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_anti"
+    )
     bad_cust = od.join(
-        F.broadcast(cust), od.o_custkey == cust.c_custkey, "left_anti"
-    ).count()
-    small = part.filter(F.col("p_size") < 10)
+        F.broadcast(cust.select("c_custkey")), od.o_custkey == F.col("c_custkey"), "left_anti"
+    )
+    small = part.filter(F.col("p_size") < 10).select(F.col("p_partkey").alias("sp_key"))
     outside = li.join(
-        F.broadcast(small), li.l_partkey == small.p_partkey, "left_anti"
-    ).count()
-    return spark.createDataFrame(
-        [(bad_part, bad_cust, outside)],
-        "bad_partkeys BIGINT, bad_custkeys BIGINT, outside_small_parts BIGINT",
+        F.broadcast(small), li.l_partkey == F.col("sp_key"), "left_anti"
+    )
+    # one row each → cross join folds the three checks into a single job
+    return (
+        cnt(bad_part, "bad_partkeys")
+        .crossJoin(cnt(bad_cust, "bad_custkeys"))
+        .crossJoin(cnt(outside, "outside_small_parts"))
     )
 
 

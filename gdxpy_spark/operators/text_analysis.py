@@ -1,0 +1,293 @@
+"""Training-data-pipeline text analysis (north star extensions beyond
+SURVEY §2.2 K): language-ID, quality scoring, n-gram Jaccard near-dup,
+document fingerprinting (rolling hash), SimHash near-dup.
+
+All operators run over `documents`; oracle-checkable ones carry DuckDB
+SQL, hash-based ones (SimHash with engine-native xxhash64) are weak with
+semantic tests in tests/test_text_analysis.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from gdxpy_spark.operators._util import r4
+from gdxpy_spark.operators.llm import bitmask_jaccard_pairs
+from gdxpy_spark.registry import register
+from gdxpy_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# language-ID: fixed marker-token profiles, argmax with deterministic
+# tiebreak. On this synthetic corpus every "language" shares one English
+# vocabulary, so the honest outcome is that en markers dominate — the
+# operator's *shape* (per-profile hit counts → argmax) is what a real
+# pipeline runs with real profiles (stopword lists / char n-gram models).
+# ---------------------------------------------------------------------------
+_LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "und", "das", "ein", "ist"),
+    "es": ("el", "la", "de", "que", "es"),
+    "fr": ("le", "la", "et", "un", "est"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    toks = ", ".join(f"'{t}'" for t in _LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(string_split(text, ' '), t -> t IN ({toks})))"
+    )
+
+
+_LANG_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_marker_sql('en')} AS s_en,
+         {_marker_sql('de')} AS s_de,
+         {_marker_sql('es')} AS s_es,
+         {_marker_sql('fr')} AS s_fr
+  FROM documents)
+SELECT doc_id, lang AS labeled_lang,
+       CAST(s_en AS BIGINT) AS s_en, CAST(s_de AS BIGINT) AS s_de,
+       CAST(s_es AS BIGINT) AS s_es, CAST(s_fr AS BIGINT) AS s_fr,
+       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS predicted_lang
+FROM scored
+"""
+
+
+@register("llm_lang_id", oracle=_LANG_ORACLE, category="K")
+def llm_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-profile language ID: count profile-token hits per language,
+    argmax with a fixed preference order as tiebreak. JVM-side array
+    filter over the token array — no shuffle at all; at 100 TB this is a
+    pure map stage that pipelines with the scan."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+
+    def member_of(markers):
+        # single-arg lambda factory: a two-param lambda would be bound as
+        # (element, index) by Spark's higher-order-function arity rules
+        return lambda t: t.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, member_of(markers))).cast("bigint")
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    d = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[c.alias(f"s_{lang}") for lang, c in scores.items()],
+    )
+    return d.withColumn(
+        "predicted_lang",
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_fr")), "de")
+        .when(F.col("s_es") >= F.col("s_fr"), "es")
+        .otherwise("fr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring: length / punctuation / stopword / repetition signals
+# ---------------------------------------------------------------------------
+_STOPWORDS = ("the", "a", "of", "and", "is", "to", "in")
+_SW_LIST = ", ".join(f"'{t}'" for t in _STOPWORDS)
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_filter(string_split(text, ' '), x -> x IN ({_SW_LIST})))
+             AS n_stop,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq,
+         length(text) - length(regexp_replace(text, '[^a-z ]', '', 'g'))
+             AS n_nonalpha
+  FROM documents)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stopword_ratio,
+       ROUND(CAST(n_uniq AS DOUBLE) / n_tokens, 4) AS uniq_ratio,
+       ROUND(CAST(n_nonalpha AS DOUBLE) / n_chars, 4) AS nonalpha_ratio,
+       ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+       CASE WHEN n_tokens BETWEEN 20 AND 1000
+             AND CAST(n_uniq AS DOUBLE) / n_tokens >= 0.2
+            THEN 1 ELSE 0 END AS keep
+FROM t
+"""
+
+
+@register("llm_doc_quality", oracle=_QUALITY_ORACLE, category="K")
+def llm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals (the C4/Gopher-style rule family):
+    token count, stopword ratio, unique-token ratio (repetition), non-
+    alpha ratio, mean token length, and a keep/drop rule. Pure per-row
+    expressions — a map-only stage that fuses with the scan at any
+    scale; the `keep` flag is the pushdown-able filter a pipeline would
+    apply before every downstream shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("bigint")
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS)))
+    n_uniq = F.size(F.array_distinct(toks))
+    n_nonalpha = F.length("text") - F.length(
+        F.regexp_replace("text", "[^a-z ]", "")
+    )
+    d = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        r4(n_stop.cast("double") / n_tokens, "stopword_ratio"),
+        r4(n_uniq.cast("double") / n_tokens, "uniq_ratio"),
+        r4(n_nonalpha.cast("double") / F.col("n_chars"), "nonalpha_ratio"),
+        r4(F.col("n_chars").cast("double") / n_tokens, "avg_token_len"),
+        F.when(
+            n_tokens.between(20, 1000) & (n_uniq.cast("double") / n_tokens >= 0.2),
+            1,
+        )
+        .otherwise(0)
+        .alias("keep"),
+    )
+    return d
+
+
+# ---------------------------------------------------------------------------
+# n-gram (character trigram) Jaccard near-dup — same bitmask machinery as
+# llm_length_blocking, different shingling function
+# ---------------------------------------------------------------------------
+_NGRAM_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, n_chars // 100 AS bucket,
+         unnest(list_distinct(list_transform(
+             generate_series(1, length(text) - 2),
+             i -> substr(text, CAST(i AS INT), 3)))) AS token
+  FROM documents WHERE length(text) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b
+    ON a.bucket = b.bucket AND a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common), 4)
+           AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.8
+"""
+
+
+@register("llm_ngram_jaccard", oracle=_NGRAM_ORACLE, category="K")
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram shingle Jaccard ≥ 0.8 within length buckets —
+    the shingling used by classic near-dup (Broder) pipelines; shares the
+    dictionary+bitmask verify of llm_length_blocking. Trigram vocabulary
+    is bounded (≤ alphabet³), so the bitmask stays small even at corpus
+    scale — shingles, unlike tokens, give this approach a fixed-width
+    guarantee."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    shingles = F.array_distinct(
+        F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    )
+    sh = docs.select(
+        "doc_id",
+        (F.col("n_chars") / 100).cast("bigint").alias("bucket"),
+        F.explode(shingles).alias("token"),
+    )
+    return bitmask_jaccard_pairs(spark, sh, 0.8)
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint: polynomial rolling hash over the character stream,
+# portable modular arithmetic → oracle-checkable across engines
+# ---------------------------------------------------------------------------
+_FP_MOD = 2147483647  # 2^31-1: h*31 + c stays < 2^36, no int64 overflow
+_FP_ORACLE = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, length(text)),
+                          i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % {_FP_MOD}) AS fingerprint
+FROM documents
+"""
+
+
+@register("llm_fingerprint", oracle=_FP_ORACLE, category="K")
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint: left-fold polynomial rolling
+    hash h = (h·31 + charcode) mod 2³¹-1 over the character stream —
+    identical arithmetic on both engines, so (unusually for a hash op)
+    it is exact-oracle-checkable. Map-only; the content-defined-chunking
+    cut-points of a dedup pipeline are windows of exactly this hash."""
+    docs = table(spark, sf_dir, "documents")
+    codes = F.expr(
+        "transform(sequence(1, length(text)),"
+        " i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda acc, c: (acc * 31 + c) % F.lit(_FP_MOD),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (weak: uses engine-native xxhash64)
+# ---------------------------------------------------------------------------
+@register("llm_simhash", oracle=None, category="K")  # weak: engine-native hash fn
+def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document: each distinct token votes ±1 on every
+    bit of its xxhash64; the signature's bit j is 1 iff the vote sum is
+    positive. Near-dup pairs are then hamming(sig_a, sig_b) ≤ 3, blocked
+    by the top-16-bit band (identical docs always share the band, so
+    exact dups are never missed; the band bound trades recall for the
+    O(n²)→O(n²/2¹⁶) join cut, the standard SimHash table trick).
+    Weak-checked (hash is engine-native); semantics pinned in
+    tests/test_text_analysis.py: exact-duplicate texts ⇒ identical
+    signatures and hamming 0."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_remove(F.array_distinct(F.split("text", " ")), "")).alias(
+            "token"
+        ),
+    ).withColumn("h", F.xxhash64("token"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    sig = None
+    for j in range(64):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    sigs = votes.select("doc_id", sig.alias("simhash"))
+
+    banded = sigs.withColumn("band", F.shiftright("simhash", 48))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        ham.cast("int").alias("hamming"),
+    )
+    return pairs.filter(F.col("hamming") <= 3)

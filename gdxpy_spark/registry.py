@@ -61,6 +61,8 @@ def load_all() -> None:
         setops,
         gdx_composites,
         llm,
+        multimodal,
+        text_analysis,
         udfs,
     )
     from gdxpy_spark.functions import scalar  # noqa: F401

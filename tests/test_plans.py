@@ -1,0 +1,95 @@
+"""Physical-plan shape assertions (scale regressions fail here):
+predicate pushdown into the parquet scan, column pruning, broadcast-hash
+joins where hinted, TakeOrderedAndProject for top-k, partial aggregation,
+and no Cartesian products outside the two queries that mean it."""
+
+from __future__ import annotations
+
+import pytest
+
+from gdxpy_spark import registry
+from gdxpy_spark.plans.inspect import formatted_plan, pushed_filters, read_schema
+from tests.conftest import SF_DIR
+
+ALL = registry.all_queries()
+
+
+def _df(spark, name):
+    return ALL[name].fn(spark, SF_DIR)
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = _df(spark, "agg_groupby_basic")
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf, f"shipdate filter not pushed: {pf}"
+    rs = read_schema(df)
+    # 7 needed columns, not all 11 — l_orderkey/partkey/suppkey/linenumber pruned
+    assert "l_orderkey" not in rs and "l_partkey" not in rs, rs
+    assert "l_quantity" in rs and "l_returnflag" in rs
+
+
+def test_filter_pushdown_comparisons(spark):
+    pf = pushed_filters(_df(spark, "filt_comparison"))
+    assert "l_quantity" in pf and "l_discount" in pf
+
+
+def test_broadcast_hint_respected(spark):
+    plan = formatted_plan(_df(spark, "join_broadcast"))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = formatted_plan(_df(spark, "sort_limit_topk"))
+    assert "TakeOrderedAndProject" in plan, (
+        "global top-k must not be a full sort: " + plan
+    )
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = formatted_plan(_df(spark, "agg_groupby_basic"))
+    # two HashAggregate stages (partial + final) around the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_semi_anti_join_operators(spark):
+    assert "LeftSemi" in formatted_plan(_df(spark, "join_left_semi"))
+    assert "LeftAnti" in formatted_plan(_df(spark, "join_left_anti"))
+
+
+def test_no_accidental_cartesian(spark):
+    """Only join_cross and gdx_densify may contain a Cartesian/BNLJ
+    product (join_theta's inequality join is BroadcastNestedLoop by
+    design; everything else must be hash/merge joins)."""
+    allowed = {"join_cross", "join_theta", "gdx_densify", "src_values_inline",
+               "gdx_domain_check"}
+    for name, q in ALL.items():
+        if q.oracle is None or name in allowed:
+            continue
+        if name.startswith(("stream_", "src_")):
+            continue
+        plan = formatted_plan(q.fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, f"{name} has a Cartesian product"
+
+
+def test_asof_join_is_single_window_pass(spark):
+    """The as-of join must be union+window (one shuffle), not a range
+    join: no nested-loop join operator in the plan."""
+    plan = formatted_plan(_df(spark, "join_asof"))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_gdx_scan_partitions_by_chunk(spark):
+    """A GDX symbol bigger than one chunk scans with multiple input
+    partitions (the distributed-scan unit)."""
+    import gdxpy_spark.sources.gdx_codec as codec
+    from gdxpy_spark.sources.gdx_datasource import GdxSymbolReader
+
+    from gdxpy_spark.sources.fixtures import build_fixture_gdx
+
+    path = build_fixture_gdx(SF_DIR)
+    reader = GdxSymbolReader(path, "acctbal")
+    parts = reader.partitions()
+    f = codec.GdxFile(path)
+    assert len(parts) == f.n_chunks(f.find("acctbal"))
