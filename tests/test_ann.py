@@ -1,0 +1,85 @@
+"""ANN recall tests: on the corpus's near-orthogonal vectors LSH buckets
+rarely collide (that's the point of the bits), so recall is measured on a
+*planted* near-duplicate set — each planted vector is a tiny perturbation
+of a base vector, so its true NN is known and its bucket must collide
+with overwhelming probability."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from gdxpy_spark import registry
+from gdxpy_spark.tables import table
+from tests.conftest import SF_DIR
+
+ALL = registry.all_queries()
+N_PLANT = 20
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    """embeddings dir where vec_id 100000+i is a 1%-noise copy of vec i."""
+    base = table(spark, SF_DIR, "embeddings").orderBy("vec_id").limit(N_PLANT).collect()
+    rng = random.Random(7)
+    rows = [(r["vec_id"], r["embedding"], r["label"]) for r in
+            table(spark, SF_DIR, "embeddings").collect()]
+    for r in base:
+        noisy = [float(v) + rng.gauss(0, 0.01) for v in r["embedding"]]
+        rows.append((r["vec_id"] + 100000, noisy, r["label"]))
+    df = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    )
+    out = str(tmp_path_factory.mktemp("planted"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    return out
+
+
+def test_brute_force_finds_planted_pairs(spark, planted_dir):
+    nn = {r["vec_id"]: r["nn_id"] for r in ALL["llm_knn_brute"].fn(spark, planted_dir).collect()}
+    hits = sum(1 for i in range(N_PLANT) if nn.get(100000 + i) == i)
+    assert hits == N_PLANT, f"brute force must always find the planted NN ({hits}/{N_PLANT})"
+
+
+def test_lsh_recall_on_planted_pairs(spark, planted_dir):
+    """A 1%-noise copy is ~never separated by a random hyperplane, so
+    LSH recall on planted pairs must be near-perfect (allow 2 misses)."""
+    nn = {r["vec_id"]: r["nn_id"] for r in ALL["llm_ann_lsh"].fn(spark, planted_dir).collect()}
+    hits = sum(1 for i in range(N_PLANT) if nn.get(100000 + i) == i)
+    assert hits >= N_PLANT - 2, f"LSH recall too low: {hits}/{N_PLANT}"
+
+
+def test_lsh_is_subquadratic_candidate_set(spark):
+    """On the real corpus the bucket join must generate far fewer
+    candidate pairs than brute force — the scale property: Σ size·(size-1)
+    over buckets ≪ n·(n-1)."""
+    from gdxpy_spark.operators.llm import _lsh_planes, _with_norm
+
+    e = _with_norm(table(spark, SF_DIR, "embeddings"))
+    sig = None
+    for j, p in enumerate(_lsh_planes(6, 64)):
+        plane = F.array(*[F.lit(x) for x in p])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda v, w: v.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj >= 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    sizes = e.withColumn("bucket", sig).groupBy("bucket").count().collect()
+    n = sum(r["count"] for r in sizes)
+    cand_pairs = sum(r["count"] * (r["count"] - 1) for r in sizes)
+    assert cand_pairs < 0.2 * n * (n - 1), (
+        f"LSH candidate set not subquadratic: {cand_pairs} vs {n * (n - 1)}"
+    )
+
+
+def test_embed_dedup_finds_planted_dups(spark, planted_dir):
+    out = {r["dup_id"]: r["kept_id"] for r in ALL["llm_embed_dedup"].fn(spark, planted_dir).collect()}
+    for i in range(N_PLANT):
+        assert out.get(100000 + i) == i, f"planted near-dup {i} not deduped"
