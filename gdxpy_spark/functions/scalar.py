@@ -312,8 +312,8 @@ def fn_special_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT vec_id,
        CAST(len(embedding) AS INT) AS n_dims,
-       ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
-       ROUND(CAST(embedding[64] AS DOUBLE), 4) AS last_val,
+       ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
+       ROUND(CAST(embedding[64] AS DOUBLE), 4) + 0.0 AS last_val,
        CAST(list_contains(embedding, embedding[1]) AS INT) AS has_first
 FROM embeddings
 """,
@@ -326,8 +326,12 @@ def fn_array_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").cast("int").alias("n_dims"),
-        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
-        F.round(F.element_at("embedding", 64).cast("double"), 4).alias("last_val"),
+        (F.round(F.element_at("embedding", 1).cast("double"), 4) + F.lit(0.0)).alias(
+            "first_val"
+        ),
+        (F.round(F.element_at("embedding", 64).cast("double"), 4) + F.lit(0.0)).alias(
+            "last_val"
+        ),
         F.array_contains("embedding", F.element_at("embedding", 1))
         .cast("int")
         .alias("has_first"),

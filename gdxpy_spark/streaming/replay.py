@@ -236,3 +236,12 @@ def stream_events_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+# NOTE: transformWithStateInPandas (the Spark 4 typed-state successor to
+# applyInPandasWithState) was attempted and reverted: its driver worker
+# requires the `google.protobuf` Python package, which is absent from this
+# container and cannot be installed (environment constraint, SURVEY §0).
+# stream_stateful_running covers the arbitrary-stateful surface via
+# applyInPandasWithState; migrating it is a one-function change once
+# protobuf is available.
