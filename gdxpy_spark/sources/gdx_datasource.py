@@ -74,42 +74,67 @@ def _symbol_schema(meta: SymbolMeta) -> str:
     return f"{keys}{sep}{vals}, eps_mask INT"
 
 
+def _expand_paths(path: str) -> list[str]:
+    """A path may be one .gdx file, a directory of them, or a glob — the
+    multi-file form is gdxpy's scenario list (R12): the same symbol read
+    from every file, stacked with a `scenario` column (= file stem).
+    Partition pruning by scenario falls out of per-file partitions."""
+    import glob as _glob
+
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.gdx")))
+    elif any(c in path for c in "*?["):
+        files = sorted(_glob.glob(path))
+    else:
+        files = [path]
+    if not files:
+        raise ValueError(f"gdx: no .gdx files at {path!r}")
+    return files
+
+
 class GdxPartition(InputPartition):
-    def __init__(self, path: str, sym_idx: int, chunk: int | None):
+    def __init__(self, path: str, sym_idx: int, chunk: int | None, scenario: str | None):
         self.path = path
         self.sym_idx = sym_idx
         self.chunk = chunk
+        self.scenario = scenario
 
 
 class GdxCatalogReader(DataSourceReader):
     def __init__(self, path: str):
-        self.path = path
+        self.paths = _expand_paths(path)
 
     def read(self, partition):
-        f = GdxFile(self.path)
-        for s in f.symbols:
-            yield (
-                s.name,
-                s.dim,
-                s.type_name,
-                s.subtype,
-                s.nrecs,
-                s.expl_text,
-                list(s.domains),
-                s.alias_of,
-            )
+        for p in self.paths:
+            f = GdxFile(p)
+            for s in f.symbols:
+                yield (
+                    s.name,
+                    s.dim,
+                    s.type_name,
+                    s.subtype,
+                    s.nrecs,
+                    s.expl_text,
+                    list(s.domains),
+                    s.alias_of,
+                )
 
 
 class GdxSymbolReader(DataSourceReader):
     def __init__(self, path: str, symbol: str):
-        self.path = path
+        self.paths = _expand_paths(path)
+        self.multi = len(self.paths) > 1
         self.symbol = symbol
 
     def partitions(self):
-        f = GdxFile(self.path)
-        idx = f.find(self.symbol)
-        n = max(1, f.n_chunks(idx))
-        return [GdxPartition(self.path, idx, c) for c in range(n)]
+        parts = []
+        for p in self.paths:
+            f = GdxFile(p)
+            idx = f.find(self.symbol)
+            scen = os.path.splitext(os.path.basename(p))[0] if self.multi else None
+            n = max(1, f.n_chunks(idx))
+            parts.extend(GdxPartition(p, idx, c, scen) for c in range(n))
+        return parts
 
     def read(self, partition: GdxPartition):
         import pyarrow as pa
@@ -138,6 +163,10 @@ class GdxSymbolReader(DataSourceReader):
                     [v[j] for v in data.values], type=pa.float64()
                 )
             cols["eps_mask"] = pa.array(data.eps_mask, type=pa.int32())
+        if partition.scenario is not None:
+            cols["scenario"] = pa.array(
+                [partition.scenario] * len(data.keys), type=pa.string()
+            )
         if data.keys:
             yield pa.RecordBatch.from_pydict(cols)
 
@@ -225,8 +254,10 @@ class GdxDataSource(DataSource):
         sym = self.options.get("symbol", "*")
         if sym == "*":
             return CATALOG_SCHEMA
-        f = GdxFile(self._path())
-        return _symbol_schema(f.symbols[f.find(sym)])
+        paths = _expand_paths(self._path())
+        f = GdxFile(paths[0])
+        base = _symbol_schema(f.symbols[f.find(sym)])
+        return base + (", scenario STRING" if len(paths) > 1 else "")
 
     def reader(self, schema):
         sym = self.options.get("symbol", "*")

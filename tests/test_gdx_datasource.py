@@ -158,3 +158,34 @@ def test_uel_dictionary(engine):
     assert uel.select(F.min("uel_id")).first()[0] == 1
     # codes are dense
     assert uel.count() == uel.select(F.max("uel_id")).first()[0]
+
+
+def test_multi_file_scenario_scan(engine, spark, tmp_path):
+    """A directory of .gdx files reads as one DataFrame with a `scenario`
+    column (file stem) — gdxpy's R12 scenario list at the source level;
+    each file contributes its own partitions (pruning by scenario)."""
+    base = engine.symbol("acctbal")
+    d = tmp_path / "scens"
+    d.mkdir()
+    engine.write_symbol(base, str(d / "low.gdx"), "acctbal")
+    engine.write_symbol(
+        base.withColumn("value", F.col("value") + 10.0), str(d / "high.gdx"), "acctbal"
+    )
+    df = spark.read.format("gdx").option("symbol", "acctbal").load(str(d))
+    assert "scenario" in df.columns
+    n = base.count()
+    per = {r["scenario"]: r["n"] for r in df.groupBy("scenario").agg(F.count("*").alias("n")).collect()}
+    assert per == {"low": n, "high": n}
+    # per-scenario values differ exactly by the +10 shift
+    j = (
+        df.filter(F.col("scenario") == "low")
+        .select("k1", F.col("value").alias("lo"))
+        .join(
+            df.filter(F.col("scenario") == "high").select("k1", F.col("value").alias("hi")),
+            "k1",
+        )
+    )
+    assert j.filter(F.abs(F.col("hi") - F.col("lo") - 10.0) > 1e-9).count() == 0
+    # catalog over the directory lists both files' symbols
+    cat = spark.read.format("gdx").option("symbol", "*").load(str(d))
+    assert cat.filter(F.col("name") == "acctbal").count() == 2

@@ -1,0 +1,40 @@
+"""Exact-equality checks behind the weak-checked source/sink queries
+(the driver records rows-only; these pin the actual semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gdxpy_spark import registry
+from gdxpy_spark.tables import table
+from tests.conftest import SF_DIR
+
+ALL = registry.all_queries()
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=repr)
+
+
+def test_csv_roundtrip_exact(spark):
+    got = ALL["src_csv_roundtrip"].fn(spark, SF_DIR)
+    want = table(spark, SF_DIR, "nation")
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _rows(got.select(*sorted(got.columns))) == _rows(
+        want.select(*sorted(want.columns))
+    )
+
+
+def test_json_roundtrip_exact(spark):
+    got = ALL["src_json_roundtrip"].fn(spark, SF_DIR)
+    want = table(spark, SF_DIR, "supplier")
+    assert _rows(got.select(*sorted(got.columns))) == _rows(
+        want.select(*sorted(want.columns))
+    )
+
+
+def test_approx_distinct_envelope(spark):
+    r = ALL["agg_approx_distinct"].fn(spark, SF_DIR).first()
+    assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.05 * r["exact_parts"], (
+        f"HLL estimate outside ±5%: {r}"
+    )
