@@ -449,3 +449,28 @@ def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     )
+
+
+@register(
+    "fn_map_ops",
+    oracle="""
+SELECT event_id,
+       CAST(len(json_keys(props)) AS INT) AS n_keys,
+       json_keys(props)[1] AS first_key,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+FROM events
+""",
+    category="G",
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props column into map<string,int>
+    and use map_keys/element_at — the typed-map view of semi-structured
+    data (vs fn_json_extract's per-path access)."""
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("int").alias("n_keys"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, "k").cast("int").alias("k_val"),
+    )

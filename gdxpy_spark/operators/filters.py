@@ -129,3 +129,29 @@ def filt_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def filt_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT over a two-column projection (hash aggregate on both keys)."""
     return table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@register(
+    "filt_correlated_subquery",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+""",
+    category="B",
+)
+def filt_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their nation's average
+    balance. Catalyst decorrelates this into an aggregate + join (no
+    per-row re-execution — the reference's pandas users would loop; at
+    100 TB the decorrelated plan is one aggregation + one shuffle join)."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("gdxps_corr_cust")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM gdxps_corr_cust c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM gdxps_corr_cust c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )

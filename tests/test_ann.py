@@ -83,3 +83,21 @@ def test_embed_dedup_finds_planted_dups(spark, planted_dir):
     out = {r["dup_id"]: r["kept_id"] for r in ALL["llm_embed_dedup"].fn(spark, planted_dir).collect()}
     for i in range(N_PLANT):
         assert out.get(100000 + i) == i, f"planted near-dup {i} not deduped"
+
+
+def test_ivf_recall_on_planted_pairs(spark, planted_dir):
+    """A 1%-noise copy lands in (or probes into) its base's k-means cell
+    — IVF recall on planted pairs must be near-perfect."""
+    nn = {r["vec_id"]: r["nn_id"] for r in ALL["llm_ann_ivf"].fn(spark, planted_dir).collect()}
+    hits = sum(1 for i in range(N_PLANT) if nn.get(100000 + i) == i)
+    assert hits >= N_PLANT - 2, f"IVF recall too low: {hits}/{N_PLANT}"
+
+
+def test_ivf_recall_floor_on_real_corpus(spark):
+    """nprobe=2 of 16 cells must beat the 2/16 random-candidate baseline
+    by a wide margin even on near-uniform vectors."""
+    ivf = {r["vec_id"]: r["nn_id"] for r in ALL["llm_ann_ivf"].fn(spark, SF_DIR).collect()}
+    brute = {r["vec_id"]: r["nn_id"] for r in ALL["llm_knn_brute"].fn(spark, SF_DIR).collect()}
+    hits = sum(1 for v in brute if ivf.get(v) == brute[v])
+    recall = hits / len(brute)
+    assert recall >= 0.35, f"IVF nprobe=2 recall {recall:.2f} below floor"
