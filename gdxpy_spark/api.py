@@ -191,6 +191,52 @@ class GdxEngine:
         )
 
     # -- R16: write -----------------------------------------------------------
+    def write_file(
+        self,
+        symbols: dict[str, tuple[DataFrame, str]],
+        path: str,
+        compress: bool = False,
+    ) -> None:
+        """Write several symbols into ONE .gdx file (a GDX file is a
+        mini-catalog — the single-symbol DataSource writer covers the
+        common case; this covers full-file export). `symbols` maps name →
+        (DataFrame, symtype). Frames are collected symbol-by-symbol (GDX
+        files are model-sized, not fact-sized); the codec sorts records
+        and interns UELs across all symbols, like a real writer."""
+        from gdxpy_spark.sources.gdx_codec import (
+            DT_PAR,
+            DT_SET,
+            GdxWriter,
+            SymbolData,
+            SymbolMeta,
+        )
+        from gdxpy_spark.sources.gdx_datasource import _TYPE_BY_NAME
+        from gdxpy_spark.sources.gdx_codec import VALUE_FIELDS
+
+        w = GdxWriter(path, compress=compress)
+        for name, (df, symtype) in symbols.items():
+            t = _TYPE_BY_NAME[symtype]
+            keys = [c for c in df.columns if c.startswith("k")]
+            meta = SymbolMeta(name=name, dim=len(keys), type=t)
+            data = SymbolData(meta=meta)
+            for r in df.collect():
+                data.keys.append(tuple(r[k] for k in keys))
+                if t == DT_SET:
+                    data.text.append(r["text"] if "text" in df.columns else "")
+                    data.values.append((0.0,))
+                    data.eps_mask.append(0)
+                elif t == DT_PAR:
+                    is_eps = bool(r["is_eps"]) if "is_eps" in df.columns else False
+                    data.values.append((0.0 if is_eps else float(r["value"]),))
+                    data.eps_mask.append(1 if is_eps else 0)
+                else:
+                    data.values.append(
+                        tuple(float(r[f]) for f in VALUE_FIELDS)
+                    )
+                    data.eps_mask.append(int(r["eps_mask"]) if "eps_mask" in df.columns else 0)
+            w.add_symbol(data)
+        w.close()
+
     def write_symbol(
         self,
         df: DataFrame,

@@ -189,3 +189,32 @@ def test_multi_file_scenario_scan(engine, spark, tmp_path):
     # catalog over the directory lists both files' symbols
     cat = spark.read.format("gdx").option("symbol", "*").load(str(d))
     assert cat.filter(F.col("name") == "acctbal").count() == 2
+
+
+def test_write_file_multi_symbol(engine, spark, tmp_path):
+    """Several symbols exported into one .gdx (a file is a mini-catalog);
+    read back through the DataSource and the facade."""
+    out = str(tmp_path / "multi.gdx")
+    engine.write_file(
+        {
+            "sales": (engine.symbol("monthly_sales"), "parameter"),
+            "regions": (engine.symbol("region_set"), "set"),
+        },
+        out,
+        compress=True,
+    )
+    eng2 = type(engine)(spark).open(out)
+    cat = {r["name"] for r in eng2.symbols().collect()}
+    assert cat == {"sales", "regions"}
+    assert eng2.symbol("sales").count() == engine.symbol("monthly_sales").count()
+    assert eng2.symbol("regions").count() == 5
+
+
+def test_wide_pivot_helper(engine):
+    """R9 wide shaping: long (k1, k2, value) → one row per k1 with one
+    column per k2 label (the pandas-unstack equivalent)."""
+    ms = engine.symbol("monthly_sales")  # k1=status, k2=month
+    wide = engine.wide(ms.select("k1", "k2", "value"), "k2", "value")
+    assert wide.count() == ms.select("k1").distinct().count()
+    month_cols = [c for c in wide.columns if c.startswith("m")]
+    assert len(month_cols) == ms.select("k2").distinct().count()
