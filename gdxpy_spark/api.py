@@ -130,6 +130,17 @@ class GdxEngine:
             .agg(F.first(value_col))
         )
 
+    # -- R9: pandas presentation ----------------------------------------------
+    def to_pandas(self, df: DataFrame):
+        """gdxpy's pandas shaping (R9): collect a symbol frame with the
+        key columns as a (Multi)Index — the exact presentation a gdxpy
+        user gets from `gload`. Arrow-batched collect; only for
+        model-sized symbols (the whole point of this engine is that the
+        100 TB path never materializes on the driver)."""
+        pdf = df.toPandas()
+        keys = [c for c in df.columns if c.startswith("k")]
+        return pdf.set_index(keys) if keys else pdf
+
     # -- R10: squeeze ---------------------------------------------------------
     def squeeze(self, df: DataFrame) -> DataFrame:
         """Drop key columns that are constant across the frame (gdxpy drops

@@ -218,3 +218,11 @@ def test_wide_pivot_helper(engine):
     assert wide.count() == ms.select("k1").distinct().count()
     month_cols = [c for c in wide.columns if c.startswith("m")]
     assert len(month_cols) == ms.select("k2").distinct().count()
+
+
+def test_to_pandas_multiindex(engine):
+    pdf = engine.to_pandas(engine.symbol("monthly_sales"))
+    assert list(pdf.index.names) == ["k1", "k2"]
+    assert "value" in pdf.columns and len(pdf) == 36
+    scalar = engine.to_pandas(engine.symbol("n_orders"))
+    assert list(scalar.columns) == ["value", "is_eps"]
