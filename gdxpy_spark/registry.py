@@ -63,6 +63,7 @@ def load_all() -> None:
         llm,
         multimodal,
         text_analysis,
+        tpch_shapes,
         udfs,
     )
     from gdxpy_spark.functions import scalar  # noqa: F401
