@@ -650,3 +650,65 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
         )
     )
+
+
+def connected_components(
+    spark: SparkSession, edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation over an
+    undirected edge list (cols: doc_a, doc_b) → (doc_id, component_id =
+    min doc_id in the component).
+
+    The loop is driver-side control flow over distributed joins: each
+    round every node adopts the smallest label among itself and its
+    neighbors; convergence is checked with a count of changed labels
+    (label sums strictly decrease, so termination is guaranteed;
+    max_iters bounds the O(diameter) rounds). localCheckpoint() cuts the
+    lineage each round — without it the plan doubles per iteration and
+    the job dies long before 100 TB. This is the non-SQL-expressible
+    iterative shape (SURVEY §5: the driver records rows-only for it)."""
+    sym = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b"), F.col("doc_a")))
+    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint()
+    for _ in range(max_iters):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
+@register("llm_dedup_clusters", oracle=None, category="K")  # weak: iterative algorithm
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: connected components over the
+    llm_length_blocking candidate graph (A~B and B~C put A,C in one
+    cluster even when A≁C directly — the correct dedup semantics; the
+    pairwise survivor rule under-merges chains). Output: every clustered
+    doc with its component id (= kept doc); singletons omitted."""
+    pairs = llm_length_blocking(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(spark, pairs)
+    return cc.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias("dup_id"), F.col("component_id").alias("kept_id")
+    )

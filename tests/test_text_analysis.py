@@ -65,3 +65,25 @@ def test_decode_real_is_a_marked_stub():
 
     with pytest.raises(NotImplementedError):
         decode_real(b"\x00", "png")
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, D~E (A≁C directly) → components {A,B,C} and {D,E}."""
+    from gdxpy_spark.operators.llm import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a BIGINT, doc_b BIGINT",
+    )
+    cc = {r["doc_id"]: r["component_id"] for r in connected_components(spark, edges).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_dedup_clusters_on_corpus(spark):
+    """Every emitted (dup, kept) pair must be consistent: kept < dup, and
+    kept is itself never a dup."""
+    out = ALL["llm_dedup_clusters"].fn(spark, SF_DIR).collect()
+    dups = {r["dup_id"] for r in out}
+    keeps = {r["kept_id"] for r in out}
+    assert all(r["kept_id"] < r["dup_id"] for r in out)
+    assert not (dups & keeps), "a kept doc may not also be a duplicate"
