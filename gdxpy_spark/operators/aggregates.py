@@ -319,3 +319,17 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+@register("agg_approx_percentile", oracle=None, category="D")  # weak: sketch-based
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL/GK-style sketch): the mergeable-sketch scale
+    path next to agg_percentile's exact sort-based quantile — at 100 TB
+    the exact percentile is a full sort per group, the sketch is one pass
+    with bounded state. Accuracy envelope vs the exact values is pinned
+    in tests/test_sources.py."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+    )

@@ -38,3 +38,24 @@ def test_approx_distinct_envelope(spark):
     assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.05 * r["exact_parts"], (
         f"HLL estimate outside ±5%: {r}"
     )
+
+
+def test_approx_percentile_envelope(spark):
+    """Sketch quantiles must sit within 1% (relative) of the exact ones."""
+    approx = {
+        r["l_linestatus"]: (r["p50_approx"], r["p95_approx"])
+        for r in ALL["agg_approx_percentile"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["l_linestatus"]: (r["p50"], r["p95"])
+        for r in table(spark, SF_DIR, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    for k in exact:
+        for got, want in zip(approx[k], exact[k]):
+            assert abs(got - want) <= 0.01 * abs(want), (k, got, want)
