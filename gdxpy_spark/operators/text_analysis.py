@@ -296,40 +296,39 @@ def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_fuzzy_match",
     oracle="""
-SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-       a.p_name AS name_a, b.p_name AS name_b,
-       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
-FROM part a JOIN part b
-  ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
- AND a.p_partkey < b.p_partkey
-WHERE levenshtein(a.p_name, b.p_name) <= 2
-  AND a.p_name <> b.p_name
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist
+FROM customer a JOIN customer b
+  ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) = 1
 """,
     category="K",
 )
 def llm_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy string matching: near-identical part names (Levenshtein ≤ 2,
-    excluding exact equals), blocked by first character so the candidate
-    join is O(n²/alphabet) instead of O(n²). Edit distance is a JVM
-    built-in on both engines — the entity-resolution primitive; at scale
-    the blocking key is a phonetic/q-gram signature with the same join
-    shape."""
-    p = table(spark, sf_dir, "part").select("p_partkey", "p_name")
-    a = p.alias("a")
-    b = p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    """Entity-resolution fuzzy matching: customer-name pairs at edit
+    distance exactly 1 (single-character typo family), blocked by the
+    16-char name prefix so the candidate join is per-block quadratic
+    instead of corpus-quadratic. Levenshtein is a JVM built-in on both
+    engines; at scale the blocking key is a phonetic/q-gram signature
+    with the same join shape."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = c.alias("a")
+    b = c.alias("b")
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
     return (
         a.join(
             b,
-            (F.substring(F.col("a.p_name"), 1, 1) == F.substring(F.col("b.p_name"), 1, 1))
-            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+            (
+                F.substring(F.col("a.c_name"), 1, 16)
+                == F.substring(F.col("b.c_name"), 1, 16)
+            )
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
         )
-        .filter((dist <= 2) & (F.col("a.p_name") != F.col("b.p_name")))
+        .filter(dist == 1)
         .select(
-            F.col("a.p_partkey").alias("key_a"),
-            F.col("b.p_partkey").alias("key_b"),
-            F.col("a.p_name").alias("name_a"),
-            F.col("b.p_name").alias("name_b"),
+            F.col("a.c_custkey").alias("key_a"),
+            F.col("b.c_custkey").alias("key_b"),
             dist.cast("int").alias("edit_dist"),
         )
     )
