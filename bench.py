@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """Benchmark: run every oracle-checkable query (SURVEY §2.2) at
 $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS], one warm SparkSession,
-and print ONE JSON line:
+and print ONE COMPACT JSON line to stdout:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+where "queries" holds only the headline (most expensive) per-query times
+so the line stays well under the driver's stdout capture window; the FULL
+per-query map is written to BENCH_DETAIL.json next to this script and
+echoed to stderr. (Round-1 lesson: a 98-entry map made the stdout line
+>2 KB and the driver recorded `parsed: null`.)
 
 Materialization is `noop`-sink writes (full execution, no driver collect
 overhead). `--duckdb` additionally times the DuckDB oracle SQL for the
@@ -32,6 +38,9 @@ def _run_spark(names, qs, spark, sf_dir):
         t0 = time.perf_counter()
         qs[n].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[n] = round(time.perf_counter() - t0, 4)
+        # some ops .cache() mid-plan (bitmask masks, LSH buckets); clear so
+        # a 98-query loop doesn't accumulate executor-memory cached blocks
+        spark.catalog.clearCache()
     return times
 
 
@@ -54,6 +63,7 @@ def main() -> None:
 
     times = _run_spark(names, qs, spark, sf_dir)
     total = round(sum(times.values()), 4)
+    ratio = None
 
     if "--duckdb" in sys.argv:
         import duckdb
@@ -86,17 +96,37 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_clock_oracle_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": _sf_of(sf_dir),
-            }
-        )
+    detail = {
+        "metric": "total_wall_clock_oracle_queries",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(names),
+        "sf": _sf_of(sf_dir),
+        "queries": times,
+    }
+    if ratio is not None:
+        detail["duckdb_ratio"] = ratio
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(f"full per-query map -> {detail_path}", file=sys.stderr)
+
+    # compact stdout line: headline = the 10 slowest queries only
+    headline = dict(
+        sorted(times.items(), key=lambda kv: kv[1], reverse=True)[:10]
     )
+    line = {
+        "metric": "total_wall_clock_oracle_queries",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(names),
+        "queries": headline,
+        "sf": _sf_of(sf_dir),
+    }
+    if ratio is not None:
+        line["duckdb_ratio"] = ratio
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

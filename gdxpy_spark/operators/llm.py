@@ -246,8 +246,13 @@ def llm_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Fixed (a, b, p) permutation parameters — deterministic across runs.
-_MINHASH_PERMS = [(1299721, 217645177), (15485863, 982451653),
-                  (32452843, 57885161), (49979687, 715225739)]
+# First 4 are llm_minhash_sig's; the banded-LSH dedup uses all 8
+# (4 bands × 2 rows, see llm_minhash_dedup).
+_MINHASH_PERMS8 = [(1299721, 217645177), (15485863, 982451653),
+                   (32452843, 57885161), (49979687, 715225739),
+                   (86028121, 512927357), (104395301, 779361797),
+                   (122949823, 316234393), (141650939, 27644437)]
+_MINHASH_PERMS = _MINHASH_PERMS8[:4]
 _MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime; keeps a·crc32+b in-range)
 
 
@@ -315,17 +320,52 @@ def bitmask_jaccard_pairs(
     sf0.1 this is ~3× faster than the exploded (bucket, token) join and
     ~8× faster than per-pair string array_intersect — the verify step is
     pure bit ops inside whole-stage codegen, and shuffled rows are a few
-    dozen bytes regardless of document length. The dictionary is built
-    with a row_number over the distinct vocabulary (dimension-sized
-    here); a web-scale vocabulary would use a 64-bit token hash and
-    b-bit signatures instead (accepting SimHash-style collisions). At
-    100 TB the blocking key becomes MinHash bands (llm_minhash_sig) —
-    same join shape, bounded block sizes."""
-    vocab = items.select("token").distinct()
-    n_vocab = vocab.count()  # tiny metadata job, sizes the bitmask width
+    dozen bytes regardless of document length.
+
+    The token→id dictionary is built with TWO-PHASE PARTITIONED RANKING,
+    not a global sort: each distinct token is assigned a deterministic
+    shard ``pid = pmod(hash(token), P)``, ranks are dense per shard
+    (``row_number`` over a P-way partitioned window — P parallel local
+    sorts, never a single-partition WindowExec), and shard offsets come
+    from a P-row groupBy collected to the driver (bytes, not data). The
+    id is ``offset[pid] + local_rank``: a bijection token→[0, |vocab|)
+    that is NOT alphabetical — Jaccard only needs injectivity. |vocab|
+    falls out of the same P-row collect, so there is no separate
+    ``count()`` job either. P scales with vocabulary size at 100 TB; a
+    further fallback is a 64-bit token hash into b-bit signatures
+    (accepting SimHash-style collision odds). At 100 TB the blocking key
+    becomes MinHash bands (llm_minhash_dedup) — same join shape, bounded
+    block sizes.
+
+    Cache lifetime: the per-doc mask frame is ``.cache()``d because the
+    self-join would recompute the explode+dictionary+groupBy lineage
+    twice (~30% of wall time at sf0.1). The cache is registered on the
+    returned plan's lineage; callers running many queries in one session
+    (bench loops, parity suites) should ``spark.catalog.clearCache()``
+    between queries — bench.py does."""
+    n_shards = 32  # dictionary shards; scale with |vocab| (P ≈ vocab_rows / 10M)
+    vocab = items.select("token").distinct().withColumn(
+        "pid", F.pmod(F.hash("token"), F.lit(n_shards)).cast("int")
+    )
+    shard_counts = {
+        r["pid"]: r["cnt"]
+        for r in vocab.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
+    }  # ≤ n_shards rows — metadata, not data
+    offsets, acc = {}, 0
+    for pid in sorted(shard_counts):
+        offsets[pid] = acc
+        acc += shard_counts[pid]
+    n_vocab = acc
     n_words = max(1, (n_vocab + 63) // 64)
-    dic = vocab.select(
-        "token", (F.row_number().over(W.orderBy("token")) - 1).alias("tid")
+    off_df = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "pid INT, off BIGINT"
+    )
+    dic = (
+        vocab.withColumn(
+            "rn", F.row_number().over(W.partitionBy("pid").orderBy("token"))
+        )
+        .join(F.broadcast(off_df), "pid")
+        .select("token", (F.col("off") + F.col("rn") - 1).alias("tid"))
     )
     ids = (
         items.join(F.broadcast(dic), "token")
@@ -407,49 +447,89 @@ WHERE rn = 1
 """
 
 
+def _block_pair_replicas(e: DataFrame, n_blocks: int) -> DataFrame:
+    """Replicate each vector into every block-pair group it belongs to.
+
+    Vectors get a deterministic block ``blk = pmod(xxhash64(vec_id), B)``;
+    crossing with the B possible partner blocks and normalizing to
+    ``(lo, hi) = (min, max)`` sends each vector to exactly B groups and
+    puts every unordered vector pair in EXACTLY ONE group. This is the
+    distributed block-nested-loop layout for exact all-pairs work:
+    shuffle volume is n·B rows, per-task memory is O(n/B · dim), and no
+    full-table collect or broadcast exists anywhere. B is chosen so a
+    group's slice fits executor memory (B ≈ n·dim·8 / task_mem)."""
+    spark = e.sparkSession
+    js = F.broadcast(
+        spark.range(n_blocks).select(F.col("id").cast("int").alias("j"))
+    )
+    return (
+        e.withColumn(
+            "blk", F.pmod(F.xxhash64(F.col("vec_id")), F.lit(n_blocks)).cast("int")
+        )
+        .crossJoin(js)
+        .withColumn("lo", F.least("blk", "j"))
+        .withColumn("hi", F.greatest("blk", "j"))
+        .drop("j", "blk")
+    )
+
+
 @register("llm_knn_brute", oracle=_BRUTE_ORACLE, category="K")
 def llm_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global brute-force nearest neighbor (no blocking) — the exact
     baseline every ANN variant (llm_knn_topk's IVF-style label blocks,
     llm_ann_lsh's hyperplane buckets) is measured against.
 
-    Physical strategy: the embedding matrix is broadcast once and each
-    partition computes its block's similarity rows with a single numpy
-    (BLAS) matmul inside mapInPandas — O(n²·d) flops but no O(n²) join
-    rows ever materialize (a join+HOF-fold formulation measured 33 s at
-    sf0.1 vs ~2 s for the matmul). This is the standard pattern when one
-    side fits in executor memory; at 100 TB the broadcast side is a
-    sample or the IVF centroid table, never the full corpus."""
+    Physical strategy: distributed block-nested-loop. Vectors are hashed
+    into B blocks; each of the B(B+1)/2 block-pair groups computes its
+    pairwise cosines with one numpy (BLAS) matmul inside applyInPandas
+    and emits only the per-vector best WITHIN the group (≤ group-size
+    rows, never group-size² join rows — a join+HOF-fold formulation
+    measured 33 s at sf0.1 vs ~2 s for matmul). A final n·B-row window
+    picks the global best. O(n²·d) flops are inherent to exact brute
+    force, but work is spread across all executors, per-task memory is
+    O(n/B·d), and — unlike the round-1 version — NOTHING is collected
+    to or broadcast from the driver. At 100 TB exact brute force is a
+    recall-measurement tool on a bounded sample; production similarity
+    goes through llm_ann_lsh / llm_ann_ivf."""
     import numpy as np
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = e.collect()
-    rows.sort(key=lambda r: r["vec_id"])  # ties → smallest nn_id wins
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    rep = _block_pair_replicas(e, n_blocks=4)
 
-    def nn(it):
-        b_ids, b_mat, b_norms = bc.value
-        index = {int(v): i for i, v in enumerate(b_ids)}
-        for pdf in it:
-            q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            qn = np.sqrt((q * q).sum(axis=1))
-            cos = (q @ b_mat.T) / (qn[:, None] * b_norms[None, :])
-            for row_i, vid in enumerate(pdf["vec_id"]):
-                cos[row_i, index[int(vid)]] = -np.inf  # mask self
-            best = cos.argmax(axis=1)  # first max → smallest nn_id on ties
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"].astype("int64"),
-                    "nn_id": b_ids[best],
-                    "cos_sim": np.round(cos[np.arange(len(best)), best], 4) + 0.0,
-                }
-            )
+    def best_in_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("vec_id")  # first argmax hit = smallest nn_id
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "nn_id": [], "cos_sim": []}
+            ).astype({"vec_id": "int64", "nn_id": "int64", "cos_sim": "float64"})
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+        np.fill_diagonal(cos, -np.inf)  # mask self
+        best = cos.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "nn_id": ids[best],
+                "cos_sim": cos[np.arange(len(best)), best],
+            }
+        )
 
-    return e.mapInPandas(nn, schema="vec_id BIGINT, nn_id BIGINT, cos_sim DOUBLE")
+    per_group = rep.groupBy("lo", "hi").applyInPandas(
+        best_in_group, schema="vec_id BIGINT, nn_id BIGINT, cos_sim DOUBLE"
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id").asc())
+    return (
+        per_group.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
+        )
+    )
 
 
 _EMBED_DEDUP_ORACLE = """
@@ -482,42 +562,52 @@ def llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are near-orthogonal, max pairwise cos ≈ 0.51, so only genuine
     near-pairs qualify); emit (dup_id, kept lower id, max_cos). The
     lower-id-survives rule is the same greedy rule as llm_exact_dedup's
-    MIN(doc_id). Same broadcast-matmul strategy as llm_knn_brute; at
-    scale the pair generation is LSH-bucketed (llm_ann_lsh) and the
-    survivor rule is unchanged."""
+    MIN(doc_id).
+
+    Physical strategy: the same distributed block-nested-loop as
+    llm_knn_brute (_block_pair_replicas) — every vector pair meets in
+    exactly one block-pair group, each group matmuls its slice and emits
+    per-vector partial survivors (kept-id min / cos max over the group's
+    qualifying lower-id hits), and a final groupBy folds the partials
+    with MIN/MAX (both associative, so group-then-global equals the
+    all-pairs oracle exactly). No driver collect, no full-table
+    broadcast, O(n/B·d) task memory. Exact τ-threshold dedup is
+    inherently O(n²·d) flops; at 100 TB the candidate generation is
+    LSH-bucketed instead (llm_minhash_dedup / llm_ann_lsh) and this
+    exact verify runs only within buckets."""
     import numpy as np
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rows = e.collect()
-    rows.sort(key=lambda r: r["vec_id"])
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
+    rep = _block_pair_replicas(e, n_blocks=4)
 
-    def dedup(it):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in it:
-            q = np.array(list(pdf["embedding"]), dtype=np.float64)
-            qn = np.sqrt((q * q).sum(axis=1))
-            cos = (q @ b_mat.T) / (qn[:, None] * b_norms[None, :])
-            out = []
-            for row_i, vid in enumerate(pdf["vec_id"]):
-                lower = b_ids < int(vid)  # only lower-id vectors can keep
-                hits = lower & (cos[row_i] >= 0.4)
-                if hits.any():
-                    out.append(
-                        (
-                            int(vid),
-                            int(b_ids[hits].min()),
-                            round(float(cos[row_i][hits].max()), 4) + 0.0,
-                        )
-                    )
-            yield pd.DataFrame(out, columns=["dup_id", "kept_id", "max_cos"])
+    def dedup_in_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        empty = pd.DataFrame({"dup_id": [], "kept_id": [], "max_cos": []}).astype(
+            {"dup_id": "int64", "kept_id": "int64", "max_cos": "float64"}
+        )
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+        out = []
+        for row_i, vid in enumerate(ids):
+            hits = (ids < vid) & (cos[row_i] >= 0.4)
+            if hits.any():
+                out.append(
+                    (int(vid), int(ids[hits].min()), float(cos[row_i][hits].max()))
+                )
+        if not out:
+            return empty
+        return pd.DataFrame(out, columns=["dup_id", "kept_id", "max_cos"])
 
-    return e.mapInPandas(
-        dedup, schema="dup_id BIGINT, kept_id BIGINT, max_cos DOUBLE"
+    partials = rep.groupBy("lo", "hi").applyInPandas(
+        dedup_in_group, schema="dup_id BIGINT, kept_id BIGINT, max_cos DOUBLE"
+    )
+    return partials.groupBy("dup_id").agg(
+        F.min("kept_id").alias("kept_id"),
+        (F.round(F.max("max_cos"), 4) + F.lit(0.0)).alias("max_cos"),
     )
 
 
@@ -662,16 +752,23 @@ def connected_components(
     The loop is driver-side control flow over distributed joins: each
     round every node adopts the smallest label among itself and its
     neighbors; convergence is checked with a count of changed labels
-    (label sums strictly decrease, so termination is guaranteed;
-    max_iters bounds the O(diameter) rounds). localCheckpoint() cuts the
+    (label sums strictly decrease, so the fixpoint is reached in at most
+    O(diameter) rounds; max_iters bounds the rounds, and if it is hit
+    with labels still changing a RuntimeWarning is raised — the labels
+    returned would under-merge long chains). localCheckpoint() cuts the
     lineage each round — without it the plan doubles per iteration and
     the job dies long before 100 TB. This is the non-SQL-expressible
-    iterative shape (SURVEY §5: the driver records rows-only for it)."""
+    iterative shape (SURVEY §5: the driver records rows-only for it).
+    An O(log n)-round alternative (alternating large-star/small-star) is
+    the upgrade path if real graphs show large diameters."""
+    import warnings
+
     sym = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b"), F.col("doc_a")))
     nodes = sym.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint()
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.doc_id)
@@ -697,6 +794,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed > 0:
+        warnings.warn(
+            f"connected_components: max_iters={max_iters} reached with "
+            f"{changed} labels still changing — components with diameter "
+            f"> max_iters are under-merged; raise max_iters",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 
@@ -708,6 +813,111 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise survivor rule under-merges chains). Output: every clustered
     doc with its component id (= kept doc); singletons omitted."""
     pairs = llm_length_blocking(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(spark, pairs)
+    return cc.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias("dup_id"), F.col("component_id").alias("kept_id")
+    )
+
+
+def _doc_token_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, tokens) with tokens the distinct non-empty word set."""
+    return docs.select(
+        "doc_id",
+        F.array_distinct(F.array_remove(F.split("text", " "), "")).alias("tokens"),
+    ).filter(F.size("tokens") > 0)
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded-LSH near-duplicate pairs: MinHash signatures → band-key
+    blocking → exact Jaccard verify. Returns (doc_a, doc_b, jaccard)
+    with doc_a < doc_b and jaccard ≥ threshold.
+
+    The classic subquadratic text-dedup pipeline:
+
+    1. sig_i = min over tokens of (a_i·crc32(token)+b_i mod p), all
+       JVM-side array math (transform + array_min), zero shuffle.
+    2. band key j = xxhash64 of the band's ``rows_per_band`` signature
+       values; each doc explodes into ``n_bands`` tiny (doc_id, band,
+       bkey) rows. Two docs become a candidate iff they agree on ALL
+       rows of SOME band: P(candidate | Jaccard s) = 1−(1−s^r)^b — the
+       S-curve that makes E[pairs] ≈ n²·P(collision) subquadratic for
+       near-orthogonal corpora while keeping high-s recall (s=0.8 →
+       0.995 at b=4, r=2).
+    3. candidates (id pairs only — token arrays never ride the band
+       join) re-join their token sets and verify EXACT Jaccard via
+       array_intersect/array_union; false positives die here, so the
+       approximation only ever costs recall, never precision.
+
+    At 100 TB: the band join is an equi-shuffle on (band, bkey) whose
+    per-bucket sizes the S-curve bounds; skewed buckets (boilerplate
+    docs) are the residual risk — cap bucket size or salt. Verify cost
+    is |candidates| · avg-token-set, linear-ish by construction."""
+    toks = _doc_token_sets(docs)
+    n_perms = n_bands * rows_per_band
+    assert n_perms <= len(_MINHASH_PERMS8), "not enough fixed permutations"
+    sigs = [
+        F.array_min(F.transform(F.col("tokens"), _perm_hash(a, b))).alias(f"sig{i}")
+        for i, (a, b) in enumerate(_MINHASH_PERMS8[:n_perms])
+    ]
+    sig_df = toks.select("doc_id", *sigs)
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.xxhash64(
+                *[F.col(f"sig{j * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bkey"),
+        )
+        for j in range(n_bands)
+    ]
+    banded = sig_df.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("tok_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("tok_b"))
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "jaccard_raw",
+            F.size(F.array_intersect("tok_a", "tok_b")).cast("double")
+            / F.size(F.array_union("tok_a", "tok_b")),
+        )
+        .filter(F.col("jaccard_raw") >= threshold)
+    )
+    return verified.select(
+        "doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard")
+    )
+
+
+@register("llm_minhash_dedup", oracle=None, category="K")  # weak: LSH recall is probabilistic
+def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash dedup: banded-LSH candidates (minhash_band_pairs)
+    → exact-Jaccard verify (≥ 0.5) → transitive clusters via
+    connected_components. Output (dup_id, kept_id = min doc_id of the
+    cluster), singletons omitted — same contract as llm_dedup_clusters
+    but with the subquadratic MinHash candidate generator, i.e. the
+    100 TB path. Weak-checked (hash-function-specific candidates have no
+    SQL oracle); recall on planted near-dups and the subquadratic
+    candidate-count property are pinned in tests/test_text_analysis.py."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_band_pairs(docs).select("doc_a", "doc_b")
     cc = connected_components(spark, pairs)
     return cc.filter(F.col("doc_id") != F.col("component_id")).select(
         F.col("doc_id").alias("dup_id"), F.col("component_id").alias("kept_id")

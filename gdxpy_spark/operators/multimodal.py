@@ -21,7 +21,6 @@ back per batch.
 
 from __future__ import annotations
 
-import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -58,22 +57,35 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = (F.col("doc_id") % 30 + 1).cast("int")
 
     def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # vectorized header pack: one structured-array fill per batch
+        # (packed little-endian dtype == the struct.pack layout), then a
+        # single .tobytes() sliced per row — no pandas iterrows
+        hdr_t = np.dtype(
+            [("magic", "S4"), ("fmt", "u1"), ("w", "<u4"), ("h", "<u4"),
+             ("fps", "u1"), ("pad", "S2")]
+        )
+        assert hdr_t.itemsize == 16
+        fmts = np.array(_FORMATS)
         for pdf in it:
-            blobs = []
-            for _, r in pdf.iterrows():
-                header = (
-                    _MAGIC
-                    + struct.pack("<BIIB", int(r.fmt_idx), int(r.width), int(r.height), int(r.fps))
-                    + b"\x00\x00"
-                )
-                blobs.append(header + r.text.encode("utf-8"))
+            n = len(pdf)
+            hdr = np.zeros(n, dtype=hdr_t)
+            hdr["magic"] = _MAGIC
+            hdr["fmt"] = pdf["fmt_idx"].to_numpy(dtype="uint8")
+            hdr["w"] = pdf["width"].to_numpy(dtype="uint32")
+            hdr["h"] = pdf["height"].to_numpy(dtype="uint32")
+            hdr["fps"] = pdf["fps"].to_numpy(dtype="uint8")
+            raw = hdr.tobytes()
+            blobs = [
+                raw[i * 16 : (i + 1) * 16] + t.encode("utf-8")
+                for i, t in enumerate(pdf["text"])
+            ]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf.doc_id,
+                    "doc_id": pdf["doc_id"],
                     "media": blobs,
-                    "media_type": [
-                        _FORMATS[int(i)] for i in pdf.fmt_idx
-                    ],
+                    "media_type": fmts[hdr["fmt"]],
                 }
             )
 
@@ -109,17 +121,28 @@ def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)
 
     def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        hdr_t = np.dtype(
+            [("magic", "S4"), ("fmt", "u1"), ("w", "<u4"), ("h", "<u4"), ("fps", "u1")]
+        )
+        assert hdr_t.itemsize == 14
+        fmts = np.array(_FORMATS)
         for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                blob = bytes(r.media)
-                assert blob[:4] == _MAGIC, "bad media header"
-                fmt_i, width, height, _fps = struct.unpack("<BIIB", blob[4:14])
-                rows.append(
-                    (int(r.doc_id), _FORMATS[fmt_i], width, height, len(blob) - 16)
-                )
+            blobs = [bytes(b) for b in pdf["media"]]
+            # one frombuffer over the concatenated fixed-width headers —
+            # the variable-length payloads are never copied, only len()'d
+            hdr = np.frombuffer(b"".join(b[:14] for b in blobs), dtype=hdr_t)
+            assert (hdr["magic"] == _MAGIC).all(), "bad media header"
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
             yield pd.DataFrame(
-                rows, columns=["doc_id", "media_type", "width", "height", "payload_bytes"]
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype="int64"),
+                    "media_type": fmts[hdr["fmt"]],
+                    "width": hdr["w"].astype("int32"),
+                    "height": hdr["h"].astype("int32"),
+                    "payload_bytes": lens - 16,
+                }
             )
 
     return media.mapInPandas(
@@ -150,17 +173,25 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)
 
     def sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in it:
-            out = []
-            for _, r in pdf.iterrows():
-                blob = bytes(r.media)
-                fps = struct.unpack("<B", blob[13:14])[0]
-                if fps < 3:
-                    continue
-                for k in range(3):
-                    out.append((int(r.doc_id), k + 1, k * fps))
+            # fps is header byte 13; gather it per row, then the 3-frame
+            # fan-out is one repeat/tile/outer-product — no row loop
+            fps = np.fromiter(
+                (b[13] for b in pdf["media"]), dtype=np.int64, count=len(pdf)
+            )
+            keep = fps >= 3
+            ids = pdf["doc_id"].to_numpy(dtype="int64")[keep]
+            kept_fps = fps[keep]
             yield pd.DataFrame(
-                out, columns=["doc_id", "frame_idx", "frame_offset"]
+                {
+                    "doc_id": np.repeat(ids, 3),
+                    "frame_idx": np.tile(np.arange(1, 4, dtype="int32"), len(ids)),
+                    "frame_offset": (
+                        kept_fps[:, None] * np.arange(3, dtype=np.int64)[None, :]
+                    ).ravel(),
+                }
             )
 
     return media.mapInPandas(
@@ -182,13 +213,22 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            ids, vecs = [], []
-            for _, r in pdf.iterrows():
-                payload = np.frombuffer(bytes(r.media)[16:], dtype=np.uint8)
-                hist, _ = np.histogram(payload, bins=8, range=(0, 256))
-                total = max(1, int(hist.sum()))
-                ids.append(int(r.doc_id))
-                vecs.append((hist / total).astype("float32").tolist())
-            yield pd.DataFrame({"doc_id": ids, "feature": vecs})
+            blobs = [bytes(b)[16:] for b in pdf["media"]]
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
+            # all payloads → one uint8 array; 8 equal-width bins == byte>>5;
+            # per-row histograms via a single offset bincount (row*8 + bin)
+            cat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            row_of = np.repeat(np.arange(len(blobs), dtype=np.int64), lens)
+            counts = np.bincount(
+                row_of * 8 + (cat >> 5), minlength=len(blobs) * 8
+            ).reshape(len(blobs), 8)
+            totals = np.maximum(1, lens)[:, None]
+            vecs = (counts / totals).astype("float32")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype="int64"),
+                    "feature": list(map(list, vecs)),
+                }
+            )
 
     return media.mapInPandas(features, schema="doc_id BIGINT, feature ARRAY<FLOAT>")

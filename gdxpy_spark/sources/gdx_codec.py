@@ -268,11 +268,9 @@ class GdxWriter:
         # section: symbol catalog
         cat_off = out.tell()
         _wv(out, len(self.symbols))
-        data_offsets: list[int] = []
         cat = io.BytesIO()
-        # data blocks start after the catalog; compute forward offsets by
-        # writing the catalog into a buffer with placeholder base 0, then
-        # fixing up with the real base
+        # catalog carries per-symbol metadata + block/chunk lengths; the
+        # absolute data-block offsets live in the trailer below
         for sym, block, chunks in zip(self.symbols, blocks, chunk_offsets):
             m = sym.meta
             _ws(cat, m.name)
@@ -284,7 +282,6 @@ class GdxWriter:
                 _ws(cat, d)
             _wv(cat, m.nrecs)
             _wv(cat, len(block))
-            data_offsets.append(len(block))  # placeholder: block length
             _wv(cat, len(chunks))
             for c in chunks:
                 _wv(cat, c)
@@ -364,7 +361,17 @@ class GdxFile:
             self._buf = f.read()
         buf = self._buf
         if buf[: len(MAGIC)] != MAGIC:
-            raise ValueError(f"{path}: not a gdxpy_spark GDX container")
+            hint = ""
+            if buf[:1] == b"\x07" or b"GAMSGDX" in buf[:64]:
+                hint = (
+                    " (this looks like a native GAMS-produced .gdx: use "
+                    "gdxpy_spark.sources.gdx_gams.GamsGdxFile, which reads "
+                    "the published GAMS byte layout)"
+                )
+            raise ValueError(
+                f"{path}: not a gdxpy_spark GDX container — expected magic "
+                f"{MAGIC!r}, got {buf[:len(MAGIC)]!r}{hint}"
+            )
         off = len(MAGIC)
         self.version, flags = struct.unpack_from("<HB", buf, off)
         self.compressed = bool(flags & 1)

@@ -14,7 +14,9 @@ import pytest
 
 from gdxpy_spark.tables import TABLES
 
-SF_DIR = os.environ.get("GDXPS_TEST_SF_DIR", "/root/testdata/sf0.001")
+# default matches the driver's correctness gate scale (sf0.01); override
+# with GDXPS_TEST_SF_DIR=/root/testdata/sf0.001 for a faster local loop
+SF_DIR = os.environ.get("GDXPS_TEST_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

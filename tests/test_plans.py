@@ -80,6 +80,48 @@ def test_asof_join_is_single_window_pass(spark):
     assert "Window" in plan
 
 
+def test_bitmask_dictionary_window_is_partitioned(spark):
+    """The bitmask token dictionary must use the two-phase partitioned
+    ranking, never a global single-partition sort: no `Exchange
+    SinglePartition` feeding a Window anywhere in llm_length_blocking /
+    llm_ngram_jaccard (round-1 scale-killer)."""
+    for name in ("llm_length_blocking", "llm_ngram_jaccard"):
+        plan = formatted_plan(_df(spark, name))
+        assert "SinglePartition" not in plan, (
+            f"{name}: single-partition exchange in plan (global sort "
+            "window came back)"
+        )
+
+
+def test_knn_brute_and_embed_dedup_have_no_driver_collect(spark):
+    """Regression guard for the round-1 anti-pattern: building these
+    plans must not trigger any Spark job (the old versions .collect()ed
+    the embeddings table at plan-construction time)."""
+    from gdxpy_spark.tables import table
+
+    sc = spark.sparkContext
+
+    def jid():
+        return sc._jsc.sc().dagScheduler().nextJobId()
+
+    # baseline: a bare parquet read costs one file-listing job
+    b0 = jid()
+    table(spark, SF_DIR, "embeddings")
+    per_read = jid() - b0
+
+    before = jid()
+    _df(spark, "llm_knn_brute")
+    _df(spark, "llm_embed_dedup")
+    after = jid()
+    # each op reads the table once; anything beyond listing means a
+    # driver-side materialization (the old versions ran a full collect
+    # + broadcast per plan build)
+    assert after - before <= 2 * per_read, (
+        f"plan construction ran {after - before} job(s) vs {per_read} "
+        "for a bare read — driver-side materialization crept back in"
+    )
+
+
 def test_gdx_scan_partitions_by_chunk(spark):
     """A GDX symbol bigger than one chunk scans with multiple input
     partitions (the distributed-scan unit)."""

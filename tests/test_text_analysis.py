@@ -79,6 +79,117 @@ def test_connected_components_transitive_chain(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
 
 
+@pytest.fixture(scope="module")
+def neardup_dir(spark, tmp_path_factory):
+    """documents dir with planted NEAR-duplicates: 5 texts re-inserted
+    under doc_ids shifted by +200000 with one novel token appended, so
+    each planted pair has token-set Jaccard n/(n+1) ≈ 0.9+."""
+    docs = table(spark, SF_DIR, "documents")
+    dupes = (
+        docs.orderBy("doc_id")
+        .limit(5)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zzqxv")))
+    )
+    out = str(tmp_path_factory.mktemp("neardupdocs"))
+    docs.unionByName(dupes).coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    return out
+
+
+def test_minhash_band_pairs_recall_planted(spark, neardup_dir):
+    """Every planted near-dup pair (Jaccard ≈ 0.9+) must survive the
+    banded-LSH candidate stage AND the exact-Jaccard verify. At b=4
+    bands × r=2 rows, P(candidate | s=0.9) = 1−(1−0.81)⁴ ≈ 0.9987 per
+    pair; the hash functions are fixed, so the outcome is deterministic
+    — pin full recall on this plant."""
+    from gdxpy_spark.operators.llm import minhash_band_pairs
+
+    docs = table(spark, neardup_dir, "documents")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_band_pairs(docs).collect()
+    }
+    for doc_id in range(5):
+        key = (doc_id, doc_id + 200000)
+        assert key in pairs, f"planted near-dup pair {key} missed by LSH"
+        assert pairs[key] >= 0.5
+
+
+def test_minhash_dedup_clusters_planted(spark, neardup_dir):
+    """llm_minhash_dedup end-to-end: each planted near-dup must land in
+    the SAME cluster as its original. (The synthetic corpus is itself
+    highly overlappy — median pairwise Jaccard ≈ 0.63 — so originals
+    may merge with each other; the invariant is shared membership, not
+    an exact (orig, orig+200000) pair.)"""
+    out = ALL["llm_minhash_dedup"].fn(spark, neardup_dir).collect()
+    comp = {r["dup_id"]: r["kept_id"] for r in out}
+    assert all(r["kept_id"] < r["dup_id"] for r in out)
+    for doc_id in range(5):
+        planted = doc_id + 200000
+        assert planted in comp, f"planted near-dup {planted} not clustered"
+        assert comp[planted] == comp.get(doc_id, doc_id), (
+            f"planted {planted} in component {comp[planted]}, original "
+            f"{doc_id} in {comp.get(doc_id, doc_id)}"
+        )
+
+
+def test_minhash_candidates_subquadratic(spark):
+    """On a corpus of mutually-disjoint token sets plus planted
+    near-dups, the LSH candidate set must be ~only the planted pairs —
+    the subquadratic property that makes the 100 TB join linear-ish
+    (mirrors test_ann.py's bucket assertion; can't be tested on the
+    sf corpus, whose median pairwise Jaccard is 0.63 by construction)."""
+    from gdxpy_spark.operators.llm import minhash_band_pairs
+
+    n, planted = 300, 10
+    rows = []
+    for d in range(n):
+        toks = " ".join(f"t{d}_{k}" for k in range(20))
+        rows.append((d, toks))
+    for d in range(planted):  # near-dup of doc d with one token changed
+        toks = " ".join(f"t{d}_{k}" for k in range(19)) + " zzq"
+        rows.append((1000 + d, toks))
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    cand = minhash_band_pairs(docs, threshold=0.0)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    for d in range(planted):
+        assert (d, 1000 + d) in pairs, f"planted pair ({d},{1000+d}) missed"
+    total = n + planted
+    assert len(pairs) < 0.01 * total * (total - 1) / 2, (
+        f"candidate set not subquadratic: {len(pairs)} pairs for n={total}"
+    )
+
+
+def test_fuzzy_match_prefix_blocking_semantics(spark, tmp_path):
+    """Pin llm_fuzzy_match's documented blocking trade-off: an edit-1
+    typo AFTER the 16-char blocking prefix is found; an edit-1 typo
+    INSIDE the prefix lands in a different block and is (by design)
+    missed. The oracle replicates the same blocking, so only this test
+    pins the intended recall semantics."""
+    rows = [
+        (1, "Customer#000000001 alpha"),
+        (2, "Customer#000000001 alpha"[:20] + "X" * 4),  # typo at pos 21 (outside prefix)
+        (3, "Customer#000000001 beta"),
+        (4, "Custmmer#000000001 beta"),  # typo at pos 5 (inside prefix)
+    ]
+    # make row 2 a true edit-distance-1 of row 1
+    rows[1] = (2, "Customer#000000001 alphX")
+    spark.createDataFrame(rows, "c_custkey BIGINT, c_name STRING").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    out = {
+        (r["key_a"], r["key_b"]): r["edit_dist"]
+        for r in ALL["llm_fuzzy_match"].fn(spark, str(tmp_path)).collect()
+    }
+    assert out.get((1, 2)) == 1, "edit-1 typo outside the prefix must be found"
+    assert (3, 4) not in out, (
+        "edit-1 typo inside the prefix is by-design missed; if this "
+        "starts passing, the blocking strategy changed — update docs"
+    )
+
+
 def test_dedup_clusters_on_corpus(spark):
     """Every emitted (dup, kept) pair must be consistent: kept < dup, and
     kept is itself never a dup."""
