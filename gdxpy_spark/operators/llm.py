@@ -322,20 +322,25 @@ def bitmask_jaccard_pairs(
     pure bit ops inside whole-stage codegen, and shuffled rows are a few
     dozen bytes regardless of document length.
 
-    The token→id dictionary is built with TWO-PHASE PARTITIONED RANKING,
-    not a global sort: each distinct token is assigned a deterministic
-    shard ``pid = pmod(hash(token), P)``, ranks are dense per shard
-    (``row_number`` over a P-way partitioned window — P parallel local
-    sorts, never a single-partition WindowExec), and shard offsets come
-    from a P-row groupBy collected to the driver (bytes, not data). The
-    id is ``offset[pid] + local_rank``: a bijection token→[0, |vocab|)
-    that is NOT alphabetical — Jaccard only needs injectivity. |vocab|
-    falls out of the same P-row collect, so there is no separate
-    ``count()`` job either. P scales with vocabulary size at 100 TB; a
-    further fallback is a 64-bit token hash into b-bit signatures
-    (accepting SimHash-style collision odds). At 100 TB the blocking key
-    becomes MinHash bands (llm_minhash_dedup) — same join shape, bounded
-    block sizes.
+    The token→id dictionary is PER BUCKET, built with partitioned
+    ranking, never a global sort: ids only need to be consistent between
+    docs that can actually meet in the pair join — i.e. within one
+    blocking bucket — so each distinct (bucket, token) gets a dense rank
+    from a ``row_number`` window PARTITIONED BY bucket (one local sort
+    per bucket, parallel across buckets, no single-partition
+    WindowExec). This both distributes the dictionary build AND shrinks
+    the masks: width is the LARGEST PER-BUCKET vocabulary (a one-row
+    max-aggregate collect — metadata, not data), not the corpus
+    vocabulary. At 100 TB the per-bucket vocab is bounded by the
+    blocking design (length buckets / MinHash bands), while corpus
+    vocab is unbounded — the per-bucket dictionary is what makes
+    fixed-width masks viable at all. Fallback for huge buckets: 64-bit
+    token hash into b-bit signatures (SimHash-style collision odds).
+
+    The pair join also carries a SIZE PREFILTER: Jaccard ≤ min(n_a,n_b)
+    / max(n_a,n_b), so pairs with min < t·max cannot reach the
+    threshold and are pruned before the mask fold — exact, and at
+    t=0.8 it eliminates most of the per-pair popcount work.
 
     Cache lifetime: the per-doc mask frame is ``.cache()``d because the
     self-join would recompute the explode+dictionary+groupBy lineage
@@ -343,32 +348,25 @@ def bitmask_jaccard_pairs(
     returned plan's lineage; callers running many queries in one session
     (bench loops, parity suites) should ``spark.catalog.clearCache()``
     between queries — bench.py does."""
-    n_shards = 32  # dictionary shards; scale with |vocab| (P ≈ vocab_rows / 10M)
-    vocab = items.select("token").distinct().withColumn(
-        "pid", F.pmod(F.hash("token"), F.lit(n_shards)).cast("int")
-    )
-    shard_counts = {
-        r["pid"]: r["cnt"]
-        for r in vocab.groupBy("pid").agg(F.count("*").alias("cnt")).collect()
-    }  # ≤ n_shards rows — metadata, not data
-    offsets, acc = {}, 0
-    for pid in sorted(shard_counts):
-        offsets[pid] = acc
-        acc += shard_counts[pid]
-    n_vocab = acc
-    n_words = max(1, (n_vocab + 63) // 64)
-    off_df = spark.createDataFrame(
-        [(p, o) for p, o in offsets.items()], "pid INT, off BIGINT"
-    )
-    dic = (
-        vocab.withColumn(
-            "rn", F.row_number().over(W.partitionBy("pid").orderBy("token"))
-        )
-        .join(F.broadcast(off_df), "pid")
-        .select("token", (F.col("off") + F.col("rn") - 1).alias("tid"))
+    # the (doc, bucket, token) explode is the most expensive leaf of this
+    # plan (HOF shingling / tokenization) and three consumers need it
+    # (vocab-size collect, dictionary, id join) — cache it once; it is
+    # spill-able and freed by the caller's clearCache
+    items = items.cache()
+    vocab = items.select("bucket", "token").distinct()
+    row = vocab.groupBy("bucket").agg(F.count("*").alias("cnt")).agg(
+        F.max("cnt").alias("mx")
+    ).collect()  # one row — max per-bucket vocabulary, sizes the masks
+    max_vocab = int(row[0]["mx"] or 0)
+    n_words = max(1, (max_vocab + 63) // 64)
+    dic = vocab.withColumn(
+        "tid",
+        (F.row_number().over(W.partitionBy("bucket").orderBy("token")) - 1).cast(
+            "bigint"
+        ),
     )
     ids = (
-        items.join(F.broadcast(dic), "token")
+        items.join(dic, ["bucket", "token"])
         .groupBy("doc_id", "bucket")
         .agg(F.collect_set("tid").alias("ids"), F.count("*").alias("n_tok"))
     )
@@ -390,10 +388,14 @@ def bitmask_jaccard_pairs(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    size_ok = F.least(F.col("a.n_tok"), F.col("b.n_tok")) >= F.lit(
+        threshold
+    ) * F.greatest(F.col("a.n_tok"), F.col("b.n_tok"))
     jac = a.join(
         b,
         (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & size_ok,
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),

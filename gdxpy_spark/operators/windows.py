@@ -93,6 +93,38 @@ def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("win_ntile_pct_sketch", oracle=None, category="E")  # weak: sketch-based
+def win_ntile_pct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe alternative to win_ntile_pct's global window: quartile
+    assignment via a pre-computed quantile SKETCH instead of a global
+    sort. One tiny aggregate computes approximate 25/50/75 boundaries
+    (percentile_approx, accuracy 10⁴); every row then gets its quartile
+    with a map-side broadcast comparison — no shuffle of the fact table,
+    no single-partition WindowExec, O(1) driver state. This is THE
+    100 TB plan for global quantile bucketing: the sketch is mergeable
+    (t-digest-style partial aggregation), and only boundary-adjacent
+    rows can disagree with exact NTILE (envelope pinned in
+    tests/test_text_analysis.py::test_ntile_sketch_envelope). Weak-
+    checked: boundary quantization is engine-specific by nature."""
+    od = table(spark, sf_dir, "orders")
+    sketch = od.agg(
+        F.percentile_approx(
+            "o_totalprice",
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            F.lit(10000),
+        ).alias("qs")
+    )
+    quartile = F.aggregate(
+        F.col("qs"),
+        F.lit(1),
+        lambda acc, q: acc + F.when(F.col("o_totalprice") > q, 1).otherwise(0),
+    )
+    return (
+        od.crossJoin(F.broadcast(sketch))
+        .select("o_orderkey", quartile.alias("quartile"))
+    )
+
+
 @register(
     "win_lag_lead",
     oracle="""

@@ -128,3 +128,50 @@ def build_fixture_gdx(sf_dir: str, compress: bool = True) -> str:
     w.close()
     _CACHE[sf_dir] = path
     return path
+
+
+def build_fixture_gdx_gams(sf_dir: str) -> str:
+    """GAMS-V7-layout fixture (gdx_gams.GamsGdxWriter): the monthly_sales
+    parameter + a specials symbol, for the native-layout read query."""
+    key = f"gams:{sf_dir}"
+    if key in _CACHE and os.path.exists(_CACHE[key]):
+        return _CACHE[key]
+    from gdxpy_spark.sources.gdx_gams import GamsGdxWriter
+
+    out = os.path.join(
+        tempfile.gettempdir(), "gdxpy_spark_fixtures",
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "fixture_gams.gdx")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{sf_dir}/orders.parquet')"
+    )
+    ms = con.execute(
+        "SELECT o_orderstatus, 'm' || CAST(month(o_orderdate) AS VARCHAR),"
+        " CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)"
+        " FROM orders GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+
+    w = GamsGdxWriter(path, producer=f"gdxpy_spark gams fixtures {sf_dir}")
+    w.add_symbol(
+        SymbolData(
+            meta=SymbolMeta("monthly_sales", 2, DT_PAR, expl_text="sales by status×month"),
+            keys=[(r[0], r[1]) for r in ms],
+            values=[(float(r[2]),) for r in ms],
+            eps_mask=[0] * len(ms),
+        )
+    )
+    w.add_symbol(
+        SymbolData(
+            meta=SymbolMeta("specials", 1, DT_PAR, expl_text="GDX special values"),
+            keys=[("eps_member",), ("na_value",), ("pos_inf",), ("neg_inf",), ("plain",)],
+            values=[(0.0,), (math.nan,), (math.inf,), (-math.inf,), (42.5,)],
+            eps_mask=[1, 0, 0, 0, 0],
+        )
+    )
+    w.close()
+    _CACHE[key] = path
+    return path

@@ -19,13 +19,20 @@ Implements the GAMS GDX *data model* from the publicly documented format
   distributed reader can split one large symbol across tasks,
 - optional zlib compression per data block.
 
-Byte-level compatibility with GAMS-written files is *not* claimed: no
-GAMS installation exists in this environment to produce or validate real
-fixtures (SURVEY §0), so the container is a clean-room encoding of the
+Byte-level compatibility with GAMS-written files is *not* claimed for
+THIS container (magic ``GDXPY7``): it is a clean-room encoding of the
 documented structures, validated by write→read round-trip property tests
-(tests/test_gdx_codec.py). The semantic model — what a reader of
-jackjackk/gdxpy observes (symbols, UELs, 5-value records, special-value
-mapping, domains) — is implemented faithfully.
+(tests/test_gdx_codec.py), with extras the GAMS layout lacks (intra-
+symbol chunk index for splittable scans, per-block zlib). The published
+GAMS V7 *byte layout* (header byte 123 + "GAMSGDX", section markers,
+delta keys, GMS_SV sentinels) is implemented separately in gdx_gams.py;
+format("gdx") sniffs the magic and serves either
+(gdx_datasource.open_gdx). No GAMS installation exists in this
+environment to validate against real fixtures (SURVEY §0) — the GAMS
+layout is pinned by hand-built golden bytes (tests/test_gdx_gams.py).
+The semantic model — what a reader of jackjackk/gdxpy observes
+(symbols, UELs, 5-value records, special-value mapping, domains) — is
+implemented faithfully in both.
 
 Special values (SURVEY §1.1): gdxpy maps +INF→inf, -INF→-inf,
 NA/UNDEF→NaN, EPS→0.0 on read. EPS→0.0 is lossy (membership survives,

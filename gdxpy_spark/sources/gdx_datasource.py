@@ -57,6 +57,19 @@ from gdxpy_spark.sources.gdx_codec import (
 
 _TYPE_BY_NAME = {v: k for k, v in TYPE_NAMES.items()}
 
+
+def open_gdx(path: str):
+    """Open either GDX container, sniffed by magic: the native GAMS V7
+    layout (header byte 123 + "GAMSGDX" — gdx_gams.GamsGdxFile) or the
+    GDXPY7 clean-room container (gdx_codec.GdxFile). Both expose the
+    same reader surface (symbols / find / n_chunks / read_records), so
+    every code path below is layout-agnostic."""
+    from gdxpy_spark.sources import gdx_gams
+
+    if gdx_gams.is_gams_layout(path):
+        return gdx_gams.GamsGdxFile(path)
+    return GdxFile(path)
+
 CATALOG_SCHEMA = (
     "name STRING, dim INT, type STRING, subtype INT, nrecs BIGINT,"
     " expl_text STRING, domains ARRAY<STRING>, alias_of STRING"
@@ -106,7 +119,7 @@ class GdxCatalogReader(DataSourceReader):
 
     def read(self, partition):
         for p in self.paths:
-            f = GdxFile(p)
+            f = open_gdx(p)
             for s in f.symbols:
                 yield (
                     s.name,
@@ -129,7 +142,7 @@ class GdxSymbolReader(DataSourceReader):
     def partitions(self):
         parts = []
         for p in self.paths:
-            f = GdxFile(p)
+            f = open_gdx(p)
             idx = f.find(self.symbol)
             scen = os.path.splitext(os.path.basename(p))[0] if self.multi else None
             n = max(1, f.n_chunks(idx))
@@ -139,7 +152,7 @@ class GdxSymbolReader(DataSourceReader):
     def read(self, partition: GdxPartition):
         import pyarrow as pa
 
-        f = GdxFile(partition.path)
+        f = open_gdx(partition.path)
         m = f.symbols[partition.sym_idx]
         chunk = partition.chunk if f.n_chunks(partition.sym_idx) > 1 else None
         data = f.read_records(partition.sym_idx, chunk=chunk)
@@ -187,6 +200,9 @@ class GdxSymbolWriter(DataSourceWriter):
         self.symtype = _TYPE_BY_NAME[options.get("symtype", "parameter")]
         self.expl = options.get("expl_text", "")
         self.compress = (options.get("compress", "false") or "").lower() == "true"
+        self.layout = (options.get("layout", "gdxpy") or "gdxpy").lower()
+        if self.layout not in ("gdxpy", "gams"):
+            raise ValueError(f"gdx: unknown layout {self.layout!r}")
         self.schema = schema
 
     def write(self, rows):
@@ -229,7 +245,12 @@ class GdxSymbolWriter(DataSourceWriter):
                 )
                 data.eps_mask.append(int(row.get("eps_mask") or 0))
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        w = GdxWriter(self.path, compress=self.compress)
+        if self.layout == "gams":
+            from gdxpy_spark.sources.gdx_gams import GamsGdxWriter
+
+            w = GamsGdxWriter(self.path)
+        else:
+            w = GdxWriter(self.path, compress=self.compress)
         w.add_symbol(data)
         w.close()
 
@@ -255,7 +276,7 @@ class GdxDataSource(DataSource):
         if sym == "*":
             return CATALOG_SCHEMA
         paths = _expand_paths(self._path())
-        f = GdxFile(paths[0])
+        f = open_gdx(paths[0])
         base = _symbol_schema(f.symbols[f.find(sym)])
         return base + (", scenario STRING" if len(paths) > 1 else "")
 

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdxpy_spark.registry import register
 from gdxpy_spark.sources import gdx_datasource
-from gdxpy_spark.sources.fixtures import build_fixture_gdx
+from gdxpy_spark.sources.fixtures import build_fixture_gdx, build_fixture_gdx_gams
 from gdxpy_spark.tables import table
 
 
@@ -32,6 +32,21 @@ def src_gdx_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-record C loop)."""
     gdx_datasource.register(spark)
     path = build_fixture_gdx(sf_dir)
+    return spark.read.format("gdx").option("symbol", "monthly_sales").load(path)
+
+
+@register("src_gdx_gams_read", oracle=None, category="A")  # weak: DuckDB can't read GDX
+def src_gdx_gams_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a symbol from a GAMS-V7-LAYOUT .gdx (gdx_gams.py — header
+    byte 123 + "GAMSGDX", delta-encoded keys, GMS_SV_* sentinels)
+    through the same format("gdx") scan; the DataSource sniffs the magic
+    and serves either container (gdx_datasource.open_gdx). Upgrades
+    round-1's GDXPY7-only src_gdx_read toward native-layout parity;
+    byte-level conformance vs GAMS-produced files remains unverifiable
+    in this container (no GAMS install — SURVEY §0), pinned instead by
+    the hand-built golden fixture in tests/test_gdx_gams.py."""
+    gdx_datasource.register(spark)
+    path = build_fixture_gdx_gams(sf_dir)
     return spark.read.format("gdx").option("symbol", "monthly_sales").load(path)
 
 

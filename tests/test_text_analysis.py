@@ -162,6 +162,26 @@ def test_minhash_candidates_subquadratic(spark):
     )
 
 
+def test_ntile_sketch_envelope(spark):
+    """The sketch-based quartile bucketing must agree with exact
+    NTILE(4) on all but boundary-adjacent rows: same quartile for
+    ≥ 99% of rows, and never off by more than 1."""
+    exact = {
+        r["o_orderkey"]: r["quartile"]
+        for r in ALL["win_ntile_pct"].fn(spark, SF_DIR).collect()
+    }
+    sketch = {
+        r["o_orderkey"]: r["quartile"]
+        for r in ALL["win_ntile_pct_sketch"].fn(spark, SF_DIR).collect()
+    }
+    assert exact.keys() == sketch.keys()
+    diffs = [k for k in exact if exact[k] != sketch[k]]
+    assert all(abs(exact[k] - sketch[k]) <= 1 for k in diffs)
+    assert len(diffs) <= 0.01 * len(exact), (
+        f"{len(diffs)}/{len(exact)} rows disagree with exact ntile"
+    )
+
+
 def test_fuzzy_match_prefix_blocking_semantics(spark, tmp_path):
     """Pin llm_fuzzy_match's documented blocking trade-off: an edit-1
     typo AFTER the 16-char blocking prefix is found; an edit-1 typo
