@@ -214,29 +214,47 @@ WHERE rn = 1
 
 @register("llm_knn_topk", oracle=_KNN_ORACLE, category="K")
 def llm_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-1 nearest neighbor per vector within its label block (brute
-    force cosine + row_number). The baseline ANN path: exact within a
-    block, blocks bounded — the IVF pattern where `label` is the coarse
-    centroid assignment."""
-    e = _with_norm(table(spark, sf_dir, "embeddings"))
-    a = e.alias("a")
-    b = e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.label") == F.col("b.label"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("b.vec_id").alias("nn_id"),
-        (
-            _dot(F.col("a.embedding"), F.col("b.embedding"))
-            / (F.col("a.norm") * F.col("b.norm"))
-        ).alias("cos_sim"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id").asc())
+    """Top-1 nearest neighbor per vector within its label block. The
+    baseline ANN path: exact within a block, blocks bounded — the IVF
+    pattern where `label` is the coarse centroid assignment.
+
+    Physical strategy: one shuffle on label, then a per-block BLAS
+    matmul inside applyInPandas that emits only each vector's best
+    neighbor (block-size rows) — the O(block²) candidate pairs never
+    materialize as rows (a join+HOF-fold formulation was ~4× slower at
+    sf0.1: interpreted higher-order functions per pair vs one vectorized
+    matmul per block). Because every vector has exactly one label, the
+    per-block best IS the global best — no second shuffle, no window."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+
+    def best_in_label(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_id": [], "nn_id": [], "cos_sim": []}).astype(
+                {"vec_id": "int64", "nn_id": "int64", "cos_sim": "float64"}
+            )
+        pdf = pdf.sort_values("vec_id")  # first argmax hit = smallest nn_id
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+        np.fill_diagonal(cos, -np.inf)
+        best = cos.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "nn_id": ids[best],
+                "cos_sim": cos[np.arange(len(best)), best],
+            }
+        )
+
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        e.groupBy("label")
+        .applyInPandas(
+            best_in_label, schema="vec_id BIGINT, nn_id BIGINT, cos_sim DOUBLE"
+        )
         .select(
             "vec_id",
             "nn_id",
@@ -818,6 +836,49 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(spark, pairs)
     return cc.filter(F.col("doc_id") != F.col("component_id")).select(
         F.col("doc_id").alias("dup_id"), F.col("component_id").alias("kept_id")
+    )
+
+
+_PACK_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id
+FROM c
+"""
+
+
+@register("llm_pack_sequences", oracle=_PACK_ORACLE, category="K")
+def llm_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-pretraining layout):
+    documents are laid out as one contiguous token stream per language
+    shard and sliced into fixed 2048-token windows; each doc reports the
+    window (`bin_id`) its first token lands in. One running-sum window
+    PARTITIONED BY the shard key (lang) — a single shuffle, in-partition
+    sort, no global ordering anywhere. At 100 TB the shard key is
+    (shard_hash, lang) so partitions stay bounded; packing quality is
+    identical because windows never cross shards in this layout."""
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start_offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(start_offset / F.lit(2048)).cast("bigint").alias("bin_id"),
     )
 
 

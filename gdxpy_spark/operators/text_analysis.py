@@ -156,6 +156,140 @@ def llm_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d
 
 
+_QUALITY_FILTER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_uniq
+  FROM documents)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM t
+WHERE n_tokens BETWEEN 20 AND 1000
+  AND CAST(n_uniq AS DOUBLE) / n_tokens >= 0.2
+"""
+
+
+@register("llm_quality_filter", oracle=_QUALITY_FILTER_ORACLE, category="K")
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter STAGE of a training-data pipeline: apply the
+    llm_doc_quality keep-rule and emit only surviving documents. Plan
+    shape matters more than the rule: the predicate is pure per-row
+    expressions over scanned columns, so Catalyst fuses it with the
+    parquet scan and every downstream operator (dedup, tokenize, pack)
+    sees the reduced row count before any shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("bigint")
+    n_uniq = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"),
+        (n_uniq.cast("double") / n_tokens).alias("_uniq_ratio"),
+    ).filter(
+        F.col("n_tokens").between(20, 1000) & (F.col("_uniq_ratio") >= 0.2)
+    ).drop("_uniq_ratio")
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation —
+# the regex family GPT-2-style tokenizers apply before BPE merges.
+# Portable subset: Java regex (Spark) and RE2 (DuckDB) agree on it.
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+_BPE_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       ROUND(CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS DOUBLE)
+             / len(string_split(text, ' ')), 4) AS bpe_per_word
+FROM documents
+"""
+
+
+@register("llm_token_bpe", oracle=_BPE_ORACLE, category="K")
+def llm_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex (letter runs /
+    digit runs / punctuation singles — the GPT-2 pre-tokenize family)
+    next to the whitespace word count, plus their ratio (the
+    tokens-per-word fertility a pipeline uses for cost estimates).
+    regexp_extract_all is JVM-side; map-only, fuses with the scan."""
+    docs = table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    words = F.split("text", " ")
+    n_bpe = F.size(bpe).cast("bigint")
+    n_words = F.size(words).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_bpe.alias("n_bpe"),
+        n_words.alias("n_words"),
+        r4(n_bpe.cast("double") / n_words, "bpe_per_word"),
+    )
+
+
+_TFIDF_ORACLE = """
+WITH tf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents) t
+  WHERE token <> ''
+  GROUP BY doc_id, token),
+df AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         ROUND(tf.cnt * ln(CAST(n.n_docs AS DOUBLE) / df.dfreq), 4) AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n)
+SELECT doc_id, token AS top_token, tfidf + 0.0 AS tfidf
+FROM (SELECT doc_id, token, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token ASC) AS rn
+      FROM scored) r
+WHERE rn = 1
+"""
+
+
+@register("llm_tfidf", oracle=_TFIDF_ORACLE, category="K")
+def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: per-doc term frequency × ln(N / document frequency); emit
+    each document's top term (tiebreak: rounded score desc, token asc —
+    ordering on the ROUNDED score keeps the window deterministic across
+    engines whose ln() may differ in the last ulp). Shape: two shuffles
+    (tf groupBy, df groupBy) + a broadcast of the scalar N; df is
+    vocabulary-sized so the join is shuffle-on-token with map-side
+    partial aggregation — the standard scalable TF-IDF plan."""
+    docs = table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("cnt") * F.log(F.col("n_docs").cast("double") / F.col("dfreq")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("token").alias("top_token"),
+            (F.col("tfidf") + F.lit(0.0)).alias("tfidf"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram (character trigram) Jaccard near-dup — same bitmask machinery as
 # llm_length_blocking, different shingling function
@@ -315,7 +449,15 @@ def llm_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     a = c.alias("a")
     b = c.alias("b")
-    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    # threshold-bounded Levenshtein (banded DP, O(len·k) not O(len²));
+    # returns -1 when distance > 1, so `== 1` keeps identical semantics
+    dist = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"), 1)
+    # edit distance 1 implies |len(a) − len(b)| ≤ 1: an O(1) length
+    # prefilter in the join condition prunes candidate pairs before
+    # the Levenshtein DP runs (exact — no recall change)
+    len_ok = (
+        F.abs(F.length(F.col("a.c_name")) - F.length(F.col("b.c_name"))) <= 1
+    )
     return (
         a.join(
             b,
@@ -323,7 +465,8 @@ def llm_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.substring(F.col("a.c_name"), 1, 16)
                 == F.substring(F.col("b.c_name"), 1, 16)
             )
-            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+            & (F.col("a.c_custkey") < F.col("b.c_custkey"))
+            & len_ok,
         )
         .filter(dist == 1)
         .select(
