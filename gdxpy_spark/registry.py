@@ -50,8 +50,24 @@ def register(name: str, oracle: Optional[str] = None, category: str = "") -> Cal
 
 
 def load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent).
+
+    Import order = registration order = the order driver artifacts
+    truncate in (round 1's CORRECTNESS file kept only the first 50
+    entries, all basic relational ops). The novel operator families —
+    LLM pipeline, text analysis, multimodal, GDX sources, TPC-H
+    composites — register FIRST so a capped artifact still records
+    hash-verification evidence for the components that need it most;
+    the relational spine follows."""
     from gdxpy_spark import operators, functions, streaming  # noqa: F401
+    from gdxpy_spark.operators import (  # noqa: F401
+        llm,
+        text_analysis,
+        multimodal,
+        tpch_shapes,
+        gdx_composites,
+    )
+    from gdxpy_spark.sources import gdx_queries  # noqa: F401
     from gdxpy_spark.operators import (  # noqa: F401
         scans,
         filters,
@@ -59,15 +75,9 @@ def load_all() -> None:
         aggregates,
         windows,
         setops,
-        gdx_composites,
-        llm,
-        multimodal,
-        text_analysis,
-        tpch_shapes,
         udfs,
     )
     from gdxpy_spark.functions import scalar  # noqa: F401
-    from gdxpy_spark.sources import gdx_queries  # noqa: F401
     from gdxpy_spark.streaming import replay, windows as stream_windows  # noqa: F401
 
 

@@ -292,6 +292,23 @@ def test_compressed_flag_rejected(tmp_path):
         G.GamsGdxFile(p)
 
 
+def test_facade_opens_gams_layout(spark, golden):
+    """gdxpy R1-R5 parity on a NATIVE-layout file: GdxEngine.open on the
+    golden GAMS-layout bytes serves catalog, symbol load, and wildcard
+    gload through the same facade as the GDXPY7 container."""
+    from gdxpy_spark.api import GdxEngine
+
+    g = GdxEngine(spark).open(golden)
+    cat = {r["name"]: (r["dim"], r["type"]) for r in g.symbols().collect()}
+    assert cat == {"i": (1, "set"), "d": (2, "parameter"), "total": (0, "parameter")}
+    d = g.symbol("d")
+    rows = {(r["k1"], r["k2"]): (r["value"], r["is_eps"]) for r in d.collect()}
+    assert rows[("seattle", "seattle")] == (2.5, False)
+    assert rows[("san-diego", "seattle")] == (0.0, True)  # EPS
+    loaded = g.gload("i,tot*")
+    assert set(loaded) == {"i", "total"}
+
+
 def test_datasource_gams_layout_roundtrip(spark, tmp_path):
     """df.write.format('gdx').option('layout','gams') produces a file the
     magic dispatcher reads back identically to the gdxpy layout."""
