@@ -689,6 +689,68 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("llm_ann_lsh_multiprobe", oracle=None, category="K")  # weak: approximate
+def llm_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe hyperplane LSH: each QUERY vector probes its own
+    bucket plus the 6 Hamming-1 neighbors (one sign bit flipped), the
+    INDEX side stays single-bucket — recall rises toward the L-table
+    OR-construction's without duplicating the index or adding tables
+    (the standard multiprobe trade: fan-out × (1+bits) on the query
+    side only). Candidate pairs still form by bucket equi-join, so the
+    subquadratic property is preserved; exact cosine verifies, top-1
+    per vector. Recall ≥ single-probe llm_ann_lsh is pinned in
+    tests/test_ann.py."""
+    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    planes = _lsh_planes(6, 64)
+    sig = None
+    for j, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda v, w: v.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj >= 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    indexed = e.withColumn("bucket", sig).cache()
+    # query-side fan-out: own bucket + the 6 Hamming-1 buckets
+    probes_arr = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(6)],
+    )
+    queries = indexed.select(
+        F.col("vec_id"), F.col("embedding"), F.col("norm"),
+        F.explode(probes_arr).alias("bucket"),
+    )
+    q = queries.alias("q")
+    x = indexed.alias("x")
+    pairs = q.join(
+        x,
+        (F.col("q.bucket") == F.col("x.bucket"))
+        & (F.col("q.vec_id") != F.col("x.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("vec_id"),
+        F.col("x.vec_id").alias("nn_id"),
+        (
+            _dot(F.col("q.embedding"), F.col("x.embedding"))
+            / (F.col("q.norm") * F.col("x.norm"))
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id").asc())
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
+        )
+    )
+
+
 @register("llm_ann_ivf", oracle=None, category="K")  # weak: approximate by design
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbor: k-means (MLlib, fixed seed)

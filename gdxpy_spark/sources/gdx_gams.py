@@ -287,11 +287,12 @@ class GamsGdxWriter:
             coded.append((tuple(self._code(k) for k in key), i))
         coded.sort(key=lambda t: t[0])
 
-        mins = [0] * m.dim
-        maxs = [0] * m.dim
+        mins = [1] * m.dim  # empty symbols: degenerate 1..1 range
+        maxs = [1] * m.dim
         for d in range(m.dim):
             col = [c[0][d] for c in coded]
-            mins[d], maxs[d] = min(col), max(col)
+            if col:
+                mins[d], maxs[d] = min(col), max(col)
         for d in range(m.dim):
             _w_int(out, mins[d])
             _w_int(out, maxs[d])

@@ -79,6 +79,23 @@ def test_lsh_is_subquadratic_candidate_set(spark):
     )
 
 
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Hamming-1 multiprobe must strictly widen the candidate set per
+    query, so its real-corpus recall vs brute force must be ≥ the
+    single-probe recall (and well above it on near-uniform vectors
+    where single-probe buckets are mostly singletons)."""
+    brute = {r["vec_id"]: r["nn_id"]
+             for r in ALL["llm_knn_brute"].fn(spark, SF_DIR).collect()}
+    single = {r["vec_id"]: r["nn_id"]
+              for r in ALL["llm_ann_lsh"].fn(spark, SF_DIR).collect()}
+    multi = {r["vec_id"]: r["nn_id"]
+             for r in ALL["llm_ann_lsh_multiprobe"].fn(spark, SF_DIR).collect()}
+    r_single = sum(1 for v in brute if single.get(v) == brute[v]) / len(brute)
+    r_multi = sum(1 for v in brute if multi.get(v) == brute[v]) / len(brute)
+    assert r_multi >= r_single, (r_multi, r_single)
+    assert r_multi >= 0.2, f"multiprobe recall {r_multi:.2f} suspiciously low"
+
+
 def test_embed_dedup_finds_planted_dups(spark, planted_dir):
     out = {r["dup_id"]: r["kept_id"] for r in ALL["llm_embed_dedup"].fn(spark, planted_dir).collect()}
     for i in range(N_PLANT):

@@ -309,6 +309,74 @@ def test_facade_opens_gams_layout(spark, golden):
     assert set(loaded) == {"i", "total"}
 
 
+def test_roundtrip_property_gams():
+    """Same hypothesis property as the GDXPY7 codec, against the GAMS
+    layout: random symbols (dim 0-5, specials, EPS masks, set text)
+    write→read exactly."""
+    import math as _math
+
+    from hypothesis import HealthCheck, given, settings
+
+    from tests.test_gdx_codec import _eq_val, _tmp, symbol
+
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(sym=symbol())
+    def run(sym):
+        path = _tmp("prop_gams.gdx")
+        w = G.GamsGdxWriter(path)
+        w.add_symbol(sym)
+        w.close()
+        f = G.GamsGdxFile(path)
+        idx = f.find(sym.meta.name)
+        m = f.symbols[idx]
+        assert (m.dim, m.type, m.nrecs) == (
+            sym.meta.dim, sym.meta.type, len(sym.keys)
+        )
+        got = f.read_records(idx)
+        code = {
+            k: i for i, k in enumerate(
+                dict.fromkeys(x for key in sym.keys for x in key)
+            )
+        }
+        want = sorted(
+            zip(sym.keys, sym.values, sym.eps_mask,
+                sym.text or [""] * len(sym.keys)),
+            key=lambda r: tuple(code[c] for c in r[0]) if sym.meta.dim else (),
+        )
+        assert got.keys == [r[0] for r in want]
+        for grow, wrow in zip(got.values, [r[1] for r in want]):
+            if sym.meta.type == 0:  # DT_SET stores a text index
+                continue
+            assert all(_eq_val(a, b) for a, b in zip(grow, wrow))
+        assert got.eps_mask == [r[2] for r in want]
+        if sym.meta.type == 0:
+            assert got.text == [r[3] for r in want]
+
+    run()
+
+
+def test_multi_file_scenario_scan_gams(spark, tmp_path):
+    """gdxpy R12 on native-layout files: a directory of GAMS-layout .gdx
+    scenario files reads as one DataFrame with a `scenario` column."""
+    from gdxpy_spark.sources import gdx_datasource
+
+    gdx_datasource.register(spark)
+    for scen, v in (("base", 1.0), ("high", 2.0)):
+        w = G.GamsGdxWriter(str(tmp_path / f"{scen}.gdx"))
+        w.add_symbol(SymbolData(
+            meta=SymbolMeta("p", 1, DT_PAR),
+            keys=[("a",), ("b",)], values=[(v,), (v + 0.5,)], eps_mask=[0, 0],
+        ))
+        w.close()
+    df = spark.read.format("gdx").option("symbol", "p").load(str(tmp_path))
+    rows = {(r["scenario"], r["k1"]): r["value"] for r in df.collect()}
+    assert rows == {
+        ("base", "a"): 1.0, ("base", "b"): 1.5,
+        ("high", "a"): 2.0, ("high", "b"): 2.5,
+    }
+
+
 def test_datasource_gams_layout_roundtrip(spark, tmp_path):
     """df.write.format('gdx').option('layout','gams') produces a file the
     magic dispatcher reads back identically to the gdxpy layout."""
