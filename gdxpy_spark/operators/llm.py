@@ -648,7 +648,10 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_ann.py) — on this corpus's near-orthogonal vectors
     bucket collisions are rare by construction, which is precisely the
     property that makes the join linear-ish at 100 TB: E[pairs] =
-    n²·P(collision), and P is driven down exponentially by adding bits."""
+    n²·P(collision), and P is driven down exponentially by adding bits.
+    Cache lifetime: the bucketed frame is cached for the self-join;
+    callers running many queries per session clear with
+    spark.catalog.clearCache() (bench.py does)."""
     e = _with_norm(table(spark, sf_dir, "embeddings"))
     planes = _lsh_planes(6, 64)
     sig = None
@@ -763,7 +766,9 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe/k of the corpus, and recall is tuned by nprobe — measured in
     tests/test_ann.py against llm_knn_brute (~0.5 at nprobe=2 on this
     near-uniform corpus, ≈1.0 on planted near-duplicates, which is the
-    distribution real dedup workloads have)."""
+    distribution real dedup workloads have). Cache lifetime: the indexed
+    frame is cached for the probe+candidate joins; callers clear with
+    spark.catalog.clearCache() between queries (bench.py does)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 

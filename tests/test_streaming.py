@@ -112,3 +112,26 @@ def test_stateful_running_counts_converge(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_typed_counts_converge(spark):
+    """Spark 4 typed-state (transformWithStateInPandas) variant — env-
+    gated: skips while google.protobuf is absent from the container
+    (SURVEY §0); un-skips and must match the batch counts the moment
+    the dependency appears."""
+    import pytest
+
+    from gdxpy_spark.streaming.replay import _has_protobuf, stream_stateful_typed
+
+    if not _has_protobuf():
+        pytest.skip("google.protobuf absent — transformWithState needs it")
+    res = stream_stateful_typed(spark, SF_DIR)
+    got = {r["user_id"]: r["running_count"] for r in res.collect()}
+    want = {
+        r["user_id"]: r["n"]
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
