@@ -158,31 +158,50 @@ GROUP BY a.vec_id, b.vec_id, a.label, a.norm, b.norm
 @register("llm_cosine_pairs", oracle=_COS_ORACLE, category="K")
 def llm_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise cosine similarity within each label block (vec_id_a <
-    vec_id_b). Blocking by label keeps the self-join O(n²/blocks); the
-    dot product is a JVM-side higher-order fold (zip_with + aggregate) —
-    no Python in the hot path. At 100 TB the label would be an LSH/IVF
-    bucket id from llm_minhash_sig-style hashing."""
-    e = _with_norm(table(spark, sf_dir, "embeddings"))
-    a = e.alias("a")
-    b = e.alias("b")
+    vec_id_b). Blocking by label keeps the work O(n²/blocks); each block
+    computes its upper-triangle similarities with ONE BLAS matmul inside
+    applyInPandas (the join + per-pair higher-order fold it replaces is
+    interpreted per element and measured ~3× slower at sf0.1). Output is
+    the pair rows themselves, so O(pairs-within-block) rows are inherent
+    to the semantics. At 100 TB the label would be an LSH/IVF bucket id
+    from llm_minhash_sig-style hashing, keeping blocks bounded."""
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+
+    def pairs_in_label(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_id_a": [], "vec_id_b": [], "label": [], "cos_sim": []}
+            ).astype({"vec_id_a": "int64", "vec_id_b": "int64",
+                      "label": "int32", "cos_sim": "float64"})
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {
+                "vec_id_a": ids[ia],
+                "vec_id_b": ids[ib],
+                "label": np.full(len(ia), pdf["label"].iloc[0], dtype="int32"),
+                "cos_sim": cos[ia, ib],
+            }
+        )
+
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        e.groupBy("label")
+        .applyInPandas(
+            pairs_in_label,
+            schema="vec_id_a BIGINT, vec_id_b BIGINT, label INT, cos_sim DOUBLE",
         )
         .select(
-            F.col("a.vec_id").alias("vec_id_a"),
-            F.col("b.vec_id").alias("vec_id_b"),
-            F.col("a.label").alias("label"),
-            (
-                F.round(
-                    _dot(F.col("a.embedding"), F.col("b.embedding"))
-                    / (F.col("a.norm") * F.col("b.norm")),
-                    4,
-                )
-                + F.lit(0.0)  # canonicalize -0.0 (see _util.r4z)
-            ).alias("cos_sim"),
+            "vec_id_a",
+            "vec_id_b",
+            "label",
+            (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
         )
     )
 
