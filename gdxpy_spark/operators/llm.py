@@ -486,6 +486,28 @@ WHERE rn = 1
 """
 
 
+def _auto_blocks(sf_dir: str, target_bytes: int = 256 << 20) -> int:
+    """Pick the block count for the block-nested-loop ops from the
+    embeddings file size — driver-side fs metadata, no Spark job (the
+    plan-construction-is-job-free invariant is test-pinned). Each
+    block-pair group holds ~2/B of the table, so B ≈ size/target keeps
+    per-task slices bounded as the data grows; clamped to [4, 64]
+    (B=64 ⇒ 2080 groups, plenty of parallelism at any cluster size)."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(path):
+            size = sum(
+                os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        size = 0
+    return max(4, min(64, -(-size // target_bytes)))
+
+
 def _block_pair_replicas(e: DataFrame, n_blocks: int) -> DataFrame:
     """Replicate each vector into every block-pair group it belongs to.
 
@@ -534,7 +556,7 @@ def llm_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rep = _block_pair_replicas(e, n_blocks=4)
+    rep = _block_pair_replicas(e, n_blocks=_auto_blocks(sf_dir))
 
     def best_in_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("vec_id")  # first argmax hit = smallest nn_id
@@ -618,7 +640,7 @@ def llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    rep = _block_pair_replicas(e, n_blocks=4)
+    rep = _block_pair_replicas(e, n_blocks=_auto_blocks(sf_dir))
 
     def dedup_in_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame({"dup_id": [], "kept_id": [], "max_cos": []}).astype(
