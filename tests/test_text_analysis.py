@@ -79,6 +79,28 @@ def test_connected_components_transitive_chain(spark):
     assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
 
 
+def test_connected_components_long_chain_converges_log_rounds(spark):
+    """Pointer doubling must converge a 120-node path graph within
+    max_iters=12 (≈ log₂ 120 + slack) — plain neighbor-min would need
+    ~120 rounds and previously warned + under-merged here."""
+    import warnings
+
+    from gdxpy_spark.operators.llm import connected_components
+
+    n = 120
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a BIGINT, doc_b BIGINT"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any non-convergence warning fails
+        cc = {
+            r["doc_id"]: r["component_id"]
+            for r in connected_components(spark, edges, max_iters=12).collect()
+        }
+    assert set(cc.values()) == {0}
+    assert len(cc) == n
+
+
 @pytest.fixture(scope="module")
 def neardup_dir(spark, tmp_path_factory):
     """documents dir with planted NEAR-duplicates: 5 texts re-inserted
