@@ -13,6 +13,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from gdxpy_spark.operators._util import money4, sql_money4
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
 
@@ -85,6 +86,49 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE"
     return spark.read.schema(schema).json(out).select(
         "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+
+
+@register("src_orc_roundtrip", oracle=None, category="A")  # weak: sink+source
+def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region → ORC → read back (Spark's second columnar native format;
+    schema travels in the file, so no explicit schema needed — unlike
+    csv/json). Exact-equality asserted in tests."""
+    region = table(spark, sf_dir, "region")
+    out = _tmpdir("orc")
+    region.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)
+
+
+_PART_ORACLE = f"""
+SELECT o_orderkey, o_custkey, {sql_money4('o_totalprice', 'o_totalprice')}
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+@register("src_parquet_partitioned", oracle=_PART_ORACLE, category="A")
+def src_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet layout + partition PRUNING: orders
+    written partitionBy(o_orderstatus), then a status filter must prune
+    to one directory — the scan's PartitionFilters carries the predicate
+    and non-matching partitions are never opened (asserted in
+    tests/test_plans.py). This is THE 100 TB layout lever: a date- or
+    status-partitioned fact table turns a full scan into a directory
+    lookup. Oracle: same filter over the original table (the round-trip
+    through the partitioned layout must be lossless)."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    out = _tmpdir("part_parquet")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            money4("o_totalprice", "o_totalprice"),
+        )
     )
 
 

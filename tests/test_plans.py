@@ -80,6 +80,19 @@ def test_asof_join_is_single_window_pass(spark):
     assert "Window" in plan
 
 
+def test_partitioned_scan_prunes_partitions(spark):
+    """src_parquet_partitioned's status filter must land in the scan's
+    PartitionFilters (directory pruning), not a post-scan Filter over
+    all partitions."""
+    plan = formatted_plan(_df(spark, "src_parquet_partitioned"))
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), (
+        "status predicate not in PartitionFilters:\n" + plan
+    )
+
+
 def test_bitmask_dictionary_window_is_partitioned(spark):
     """The bitmask token dictionary must use the two-phase partitioned
     ranking, never a global single-partition sort: no `Exchange

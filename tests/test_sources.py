@@ -33,6 +33,15 @@ def test_json_roundtrip_exact(spark):
     )
 
 
+def test_orc_roundtrip_exact(spark):
+    got = ALL["src_orc_roundtrip"].fn(spark, SF_DIR)
+    want = table(spark, SF_DIR, "region")
+    assert sorted(got.columns) == sorted(want.columns)
+    assert _rows(got.select(*sorted(got.columns))) == _rows(
+        want.select(*sorted(want.columns))
+    )
+
+
 def test_approx_distinct_envelope(spark):
     r = ALL["agg_approx_distinct"].fn(spark, SF_DIR).first()
     assert abs(r["approx_parts"] - r["exact_parts"]) <= 0.05 * r["exact_parts"], (
