@@ -50,6 +50,64 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "win_sessionize",
+    oracle=f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessions AS (
+  SELECT user_id, event_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM marked)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       {sql_dsum('value', 'sum_value')}
+FROM sessions
+GROUP BY user_id, session_no
+""",
+    category="H",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: per-user sessions split at >30-minute gaps
+    (lag → new-session flag → running sum = session number → per-session
+    aggregate). The lag/cumsum windows PARTITION BY user_id — one
+    shuffle + in-partition sort, the canonical scalable sessionization
+    (the streaming twin is session_window/stream_session; this is the
+    backfill path over historical data). Tiebreak on (ts, event_id)
+    keeps the session numbering deterministic across engines."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ → epoch seconds via an intermediate TIMESTAMP cast (identity
+    # under the UTC-pinned session; NTZ has no direct long cast)
+    secs = F.col("ts").cast("timestamp").cast("long")
+    lag_secs = F.lag("ts").over(wo).cast("timestamp").cast("long")
+    new_sess = F.when(
+        F.lag("ts").over(wo).isNull() | (secs - lag_secs > 30 * 60), 1
+    ).otherwise(0)
+    sessions = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_no",
+        F.sum("new_sess").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sessions.groupBy("user_id", "session_no").agg(
+        F.date_format(F.min("ts"), _FMT).alias("session_start"),
+        F.date_format(F.max("ts"), _FMT).alias("session_end"),
+        F.count("*").alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+
+
+@register(
     "stream_sliding",
     oracle=f"""
 WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
