@@ -244,35 +244,13 @@ def llm_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1: interpreted higher-order functions per pair vs one vectorized
     matmul per block). Because every vector has exactly one label, the
     per-block best IS the global best — no second shuffle, no window."""
-    import numpy as np
-    import pandas as pd
-
     e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
-
-    def best_in_label(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        if len(pdf) < 2:
-            return pd.DataFrame({"vec_id": [], "nn_id": [], "cos_sim": []}).astype(
-                {"vec_id": "int64", "nn_id": "int64", "cos_sim": "float64"}
-            )
-        pdf = pdf.sort_values("vec_id")  # first argmax hit = smallest nn_id
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
-        np.fill_diagonal(cos, -np.inf)
-        best = cos.argmax(axis=1)
-        return pd.DataFrame(
-            {
-                "vec_id": ids,
-                "nn_id": ids[best],
-                "cos_sim": cos[np.arange(len(best)), best],
-            }
-        )
 
     return (
         e.groupBy("label")
         .applyInPandas(
-            best_in_label, schema="vec_id BIGINT, nn_id BIGINT, cos_sim DOUBLE"
+            lambda pdf: _self_best(pdf),  # shared matmul-argmax kernel
+            schema="vec_id BIGINT, nn_id BIGINT, cos_sim DOUBLE",
         )
         .select(
             "vec_id",
@@ -513,12 +491,16 @@ def _block_pair_replicas(e: DataFrame, n_blocks: int) -> DataFrame:
 
     Vectors get a deterministic block ``blk = pmod(xxhash64(vec_id), B)``;
     crossing with the B possible partner blocks and normalizing to
-    ``(lo, hi) = (min, max)`` sends each vector to exactly B groups and
-    puts every unordered vector pair in EXACTLY ONE group. This is the
-    distributed block-nested-loop layout for exact all-pairs work:
-    shuffle volume is n·B rows, per-task memory is O(n/B · dim), and no
-    full-table collect or broadcast exists anywhere. B is chosen so a
-    group's slice fits executor memory (B ≈ n·dim·8 / task_mem)."""
+    ``(lo, hi) = (min, max)`` sends each vector to exactly B groups.
+    Cross-block pairs meet exactly once (in group (min, max)); same-block
+    pairs co-occur in every group containing their block, so group
+    functions must evaluate CROSS pairs in mixed (lo≠hi) groups and
+    within pairs only in the diagonal (k, k) group — then every
+    unordered pair is evaluated exactly once. This is the distributed
+    block-nested-loop layout for exact all-pairs work: shuffle volume is
+    n·B rows, per-task memory is O(n/B · dim), and no full-table collect
+    or broadcast exists anywhere. B is chosen so a group's slice fits
+    executor memory (B ≈ n·dim·8 / task_mem); _auto_blocks sizes it."""
     spark = e.sparkSession
     js = F.broadcast(
         spark.range(n_blocks).select(F.col("id").cast("int").alias("j"))
@@ -530,7 +512,47 @@ def _block_pair_replicas(e: DataFrame, n_blocks: int) -> DataFrame:
         .crossJoin(js)
         .withColumn("lo", F.least("blk", "j"))
         .withColumn("hi", F.greatest("blk", "j"))
-        .drop("j", "blk")
+        .drop("j")
+    )
+
+
+def _group_arrays(pdf):
+    """(ids, mat, norms) for one pandas group, sorted by vec_id so a
+    first-hit argmax tie-breaks to the smallest id."""
+    import numpy as np
+
+    pdf = pdf.sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    return pdf, ids, mat, norms
+
+
+def _nn_empty():
+    import pandas as pd
+
+    return pd.DataFrame({"vec_id": [], "nn_id": [], "cos_sim": []}).astype(
+        {"vec_id": "int64", "nn_id": "int64", "cos_sim": "float64"}
+    )
+
+
+def _self_best(pdf):
+    """Per-vector best neighbor within one group (self excluded)."""
+    import numpy as np
+    import pandas as pd
+
+    if len(pdf) < 2:
+        return _nn_empty()
+    pdf, ids, mat, norms = _group_arrays(pdf)
+    cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+    np.fill_diagonal(cos, -np.inf)
+    best = cos.argmax(axis=1)
+    return pd.DataFrame(
+        {
+            "vec_id": ids,
+            "nn_id": ids[best],
+            "cos_sim": cos[np.arange(len(best)), best],
+        }
     )
 
 
@@ -559,22 +581,30 @@ def llm_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = _block_pair_replicas(e, n_blocks=_auto_blocks(sf_dir))
 
     def best_in_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("vec_id")  # first argmax hit = smallest nn_id
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {"vec_id": [], "nn_id": [], "cos_sim": []}
-            ).astype({"vec_id": "int64", "nn_id": "int64", "cos_sim": "float64"})
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
-        np.fill_diagonal(cos, -np.inf)  # mask self
-        best = cos.argmax(axis=1)
+        lo, hi = int(pdf["lo"].iloc[0]), int(pdf["hi"].iloc[0])
+        if lo == hi:  # diagonal group: within-block pairs, evaluated here only
+            return _self_best(pdf)
+        # mixed group: CROSS pairs only (same-block pairs belong to their
+        # own diagonal group — evaluating them here would duplicate work)
+        a = pdf[pdf["blk"] == lo]
+        b = pdf[pdf["blk"] == hi]
+        if len(a) == 0 or len(b) == 0:
+            return _nn_empty()
+        _, ia, ma, na = _group_arrays(a)
+        _, ib, mb, nb = _group_arrays(b)
+        cos = (ma @ mb.T) / (na[:, None] * nb[None, :])
+        best_b = cos.argmax(axis=1)  # best hi-side partner per lo vector
+        best_a = cos.argmax(axis=0)  # best lo-side partner per hi vector
         return pd.DataFrame(
             {
-                "vec_id": ids,
-                "nn_id": ids[best],
-                "cos_sim": cos[np.arange(len(best)), best],
+                "vec_id": np.concatenate([ia, ib]),
+                "nn_id": np.concatenate([ib[best_b], ia[best_a]]),
+                "cos_sim": np.concatenate(
+                    [
+                        cos[np.arange(len(ia)), best_b],
+                        cos[best_a, np.arange(len(ib))],
+                    ]
+                ),
             }
         )
 
@@ -641,24 +671,45 @@ def llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     rep = _block_pair_replicas(e, n_blocks=_auto_blocks(sf_dir))
+    TAU = 0.4
 
     def dedup_in_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
         empty = pd.DataFrame({"dup_id": [], "kept_id": [], "max_cos": []}).astype(
             {"dup_id": "int64", "kept_id": "int64", "max_cos": "float64"}
         )
-        if len(pdf) < 2:
-            return empty
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
         out = []
-        for row_i, vid in enumerate(ids):
-            hits = (ids < vid) & (cos[row_i] >= 0.4)
-            if hits.any():
-                out.append(
-                    (int(vid), int(ids[hits].min()), float(cos[row_i][hits].max()))
-                )
+        lo, hi = int(pdf["lo"].iloc[0]), int(pdf["hi"].iloc[0])
+        if lo == hi:  # within-block pairs, evaluated here only
+            if len(pdf) < 2:
+                return empty
+            _, ids, mat, norms = _group_arrays(pdf)
+            cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+            for row_i, vid in enumerate(ids):
+                hits = (ids < vid) & (cos[row_i] >= TAU)
+                if hits.any():
+                    out.append(
+                        (int(vid), int(ids[hits].min()), float(cos[row_i][hits].max()))
+                    )
+        else:  # mixed group: cross-block pairs only
+            a = pdf[pdf["blk"] == lo]
+            b = pdf[pdf["blk"] == hi]
+            if len(a) == 0 or len(b) == 0:
+                return empty
+            _, ia, ma, na = _group_arrays(a)
+            _, ib, mb, nb = _group_arrays(b)
+            cos = (ma @ mb.T) / (na[:, None] * nb[None, :])
+            for row_i, vid in enumerate(ia):
+                hits = (ib < vid) & (cos[row_i, :] >= TAU)
+                if hits.any():
+                    out.append(
+                        (int(vid), int(ib[hits].min()), float(cos[row_i, hits].max()))
+                    )
+            for col_j, vid in enumerate(ib):
+                hits = (ia < vid) & (cos[:, col_j] >= TAU)
+                if hits.any():
+                    out.append(
+                        (int(vid), int(ia[hits].min()), float(cos[hits, col_j].max()))
+                    )
         if not out:
             return empty
         return pd.DataFrame(out, columns=["dup_id", "kept_id", "max_cos"])
@@ -680,6 +731,26 @@ def _lsh_planes(n_planes: int, dim: int) -> list[list[float]]:
     return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def _lsh_signature(n_bits: int = 6, dim: int = 64):
+    """Column: the n_bits hyperplane sign bits of `embedding` packed into
+    one BIGINT bucket key (fixed-seed planes — deterministic across runs
+    and shared by every LSH operator and test)."""
+    sig = None
+    for j, p in enumerate(_lsh_planes(n_bits, dim)):
+        plane = F.array(*[F.lit(x) for x in p])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda v, w: v.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj >= 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sig
+
+
 @register("llm_ann_lsh", oracle=None, category="K")  # weak: approximate by design
 def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbor: 6 fixed random-
@@ -694,19 +765,7 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     callers running many queries per session clear with
     spark.catalog.clearCache() (bench.py does)."""
     e = _with_norm(table(spark, sf_dir, "embeddings"))
-    planes = _lsh_planes(6, 64)
-    sig = None
-    for j, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), plane, lambda v, w: v.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(proj >= 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        term = F.shiftleft(bit, j)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    bucketed = e.withColumn("bucket", sig).cache()
+    bucketed = e.withColumn("bucket", _lsh_signature()).cache()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     pairs = a.join(
@@ -745,21 +804,7 @@ def llm_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     per vector. Recall ≥ single-probe llm_ann_lsh is pinned in
     tests/test_ann.py."""
     e = _with_norm(table(spark, sf_dir, "embeddings"))
-    planes = _lsh_planes(6, 64)
-    sig = None
-    for j, p in enumerate(planes):
-        plane = F.array(*[F.lit(x) for x in p])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), plane, lambda v, w: v.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(proj >= 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        term = F.shiftleft(bit, j)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    indexed = e.withColumn("bucket", sig).cache()
+    indexed = e.withColumn("bucket", _lsh_signature()).cache()
     # query-side fan-out: own bucket + the 6 Hamming-1 buckets
     probes_arr = F.array(
         F.col("bucket"),

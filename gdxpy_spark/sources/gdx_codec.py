@@ -86,6 +86,13 @@ class SymbolMeta:
             raise ValueError("explanatory text > 255 chars")
         if not self.domains:
             self.domains = ("*",) * self.dim
+        elif len(self.domains) != self.dim:
+            # both containers write exactly one domain string per dim and
+            # read exactly dim back — a wrong arity would silently corrupt
+            # the domain section, so reject it at construction
+            raise ValueError(
+                f"{self.name}: {len(self.domains)} domain names for dim {self.dim}"
+            )
 
     @property
     def n_values(self) -> int:
@@ -369,7 +376,7 @@ class GdxFile:
         buf = self._buf
         if buf[: len(MAGIC)] != MAGIC:
             hint = ""
-            if buf[:1] == b"\x07" or b"GAMSGDX" in buf[:64]:
+            if buf[:1] == bytes([123]) or b"GAMSGDX" in buf[:64]:
                 hint = (
                     " (this looks like a native GAMS-produced .gdx: use "
                     "gdxpy_spark.sources.gdx_gams.GamsGdxFile, which reads "

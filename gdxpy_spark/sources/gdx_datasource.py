@@ -203,6 +203,12 @@ class GdxSymbolWriter(DataSourceWriter):
         self.layout = (options.get("layout", "gdxpy") or "gdxpy").lower()
         if self.layout not in ("gdxpy", "gams"):
             raise ValueError(f"gdx: unknown layout {self.layout!r}")
+        if self.layout == "gams" and self.compress:
+            raise ValueError(
+                "gdx: the GAMS layout writer does not support compression "
+                "(GAMS compresses at stream-page level; see gdx_gams.py) — "
+                "drop compress=true or use the default gdxpy layout"
+            )
         self.schema = schema
 
     def write(self, rows):

@@ -88,12 +88,15 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     wo = W.partitionBy("user_id").orderBy("ts", "event_id")
-    # NTZ → epoch seconds via an intermediate TIMESTAMP cast (identity
-    # under the UTC-pinned session; NTZ has no direct long cast)
-    secs = F.col("ts").cast("timestamp").cast("long")
-    lag_secs = F.lag("ts").over(wo).cast("timestamp").cast("long")
+    # NTZ → epoch MICROseconds via an intermediate TIMESTAMP cast
+    # (identity under the UTC-pinned session; NTZ has no direct long
+    # cast). Comparing whole seconds would truncate sub-second parts and
+    # disagree with the oracle's exact INTERVAL comparison on gaps
+    # inside (1800 s, 1801 s).
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lag_us = F.unix_micros(F.lag("ts").over(wo).cast("timestamp"))
     new_sess = F.when(
-        F.lag("ts").over(wo).isNull() | (secs - lag_secs > 30 * 60), 1
+        F.lag("ts").over(wo).isNull() | (us - lag_us > 30 * 60 * 1_000_000), 1
     ).otherwise(0)
     sessions = ev.withColumn("new_sess", new_sess).withColumn(
         "session_no",

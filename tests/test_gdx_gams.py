@@ -281,6 +281,24 @@ def test_gdxpy7_magic_error_hints_gams(tmp_path, golden):
         GdxFile(golden)
 
 
+def test_domains_arity_rejected():
+    with pytest.raises(ValueError, match="domain names for dim"):
+        SymbolMeta("d", 2, DT_PAR, domains=("i",))
+
+
+def test_gams_writer_rejects_compress_option(spark, tmp_path):
+    from gdxpy_spark.sources import gdx_datasource
+
+    gdx_datasource.register(spark)
+    df = spark.createDataFrame([("a", 1.0, False)],
+                               "k1 STRING, value DOUBLE, is_eps BOOLEAN")
+    with pytest.raises(Exception, match="compression"):
+        (df.write.format("gdx").option("symbol", "p")
+           .option("symtype", "parameter").option("layout", "gams")
+           .option("compress", "true").mode("overwrite")
+           .save(str(tmp_path / "x.gdx")))
+
+
 def test_compressed_flag_rejected(tmp_path):
     raw = bytearray(build_golden())
     # flip the compression int (directly after 1-byte nr + 8-byte id + 4-byte version)
