@@ -249,7 +249,7 @@ def llm_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy("label")
         .applyInPandas(
-            lambda pdf: _self_best(pdf),  # shared matmul-argmax kernel
+            _self_best,  # shared matmul-argmax kernel
             schema="vec_id BIGINT, nn_id BIGINT, cos_sim DOUBLE",
         )
         .select(
@@ -525,7 +525,25 @@ def _group_arrays(pdf):
     ids = pdf["vec_id"].to_numpy(dtype=np.int64)
     mat = np.array(list(pdf["embedding"]), dtype=np.float64)
     norms = np.sqrt((mat * mat).sum(axis=1))
-    return pdf, ids, mat, norms
+    return ids, mat, norms
+
+
+def _cross_cos(pdf):
+    """Group splitter for the block-nested-loop kernels. Returns None
+    for a diagonal (lo == hi) group — handle within-block pairs via
+    _self_best — else (ia, ib, cos) with the cross-block cosine matrix
+    (ia/ib ascending; cos is None when one side is empty, i.e. no cross
+    pairs exist in this group)."""
+    lo, hi = int(pdf["lo"].iloc[0]), int(pdf["hi"].iloc[0])
+    if lo == hi:
+        return None
+    a = pdf[pdf["blk"] == lo]
+    b = pdf[pdf["blk"] == hi]
+    if len(a) == 0 or len(b) == 0:
+        return (), (), None
+    ia, ma, na = _group_arrays(a)
+    ib, mb, nb = _group_arrays(b)
+    return ia, ib, (ma @ mb.T) / (na[:, None] * nb[None, :])
 
 
 def _nn_empty():
@@ -543,7 +561,7 @@ def _self_best(pdf):
 
     if len(pdf) < 2:
         return _nn_empty()
-    pdf, ids, mat, norms = _group_arrays(pdf)
+    ids, mat, norms = _group_arrays(pdf)
     cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
     np.fill_diagonal(cos, -np.inf)
     best = cos.argmax(axis=1)
@@ -581,18 +599,14 @@ def llm_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep = _block_pair_replicas(e, n_blocks=_auto_blocks(sf_dir))
 
     def best_in_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        lo, hi = int(pdf["lo"].iloc[0]), int(pdf["hi"].iloc[0])
-        if lo == hi:  # diagonal group: within-block pairs, evaluated here only
+        cross = _cross_cos(pdf)
+        if cross is None:  # diagonal group: within-block pairs, here only
             return _self_best(pdf)
         # mixed group: CROSS pairs only (same-block pairs belong to their
         # own diagonal group — evaluating them here would duplicate work)
-        a = pdf[pdf["blk"] == lo]
-        b = pdf[pdf["blk"] == hi]
-        if len(a) == 0 or len(b) == 0:
+        ia, ib, cos = cross
+        if cos is None:
             return _nn_empty()
-        _, ia, ma, na = _group_arrays(a)
-        _, ib, mb, nb = _group_arrays(b)
-        cos = (ma @ mb.T) / (na[:, None] * nb[None, :])
         best_b = cos.argmax(axis=1)  # best hi-side partner per lo vector
         best_a = cos.argmax(axis=0)  # best lo-side partner per hi vector
         return pd.DataFrame(
@@ -666,7 +680,6 @@ def llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inherently O(n²·d) flops; at 100 TB the candidate generation is
     LSH-bucketed instead (llm_minhash_dedup / llm_ann_lsh) and this
     exact verify runs only within buckets."""
-    import numpy as np
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
@@ -678,11 +691,11 @@ def llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"dup_id": "int64", "kept_id": "int64", "max_cos": "float64"}
         )
         out = []
-        lo, hi = int(pdf["lo"].iloc[0]), int(pdf["hi"].iloc[0])
-        if lo == hi:  # within-block pairs, evaluated here only
+        cross = _cross_cos(pdf)
+        if cross is None:  # diagonal group: within-block pairs, here only
             if len(pdf) < 2:
                 return empty
-            _, ids, mat, norms = _group_arrays(pdf)
+            ids, mat, norms = _group_arrays(pdf)
             cos = (mat @ mat.T) / (norms[:, None] * norms[None, :])
             for row_i, vid in enumerate(ids):
                 hits = (ids < vid) & (cos[row_i] >= TAU)
@@ -691,13 +704,9 @@ def llm_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (int(vid), int(ids[hits].min()), float(cos[row_i][hits].max()))
                     )
         else:  # mixed group: cross-block pairs only
-            a = pdf[pdf["blk"] == lo]
-            b = pdf[pdf["blk"] == hi]
-            if len(a) == 0 or len(b) == 0:
+            ia, ib, cos = cross
+            if cos is None:
                 return empty
-            _, ia, ma, na = _group_arrays(a)
-            _, ib, mb, nb = _group_arrays(b)
-            cos = (ma @ mb.T) / (na[:, None] * nb[None, :])
             for row_i, vid in enumerate(ia):
                 hits = (ib < vid) & (cos[row_i, :] >= TAU)
                 if hits.any():

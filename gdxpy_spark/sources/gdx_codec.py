@@ -375,8 +375,12 @@ class GdxFile:
             self._buf = f.read()
         buf = self._buf
         if buf[: len(MAGIC)] != MAGIC:
+            # first byte of a native GAMS file (gdx_gams.GDX_HEADER_NR —
+            # duplicated here as a literal: importing gdx_gams would be
+            # circular)
+            gams_header_nr = 123
             hint = ""
-            if buf[:1] == bytes([123]) or b"GAMSGDX" in buf[:64]:
+            if buf[:1] == bytes([gams_header_nr]) or b"GAMSGDX" in buf[:64]:
                 hint = (
                     " (this looks like a native GAMS-produced .gdx: use "
                     "gdxpy_spark.sources.gdx_gams.GamsGdxFile, which reads "
