@@ -114,6 +114,33 @@ def test_stateful_running_counts_converge(spark):
     assert got == want
 
 
+def test_sessionize_subsecond_gap_boundary(spark, tmp_path):
+    """Pin the microsecond gap comparison: a 1800.5 s gap must split the
+    session, a 1799.5 s gap must not (whole-second truncation would get
+    the first one wrong — round-2 review finding)."""
+    base = 1_700_000_000_000_000_000  # ns epoch
+    s = 1_000_000_000
+    rows = [
+        # user 1: gap of 1800.5 s → two sessions
+        (1, base, 1, "view", 1.0, "{}"),
+        (2, base + int(1800.5 * s), 1, "view", 1.0, "{}"),
+        # user 2: gap of 1799.5 s → one session
+        (3, base, 2, "view", 1.0, "{}"),
+        (4, base + int(1799.5 * s), 2, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING,"
+        " value DOUBLE, props STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = ALL["win_sessionize"].fn(spark, str(tmp_path)).collect()
+    sessions = {}
+    for r in out:
+        sessions.setdefault(r["user_id"], []).append(r["n_events"])
+    assert sorted(sessions[1]) == [1, 1], "1800.5s gap must split"
+    assert sessions[2] == [2], "1799.5s gap must not split"
+
+
 def test_stateful_typed_counts_converge(spark):
     """Spark 4 typed-state (transformWithStateInPandas) variant — env-
     gated: skips while google.protobuf is absent from the container
