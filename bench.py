@@ -32,15 +32,23 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def _run_spark(names, qs, spark, sf_dir):
+def _run_spark(names, qs, spark, sf_dir, trials=1):
+    """trials=1 (default) is the driver contract: cold, single-shot
+    timings. `--trials N` takes the best of N runs per query instead —
+    steady-state numbers for perf work (first runs carry ~2-3 s codegen
+    and broadcast warmup on this box; see SCALE.md)."""
     times = {}
     for n in names:
-        t0 = time.perf_counter()
-        qs[n].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[n] = round(time.perf_counter() - t0, 4)
-        # some ops .cache() mid-plan (bitmask masks, LSH buckets); clear so
-        # a 98-query loop doesn't accumulate executor-memory cached blocks
-        spark.catalog.clearCache()
+        best = None
+        for _ in range(max(1, trials)):
+            t0 = time.perf_counter()
+            qs[n].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            # some ops .cache() mid-plan (bitmask masks, LSH buckets); clear
+            # so a 100-query loop doesn't accumulate cached blocks
+            spark.catalog.clearCache()
+        times[n] = round(best, 4)
     return times
 
 
@@ -61,7 +69,10 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    times = _run_spark(names, qs, spark, sf_dir)
+    trials = 1
+    if "--trials" in sys.argv:
+        trials = int(sys.argv[sys.argv.index("--trials") + 1])
+    times = _run_spark(names, qs, spark, sf_dir, trials=trials)
     total = round(sum(times.values()), 4)
     ratio = None
 

@@ -65,6 +65,35 @@ def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_salted_sum",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_dsum('l_quantity', 'total_qty')}
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    category="D",
+)
+def agg_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation over a 3-value (maximally skewed)
+    group key: phase 1 aggregates (key, salt) so one hot key spreads
+    over 16 reducers, phase 2 folds the partials per key. Result is
+    identical to the direct groupBy — the oracle IS the direct SQL — and
+    only the shuffle distribution changes. This is the manual skew lever
+    for high-state-per-key aggregations (collect/distinct) where Spark's
+    map-side partial aggregation can't soak up the hot key; AQE's
+    skew-join split handles the join-side equivalent automatically."""
+    from gdxpy_spark.plans.layout import salted_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    out = salted_sum(li, "l_returnflag", dec("l_quantity"), "total_raw")
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("total_raw").cast("double"), 4).alias("total_qty"),
+    )
+
+
+@register(
     "agg_count_distinct",
     oracle="""
 SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_cust
