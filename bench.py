@@ -112,6 +112,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_queries": len(names),
+        "trials": trials,
         "sf": _sf_of(sf_dir),
         "queries": times,
     }
@@ -132,6 +133,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_queries": len(names),
+        "trials": trials,
         "queries": headline,
         "sf": _sf_of(sf_dir),
     }
