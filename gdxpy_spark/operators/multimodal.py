@@ -199,6 +199,73 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RESIZE_W = _RESIZE_H = 64  # fixed target "resolution"
+_RESIZE_N = _RESIZE_W * _RESIZE_H
+
+_RESIZE_ORACLE = f"""
+SELECT doc_id,
+       CAST({_RESIZE_W} AS INT) AS out_w,
+       CAST({_RESIZE_H} AS INT) AS out_h,
+       CAST({_RESIZE_N} AS BIGINT) AS out_bytes,
+       CAST(SUM(ascii(substr(text,
+            CAST(FLOOR(CAST(k AS DOUBLE) * n_chars / {_RESIZE_N}) AS INT) + 1,
+            1))) AS BIGINT) AS checksum
+FROM documents
+CROSS JOIN generate_series(0, {_RESIZE_N - 1}) AS t(k)
+WHERE n_chars > 0
+GROUP BY doc_id
+"""
+
+
+@register("mm_resize", oracle=_RESIZE_ORACLE, category="MM")
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: every media payload is nearest-neighbor resampled
+    to a fixed 64×64 'resolution' (4096 bytes — source byte k·n/4096
+    for each target position k, the exact index arithmetic of a
+    nearest-neighbor image resize, applied to the fake payload since
+    the container has no codecs; decode_real marks the production
+    hook). Fully vectorized per Arrow batch: one concatenated uint8
+    array + a single fancy-index gather per batch, no per-row Python.
+    The oracle recomputes the resampled-byte checksum from the source
+    text, proving the byte gather really happened on the worker. At
+    100 TB a map-only stage; resized payloads are fixed-size, which is
+    what makes the downstream training batch layout packable."""
+    import numpy as np
+
+    media = media_table(spark, sf_dir)
+
+    def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tgt = np.arange(_RESIZE_N, dtype=np.int64)
+        for pdf in it:
+            blobs = [bytes(b)[16:] for b in pdf["media"]]  # strip header
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64,
+                               count=len(blobs))
+            keep = lens > 0
+            cat = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+            starts = np.cumsum(lens) - lens
+            # per-doc gather indices: start_d + floor(k*len_d/4096)
+            rows = np.flatnonzero(keep)
+            idx = (
+                starts[rows, None] + (tgt[None, :] * lens[rows, None]) // _RESIZE_N
+            )
+            sampled = cat[idx]  # (n_docs, 4096) resized payloads
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype="int64")[rows],
+                    "out_w": np.full(len(rows), _RESIZE_W, dtype="int32"),
+                    "out_h": np.full(len(rows), _RESIZE_H, dtype="int32"),
+                    "out_bytes": np.full(len(rows), _RESIZE_N, dtype="int64"),
+                    "checksum": sampled.sum(axis=1, dtype=np.int64),
+                }
+            )
+
+    return media.mapInPandas(
+        resize,
+        schema="doc_id BIGINT, out_w INT, out_h INT, out_bytes BIGINT,"
+        " checksum BIGINT",
+    )
+
+
 @register("mm_feature_extract", oracle=None, category="MM")  # weak: vector output
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction: binary payload → 8-dim float vector (byte-

@@ -290,6 +290,75 @@ def llm_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIGRAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents),
+bi AS (
+  SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+  FROM toks CROSS JOIN generate_series(1, 10000) AS t(i)
+  WHERE i < len(ts)),
+cb AS (SELECT w1, w2, COUNT(*) AS nb FROM bi GROUP BY w1, w2),
+cu AS (SELECT w1, COUNT(*) AS nu FROM bi GROUP BY w1),
+scored AS (
+  SELECT bi.doc_id, (cb.nb * 1000000) // cu.nu AS p6
+  FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1))
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(p6 AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*) / 1000000, 4) AS avg_predictability
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@register("llm_bigram_score", oracle=_BIGRAM_ORACLE, category="K")
+def llm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality score: each document's average
+    conditional bigram probability P(w₂|w₁) = C(w₁w₂)/C(w₁) under the
+    corpus's own MLE bigram model — the n-gram-LM predictability signal
+    (low score ⇒ unusual word transitions ⇒ gibberish/boilerplate
+    candidates; the log-perplexity variant is the same plan with ln).
+    Determinism: per-bigram probability is INTEGER-scaled to parts-per-
+    million with integer division (exact on both engines — no float
+    division inside the aggregate), then a DECIMAL-routed average.
+    Shape: two corpus-count groupBys (vocab²- and vocab-sized), two
+    shuffle joins back to the bigram stream, one per-doc aggregate —
+    all map-side-combinable, no vocabulary ever on the driver."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_remove(F.split("text", " "), "").alias("ts")
+    ).filter(F.size("ts") >= 2)  # sequence(1, 0) would DESCEND in Spark
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1),"
+                " i -> struct(element_at(ts, i) AS w1,"
+                "             element_at(ts, i + 1) AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cb = bi.groupBy("w1", "w2").agg(F.count("*").alias("nb"))
+    cu = bi.groupBy("w1").agg(F.count("*").alias("nu"))
+    scored = (
+        bi.join(cb, ["w1", "w2"])
+        .join(cu, ["w1"])
+        .select(
+            "doc_id",
+            F.expr("(nb * 1000000) div nu").alias("p6"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("p6").cast("decimal(18,6)")).cast("double")
+            / F.count("*")
+            / 1_000_000,
+            4,
+        ).alias("avg_predictability"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram (character trigram) Jaccard near-dup — same bitmask machinery as
 # llm_length_blocking, different shingling function
