@@ -266,14 +266,13 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_feature_extract", oracle=None, category="MM")  # weak: vector output
-def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction: binary payload → 8-dim float vector (byte-
-    histogram moments over 8 equal-width bins — deterministic, so the
-    rows-only check is reproducible; a real deployment swaps the inner
-    loop for a vision encoder via decode_real). The vector lands in the
-    same array<float> shape as the embeddings table, ready for the
-    llm_knn_topk / llm_cosine_pairs operators downstream."""
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → 8-dim float vector (byte-histogram over 8
+    equal-width bins). This is the array-typed DataFrame downstream
+    consumers want — same array<float> shape as the embeddings table,
+    ready for llm_knn_topk / llm_cosine_pairs. The *registered* query
+    (mm_feature_extract) projects a stringified view because the
+    driver's rows-only checker hashes values and dies on list cells."""
     import numpy as np
 
     media = media_table(spark, sf_dir)
@@ -299,3 +298,32 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return media.mapInPandas(features, schema="doc_id BIGINT, feature ARRAY<FLOAT>")
+
+
+@register("mm_feature_extract", oracle=None, category="MM")  # weak: no byte-level oracle
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction: binary payload → 8-dim float vector (byte-
+    histogram moments over 8 equal-width bins — deterministic, so the
+    rows-only check is reproducible; a real deployment swaps the inner
+    loop for a vision encoder via decode_real). The array DataFrame
+    lives in media_features(); this registered view flattens the vector
+    to a rounded comma-joined string plus an L1-scaled checksum, both
+    JVM-side (transform + format_number + aggregate), so every output
+    cell is a hashable scalar for the driver's rows-only check."""
+    feats = media_features(spark, sf_dir)
+    return feats.select(
+        "doc_id",
+        F.size("feature").alias("dim"),
+        F.concat_ws(
+            ",",
+            F.transform(F.col("feature"), lambda x: F.format_number(x.cast("double"), 4)),
+        ).alias("feature_csv"),
+        F.round(
+            F.aggregate(
+                F.col("feature"),
+                F.lit(0.0),
+                lambda acc, x: acc + F.round(x.cast("double"), 4),
+            ),
+            4,
+        ).alias("l1_checksum"),
+    )

@@ -50,12 +50,27 @@ def test_minhash_agrees_with_jaccard_direction(spark, dup_dir):
 
 
 def test_feature_extract_shape_and_determinism(spark):
-    df = ALL["mm_feature_extract"].fn(spark, SF_DIR)
+    from gdxpy_spark.operators.multimodal import media_features
+
+    df = media_features(spark, SF_DIR)
     rows = {r["doc_id"]: r["feature"] for r in df.collect()}
     assert all(len(v) == 8 for v in rows.values())
     assert all(abs(sum(v) - 1.0) < 1e-3 for v in rows.values())  # normalized hist
     rows2 = {r["doc_id"]: r["feature"] for r in df.collect()}
     assert rows == rows2  # deterministic fake → stable across runs
+
+    # the registered view flattens the vector to scalars for the driver
+    reg = {r["doc_id"]: r for r in ALL["mm_feature_extract"].fn(spark, SF_DIR).collect()}
+    assert set(reg) == set(rows)
+    for doc_id, r in reg.items():
+        assert r["dim"] == 8
+        assert len(r["feature_csv"].split(",")) == 8
+        assert abs(r["l1_checksum"] - 1.0) < 1e-3
+        # stringified view agrees with the array it was derived from
+        # (tolerance, not equality: format_number rounds HALF_UP while
+        # Python rounds half-even)
+        got = [float(x) for x in r["feature_csv"].split(",")]
+        assert all(abs(a - b) <= 1e-4 for a, b in zip(got, rows[doc_id]))
 
 
 def test_decode_real_is_a_marked_stub():
