@@ -211,41 +211,53 @@ class GdxEngine:
         """Write several symbols into ONE .gdx file (a GDX file is a
         mini-catalog — the single-symbol DataSource writer covers the
         common case; this covers full-file export). `symbols` maps name →
-        (DataFrame, symtype). Frames are collected symbol-by-symbol (GDX
-        files are model-sized, not fact-sized); the codec sorts records
-        and interns UELs across all symbols, like a real writer."""
+        (DataFrame, symtype). Each frame is globally sorted by its key
+        columns (a distributed range-partition sort) and then *streamed*
+        to the codec's incremental encoder via toLocalIterator — the
+        driver holds one Arrow partition at a time, never a whole symbol,
+        so a symbol larger than driver memory still writes. UELs intern
+        across all symbols, like a real writer."""
         from gdxpy_spark.sources.gdx_codec import (
             DT_PAR,
             DT_SET,
+            VALUE_FIELDS,
             GdxWriter,
-            SymbolData,
             SymbolMeta,
         )
         from gdxpy_spark.sources.gdx_datasource import _TYPE_BY_NAME
-        from gdxpy_spark.sources.gdx_codec import VALUE_FIELDS
+
+        def records(df: DataFrame, t: int, keys: list[str]):
+            cols = df.columns
+            has_text = "text" in cols
+            has_eps = "is_eps" in cols
+            has_mask = "eps_mask" in cols
+            src = df.sort(*keys) if keys else df
+            for r in src.toLocalIterator(prefetchPartitions=True):
+                key = tuple(r[k] for k in keys)
+                if t == DT_SET:
+                    yield key, (0.0,), 0, (r["text"] if has_text else "") or ""
+                elif t == DT_PAR:
+                    is_eps = bool(r["is_eps"]) if has_eps else False
+                    yield (
+                        key,
+                        (0.0 if is_eps else float(r["value"]),),
+                        1 if is_eps else 0,
+                        "",
+                    )
+                else:
+                    yield (
+                        key,
+                        tuple(float(r[f]) for f in VALUE_FIELDS),
+                        int(r["eps_mask"]) if has_mask else 0,
+                        "",
+                    )
 
         w = GdxWriter(path, compress=compress)
         for name, (df, symtype) in symbols.items():
             t = _TYPE_BY_NAME[symtype]
             keys = [c for c in df.columns if c.startswith("k")]
             meta = SymbolMeta(name=name, dim=len(keys), type=t)
-            data = SymbolData(meta=meta)
-            for r in df.collect():
-                data.keys.append(tuple(r[k] for k in keys))
-                if t == DT_SET:
-                    data.text.append(r["text"] if "text" in df.columns else "")
-                    data.values.append((0.0,))
-                    data.eps_mask.append(0)
-                elif t == DT_PAR:
-                    is_eps = bool(r["is_eps"]) if "is_eps" in df.columns else False
-                    data.values.append((0.0 if is_eps else float(r["value"]),))
-                    data.eps_mask.append(1 if is_eps else 0)
-                else:
-                    data.values.append(
-                        tuple(float(r[f]) for f in VALUE_FIELDS)
-                    )
-                    data.eps_mask.append(int(r["eps_mask"]) if "eps_mask" in df.columns else 0)
-            w.add_symbol(data)
+            w.add_symbol_streaming(meta, records(df, t, keys))
         w.close()
 
     def write_symbol(

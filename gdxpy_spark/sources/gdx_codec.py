@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import io
 import math
+import os
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -221,7 +222,12 @@ class GdxWriter:
         self.uel: dict[str, int] = {}  # label → 1-based code
         self.set_text: dict[str, int] = {}  # text → index (0 = none)
         self.acronyms: list[str] = []
-        self.symbols: list[SymbolData] = []
+        self.symbols: list[SymbolData] = []  # in-memory symbols (add_symbol)
+        # streamed symbols: (meta, spill_path, encoded_len, chunk_offsets);
+        # their record blocks live on disk, never in driver memory
+        self._streamed: list[tuple[SymbolMeta, str, int, list[int]]] = []
+        # file order of symbols across both add paths: ("mem"|"stream", idx)
+        self._order: list[tuple[str, int]] = []
 
     def _code(self, label: str) -> int:
         c = self.uel.get(label)
@@ -241,84 +247,168 @@ class GdxWriter:
             self.set_text[t] = i
         return i
 
+    def _check_dup(self, name: str) -> None:
+        existing = [s.meta.name for s in self.symbols] + [
+            m.name for m, _, _, _ in self._streamed
+        ]
+        if any(n.lower() == name.lower() for n in existing):
+            raise ValueError(f"duplicate symbol {name}")
+
     def add_symbol(self, data: SymbolData) -> None:
-        if any(s.meta.name.lower() == data.meta.name.lower() for s in self.symbols):
-            raise ValueError(f"duplicate symbol {data.meta.name}")
+        self._check_dup(data.meta.name)
         data.meta.nrecs = len(data.keys)
+        self._order.append(("mem", len(self.symbols)))
         self.symbols.append(data)
 
+    def add_symbol_streaming(self, meta: SymbolMeta, records) -> SymbolMeta:
+        """Encode a symbol incrementally from an iterator of
+        ``(key_tuple, values_tuple, eps_mask, text)`` without ever holding
+        the records in memory: each record is delta-encoded straight to a
+        spill file (zlib-streamed when compress=True), which close() then
+        splices into the output byte-for-byte. Callers stream records in
+        the order they should land in the file — the delta encoder is
+        order-agnostic, but sorted input maximizes key-prefix sharing and
+        is what the DataSource commit's k-way run merge provides. This is
+        the cluster-scale write path: a symbol bigger than driver memory
+        costs the driver one record at a time."""
+        import tempfile
+
+        self._check_dup(meta.name)
+        nv = meta.n_values
+        tmp = tempfile.NamedTemporaryFile(
+            prefix="gdxpy_spark_block_", suffix=".spill", delete=False
+        )
+        comp = zlib.compressobj(6) if self.compress else None
+        raw_pos = 0  # offset in the *raw* (pre-compression) block
+        enc_len = 0  # bytes actually written (compressed if enabled)
+        chunks = [0]
+        prev: tuple[int, ...] | None = None
+        n = 0
+        rec = io.BytesIO()
+        try:
+            for key, vals, eps, txt in records:
+                if len(key) != meta.dim:
+                    raise ValueError(
+                        f"{meta.name}: key arity {len(key)} != dim {meta.dim}"
+                    )
+                codes = tuple(self._code(k) for k in key)
+                if n and n % CHUNK == 0:
+                    chunks.append(raw_pos)
+                    prev = None  # chunks are self-delimiting (restart delta)
+                rec.seek(0)
+                rec.truncate()
+                shared = 0
+                if prev is not None:
+                    while shared < meta.dim and codes[shared] == prev[shared]:
+                        shared += 1
+                rec.write(bytes([shared]))
+                for c in codes[shared:]:
+                    _wv(rec, c)
+                prev = codes
+                if meta.type == DT_SET:
+                    _wv(rec, self._text_idx(txt or ""))
+                else:
+                    for j in range(nv):
+                        v = vals[j] if j < len(vals) else 0.0
+                        _write_value(rec, v, bool(eps >> j & 1))
+                raw = rec.getvalue()
+                raw_pos += len(raw)
+                out = comp.compress(raw) if comp else raw
+                tmp.write(out)
+                enc_len += len(out)
+                n += 1
+            if comp:
+                out = comp.flush()
+                tmp.write(out)
+                enc_len += len(out)
+        finally:
+            tmp.close()
+        meta.nrecs = n
+        self._order.append(("stream", len(self._streamed)))
+        self._streamed.append((meta, tmp.name, enc_len, chunks))
+        return meta
+
     def close(self) -> None:
-        out = io.BytesIO()
-        out.write(MAGIC)
-        out.write(struct.pack("<HB", VERSION, 1 if self.compress else 0))
-        _ws(out, self.producer)
+        import shutil
 
-        # encode data blocks first (they intern UELs/set text in order)
-        blocks: list[bytes] = []
-        chunk_offsets: list[list[int]] = []
+        # encode in-memory blocks first (they intern UELs/set text);
+        # streamed blocks were encoded (and interned) at add time
+        mem_blocks: list[tuple[bytes, list[int]]] = []
         for sym in self.symbols:
-            block, chunks = self._encode_block(sym)
-            blocks.append(block)
-            chunk_offsets.append(chunks)
+            mem_blocks.append(self._encode_block(sym))
+        # resolve file order → (meta, block_len, chunks, source)
+        entries: list[tuple[SymbolMeta, int, list[int], tuple]] = []
+        for kind, idx in self._order:
+            if kind == "mem":
+                block, chunks = mem_blocks[idx]
+                entries.append(
+                    (self.symbols[idx].meta, len(block), chunks, ("mem", block))
+                )
+            else:
+                meta, spill, enc_len, chunks = self._streamed[idx]
+                entries.append((meta, enc_len, chunks, ("file", spill)))
 
-        # section: UEL table
-        uel_off = out.tell()
-        _wv(out, len(self.uel))
-        for label in self.uel:  # insertion order == code order
-            _ws(out, label)
+        with open(self.path, "wb") as out:
+            out.write(MAGIC)
+            out.write(struct.pack("<HB", VERSION, 1 if self.compress else 0))
+            _ws(out, self.producer)
 
-        # section: set-text table
-        text_off = out.tell()
-        _wv(out, len(self.set_text))
-        for t in self.set_text:
-            _ws(out, t)
+            # section: UEL table
+            uel_off = out.tell()
+            _wv(out, len(self.uel))
+            for label in self.uel:  # insertion order == code order
+                _ws(out, label)
 
-        # section: acronyms
-        acr_off = out.tell()
-        _wv(out, len(self.acronyms))
-        for a in self.acronyms:
-            _ws(out, a)
+            # section: set-text table
+            text_off = out.tell()
+            _wv(out, len(self.set_text))
+            for t in self.set_text:
+                _ws(out, t)
 
-        # section: symbol catalog
-        cat_off = out.tell()
-        _wv(out, len(self.symbols))
-        cat = io.BytesIO()
-        # catalog carries per-symbol metadata + block/chunk lengths; the
-        # absolute data-block offsets live in the trailer below
-        for sym, block, chunks in zip(self.symbols, blocks, chunk_offsets):
-            m = sym.meta
-            _ws(cat, m.name)
-            cat.write(bytes([m.dim, m.type]))
-            _wv(cat, m.subtype)
-            _ws(cat, m.expl_text)
-            _ws(cat, m.alias_of)
-            for d in m.domains:
-                _ws(cat, d)
-            _wv(cat, m.nrecs)
-            _wv(cat, len(block))
-            _wv(cat, len(chunks))
-            for c in chunks:
-                _wv(cat, c)
-        cat_bytes = cat.getvalue()
-        out.write(cat_bytes)
+            # section: acronyms
+            acr_off = out.tell()
+            _wv(out, len(self.acronyms))
+            for a in self.acronyms:
+                _ws(out, a)
 
-        # section: data blocks (offsets recorded in trailer)
-        block_offs = []
-        for block in blocks:
-            block_offs.append(out.tell())
-            out.write(block)
+            # section: symbol catalog — per-symbol metadata + block/chunk
+            # lengths; absolute data-block offsets live in the trailer
+            cat_off = out.tell()
+            _wv(out, len(entries))
+            for m, block_len, chunks, _src in entries:
+                _ws(out, m.name)
+                out.write(bytes([m.dim, m.type]))
+                _wv(out, m.subtype)
+                _ws(out, m.expl_text)
+                _ws(out, m.alias_of)
+                for d in m.domains:
+                    _ws(out, d)
+                _wv(out, m.nrecs)
+                _wv(out, block_len)
+                _wv(out, len(chunks))
+                for c in chunks:
+                    _wv(out, c)
 
-        # trailer: section offsets + per-symbol block offsets
-        trailer_off = out.tell()
-        for off in (uel_off, text_off, acr_off, cat_off):
-            out.write(struct.pack("<Q", off))
-        _wv(out, len(block_offs))
-        for off in block_offs:
-            out.write(struct.pack("<Q", off))
-        out.write(struct.pack("<Q", trailer_off))
+            # section: data blocks (in-memory ones written, streamed ones
+            # spliced from their spill files — constant driver memory)
+            block_offs = []
+            for _m, _len, _chunks, src in entries:
+                block_offs.append(out.tell())
+                if src[0] == "mem":
+                    out.write(src[1])
+                else:
+                    with open(src[1], "rb") as spill:
+                        shutil.copyfileobj(spill, out, 1 << 20)
+                    os.unlink(src[1])
 
-        with open(self.path, "wb") as f:
-            f.write(out.getvalue())
+            # trailer: section offsets + per-symbol block offsets
+            trailer_off = out.tell()
+            for off in (uel_off, text_off, acr_off, cat_off):
+                out.write(struct.pack("<Q", off))
+            _wv(out, len(block_offs))
+            for off in block_offs:
+                out.write(struct.pack("<Q", off))
+            out.write(struct.pack("<Q", trailer_off))
 
     def _encode_block(self, sym: SymbolData) -> tuple[bytes, list[int]]:
         m = sym.meta

@@ -29,9 +29,12 @@ records as a lazily-scanned DataFrame instead.
 
 from __future__ import annotations
 
+import heapq
 import math
 import os
 import pickle
+import shutil
+import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -190,12 +193,23 @@ class GdxCommitMessage(WriterCommitMessage):
 
 
 class GdxSymbolWriter(DataSourceWriter):
-    """Each task sorts its rows and ships a pickled sorted run; commit
-    merges runs (they are small relative to the final sorted block, and
-    a production path would stream-merge to disk)."""
+    """Distributed sort-then-merge write path. Each task spills its rows
+    as sorted runs of ≤SPILL_BATCH records to a run file in a temp dir
+    next to the output (on a cluster that path is shared storage, the
+    same place the .gdx itself lands — the FileOutputCommitter pattern);
+    the commit message carries only the run-file path and frame offsets,
+    never records. commit() k-way heap-merges the runs (each open run
+    streams one SLICE of records at a time) into the codec's streaming
+    encoder, so driver memory at commit is O(runs × slice), independent
+    of symbol size. The facade's write_file streams via toLocalIterator
+    for the multi-symbol case."""
+
+    SPILL_BATCH = 100_000  # records sorted per run frame on the executor
+    SLICE = 8_192  # records per pickle slice inside a frame (merge memory)
 
     def __init__(self, path: str, options, schema: StructType):
         self.path = path
+        self.run_dir = f"{path}.__gdx_runs__{uuid.uuid4().hex}"
         self.symbol = options.get("symbol") or "symbol"
         self.symtype = _TYPE_BY_NAME[options.get("symtype", "parameter")]
         self.expl = options.get("expl_text", "")
@@ -212,56 +226,134 @@ class GdxSymbolWriter(DataSourceWriter):
         self.schema = schema
 
     def write(self, rows):
-        recs = [tuple(r) for r in rows]
-        recs.sort(key=lambda r: r[: self._dim()])
-        return GdxCommitMessage(pickle.dumps(recs))
+        """Executor side: spill sorted runs, ship only their locations."""
+        dim = self._dim()
+        os.makedirs(self.run_dir, exist_ok=True)
+        run_path = os.path.join(self.run_dir, f"run-{uuid.uuid4().hex}.pkl")
+        offsets: list[int] = []
+        total = 0
+        with open(run_path, "wb") as f:
+            batch: list[tuple] = []
+
+            def flush() -> None:
+                if not batch:
+                    return
+                batch.sort(key=lambda r: r[:dim])
+                offsets.append(f.tell())
+                for i in range(0, len(batch), self.SLICE):
+                    pickle.dump(
+                        batch[i : i + self.SLICE], f, pickle.HIGHEST_PROTOCOL
+                    )
+                pickle.dump(None, f, pickle.HIGHEST_PROTOCOL)  # frame end
+                batch.clear()
+
+            for r in rows:
+                batch.append(tuple(r))
+                total += 1
+                if len(batch) >= self.SPILL_BATCH:
+                    flush()
+            flush()
+        if not total:
+            os.unlink(run_path)
+            run_path = None
+        return GdxCommitMessage(
+            pickle.dumps({"run": run_path, "offsets": offsets, "count": total})
+        )
 
     def _dim(self) -> int:
         return sum(1 for f in self.schema.fields if f.name.startswith("k"))
 
+    @staticmethod
+    def _frame_iter(path: str, offset: int):
+        """Stream one sorted frame from a run file, SLICE records at a
+        time (each heapq.merge input holds ≤ one slice in memory)."""
+        with open(path, "rb") as f:
+            f.seek(offset)
+            while True:
+                sl = pickle.load(f)
+                if sl is None:
+                    return
+                yield from sl
+
+    def _records(self, merged, dim: int, field_names: list[str]):
+        """Merged row tuples → codec (key, values, eps_mask, text) records."""
+        idx = {n: i for i, n in enumerate(field_names)}
+        if self.symtype == DT_SET:
+            ti = idx.get("text")
+            for r in merged:
+                yield r[:dim], (0.0,), 0, (r[ti] if ti is not None else "") or ""
+        elif self.symtype == DT_PAR:
+            vi, ei = idx["value"], idx.get("is_eps")
+            for r in merged:
+                is_eps = bool(r[ei]) if ei is not None else False
+                v = r[vi]
+                yield (
+                    r[:dim],
+                    (0.0 if is_eps else float(v if v is not None else math.nan),),
+                    1 if is_eps else 0,
+                    "",
+                )
+        else:
+            vis = [idx[f] for f in VALUE_FIELDS]
+            mi = idx.get("eps_mask")
+            for r in merged:
+                yield (
+                    r[:dim],
+                    tuple(
+                        float(r[i]) if r[i] is not None else math.nan for i in vis
+                    ),
+                    int(r[mi]) if mi is not None and r[mi] is not None else 0,
+                    "",
+                )
+
     def commit(self, messages):
         dim = self._dim()
         field_names = [f.name for f in self.schema.fields]
-        recs: list[tuple] = []
+        kcols = [f.name for f in self.schema.fields[:dim]]
+        if kcols != [f"k{i + 1}" for i in range(dim)]:
+            raise ValueError(
+                f"gdx: key columns k1..k{dim} must lead the schema, got "
+                f"{field_names}"
+            )
+        frames = []
         for msg in messages:
-            recs.extend(pickle.loads(msg.payload))
-        recs.sort(key=lambda r: r[:dim])
-
+            info = pickle.loads(msg.payload)
+            if info["run"]:
+                frames.extend((info["run"], off) for off in info["offsets"])
+        merged = heapq.merge(
+            *(self._frame_iter(p, off) for p, off in frames),
+            key=lambda r: r[:dim],
+        )
         meta = SymbolMeta(
             name=self.symbol, dim=dim, type=self.symtype, expl_text=self.expl
         )
-        data = SymbolData(meta=meta)
-        for r in recs:
-            row = dict(zip(field_names, r))
-            data.keys.append(tuple(row[f"k{i + 1}"] for i in range(dim)))
-            if self.symtype == DT_SET:
-                data.text.append(row.get("text") or "")
-                data.values.append((0.0,))
-                data.eps_mask.append(0)
-            elif self.symtype == DT_PAR:
-                v = row["value"]
-                data.values.append((0.0 if row.get("is_eps") else float(v if v is not None else math.nan),))
-                data.eps_mask.append(1 if row.get("is_eps") else 0)
-            else:
-                data.values.append(
-                    tuple(
-                        float(row[f]) if row[f] is not None else math.nan
-                        for f in VALUE_FIELDS
-                    )
-                )
-                data.eps_mask.append(int(row.get("eps_mask") or 0))
+        records = self._records(merged, dim, field_names)
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        if self.layout == "gams":
-            from gdxpy_spark.sources.gdx_gams import GamsGdxWriter
+        try:
+            if self.layout == "gams":
+                # the native layout targets interop with model-sized files,
+                # not fact-table scale — materialize (its writer needs the
+                # full record set to build the GAMS section layout)
+                from gdxpy_spark.sources.gdx_gams import GamsGdxWriter
 
-            w = GamsGdxWriter(self.path)
-        else:
-            w = GdxWriter(self.path, compress=self.compress)
-        w.add_symbol(data)
-        w.close()
+                data = SymbolData(meta=meta)
+                for key, vals, eps, txt in records:
+                    data.keys.append(key)
+                    data.values.append(vals)
+                    data.eps_mask.append(eps)
+                    data.text.append(txt)
+                w = GamsGdxWriter(self.path)
+                w.add_symbol(data)
+                w.close()
+            else:
+                w = GdxWriter(self.path, compress=self.compress)
+                w.add_symbol_streaming(meta, records)
+                w.close()
+        finally:
+            shutil.rmtree(self.run_dir, ignore_errors=True)
 
     def abort(self, messages):
-        pass
+        shutil.rmtree(self.run_dir, ignore_errors=True)
 
 
 class GdxDataSource(DataSource):

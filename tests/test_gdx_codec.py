@@ -204,3 +204,85 @@ def test_chunked_symbol_split_reads():
         assert len(whole.keys) == 505
     finally:
         codec.CHUNK = old
+
+
+def test_streaming_writer_matches_in_memory():
+    """add_symbol_streaming(sorted records) reads back the same content as
+    add_symbol, in both compression modes, and mixes with in-memory
+    symbols in one file."""
+    recs = sorted(
+        [
+            ((f"i{i % 7}", f"j{i}"), (float(i) * 1.5,), 0, "")
+            for i in range(300)
+        ]
+        + [(("i0", "jEPS"), (0.0,), 1, "")],
+        key=lambda r: r[0],
+    )
+    for compress in (False, True):
+        p_mem = _tmp(f"mem{compress}.gdx")
+        w = GdxWriter(p_mem, compress=compress)
+        w.add_symbol(
+            SymbolData(
+                meta=SymbolMeta("d", 2, DT_PAR),
+                keys=[r[0] for r in recs],
+                values=[r[1] for r in recs],
+                eps_mask=[r[2] for r in recs],
+            )
+        )
+        w.close()
+
+        p_st = _tmp(f"st{compress}.gdx")
+        w2 = GdxWriter(p_st, compress=compress)
+        w2.add_symbol(
+            SymbolData(
+                meta=SymbolMeta("front", 1, DT_SET),
+                keys=[("a",), ("b",)],
+                text=["", "bee"],
+                values=[(0.0,), (0.0,)],
+                eps_mask=[0, 0],
+            )
+        )
+        m = w2.add_symbol_streaming(SymbolMeta("d", 2, DT_PAR), iter(recs))
+        assert m.nrecs == len(recs)
+        w2.close()
+
+        a, b = GdxFile(p_mem), GdxFile(p_st)
+        got_a = a.read_records(a.find("d"))
+        got_b = b.read_records(b.find("d"))
+        assert sorted(zip(got_a.keys, got_a.values, got_a.eps_mask)) == sorted(
+            zip(got_b.keys, got_b.values, got_b.eps_mask)
+        )
+        front = b.read_records(b.find("front"))
+        assert front.text == ["", "bee"]
+
+
+def test_streaming_writer_chunked_and_constant_memory():
+    """A streamed symbol larger than one chunk splits into chunks exactly
+    like the in-memory path and never materializes its records."""
+    import gdxpy_spark.sources.gdx_codec as codec
+
+    old = codec.CHUNK
+    codec.CHUNK = 100
+    try:
+        path = _tmp("stream_chunks.gdx")
+        w = GdxWriter(path, compress=True)
+
+        def gen():
+            for i in range(505):
+                yield (f"a{i // 50:02d}", f"b{i:04d}"), (float(i),), 0, ""
+
+        w.add_symbol_streaming(SymbolMeta("big", 2, DT_PAR), gen())
+        w.close()
+        f = GdxFile(path)
+        idx = f.find("big")
+        assert f.n_chunks(idx) == 6
+        whole = f.read_records(idx)
+        assert len(whole.keys) == 505
+        assert whole.values[504] == (504.0,)
+        pieces: list = []
+        for c in range(f.n_chunks(idx)):
+            part = f.read_records(idx, chunk=c)
+            pieces.extend(zip(part.keys, part.values))
+        assert pieces == list(zip(whole.keys, whole.values))
+    finally:
+        codec.CHUNK = old

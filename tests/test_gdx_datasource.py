@@ -228,3 +228,66 @@ def test_to_pandas_multiindex(engine):
     assert "value" in pdf.columns and len(pdf) == 36
     scalar = engine.to_pandas(engine.symbol("n_orders"))
     assert list(scalar.columns) == ["value", "is_eps"]
+
+
+def test_write_spills_runs_not_records(spark, tmp_path, monkeypatch):
+    """The DataSource write path ships run-file locations, not records:
+    a symbol spanning several partitions and several spill frames commits
+    through the k-way merge + streaming encoder and round-trips exactly;
+    every commit message stays metadata-sized."""
+    import pickle
+
+    from gdxpy_spark.sources import gdx_datasource
+    from gdxpy_spark.sources.gdx_datasource import GdxSymbolWriter
+
+    gdx_datasource.register(spark)
+    monkeypatch.setattr(GdxSymbolWriter, "SPILL_BATCH", 64)
+    monkeypatch.setattr(GdxSymbolWriter, "SLICE", 16)
+
+    n = 1000
+    df = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("g"), (F.col("id") % 13).cast("string")).alias("k1"),
+            F.concat(F.lit("r"), F.format_string("%04d", F.col("id"))).alias("k2"),
+            (F.col("id") * 0.25).alias("value"),
+            (F.col("id") % 97 == 0).alias("is_eps"),
+        )
+        .repartition(7)
+    )
+    out = str(tmp_path / "spill.gdx")
+    (
+        df.write.format("gdx")
+        .option("symbol", "big")
+        .option("symtype", "parameter")
+        .mode("overwrite")
+        .save(out)
+    )
+
+    got = {
+        (r["k1"], r["k2"]): (r["value"], r["is_eps"])
+        for r in spark.read.format("gdx").option("symbol", "big").load(out).collect()
+    }
+    assert len(got) == n
+    for i in range(n):
+        k = (f"g{i % 13}", f"r{i:04d}")
+        want = (0.0, True) if i % 97 == 0 else (i * 0.25, False)
+        assert got[k] == want, (k, got[k], want)
+    # no leftover run dirs next to the output
+    assert [p for p in tmp_path.iterdir()] == [tmp_path / "spill.gdx"]
+
+    # a task's commit message is O(frames), never O(records)
+    w = GdxSymbolWriter(
+        str(tmp_path / "probe.gdx"),
+        {"symbol": "p", "symtype": "parameter"},
+        df.schema,
+    )
+    rows = [(f"a{i % 5}", f"b{i:03d}", float(i), False) for i in range(500)]
+    msg = w.write(iter(rows))
+    info = pickle.loads(msg.payload)
+    assert info["count"] == 500
+    assert len(info["offsets"]) == 8  # ceil(500/64) sorted frames
+    assert len(msg.payload) < 1000  # metadata, not data
+    import shutil
+
+    shutil.rmtree(w.run_dir, ignore_errors=True)
