@@ -380,10 +380,15 @@ def bitmask_jaccard_pairs(
             "bigint"
         ),
     )
+    # n_tok is the size of the collected *set*, not COUNT(*), so a caller
+    # passing a non-distinct (doc_id, bucket, token) stream still gets
+    # exact set-Jaccard (the size prefilter below is only exact when
+    # n_tok is the true set size)
     ids = (
         items.join(dic, ["bucket", "token"])
         .groupBy("doc_id", "bucket")
-        .agg(F.collect_set("tid").alias("ids"), F.count("*").alias("n_tok"))
+        .agg(F.collect_set("tid").alias("ids"))
+        .withColumn("n_tok", F.size("ids"))
     )
     mask = F.expr(
         f"aggregate(ids, array_repeat(0L, {n_words}),"
@@ -423,20 +428,95 @@ def bitmask_jaccard_pairs(
     )
 
 
+def blocked_jaccard_pandas(
+    spark: SparkSession, doc_tokens: DataFrame, threshold: float
+) -> DataFrame:
+    """Blocked exact set-Jaccard via per-bucket vectorized boolean matmul
+    (the llm_cosine_pairs physical strategy applied to sets).
+
+    Input: (doc_id, bucket, tokens ARRAY<STRING>) — one row per doc, the
+    token set NOT exploded. One shuffle (groupBy bucket); inside each
+    bucket an Arrow-batched applyInPandas factorizes the bucket's tokens
+    into a dense id space, builds an n_docs × vocab 0/1 matrix, and gets
+    ALL pairwise intersection counts from a single BLAS matmul
+    (B @ B.T). Jaccard = inter / (|a|+|b|-inter) on the upper triangle,
+    thresholded before anything is emitted.
+
+    Why this beats both relational strategies on near-duplicative
+    corpora (this corpus: median pairwise Jaccard ~0.63): the exploded
+    (bucket, token) equi-join fans out f² pair rows per hot token
+    (measured 16 s at sf0.1); the bitmask variant pays 3 shuffles +
+    per-pair mask folds over ⌈vocab/64⌉ longs (3.5 s). The matmul does
+    the same popcount arithmetic at BLAS speed with zero pair-row
+    traffic (measured ~1 s). The trade: a whole bucket must fit one
+    task's memory (n_docs × vocab bytes) — guaranteed here by the
+    blocking design, and the distributed bitmask_jaccard_pairs remains
+    the fallback shape for buckets that outgrow a task.
+
+    Contract: `tokens` must be duplicate-free per row (callers pass
+    array_distinct output); sizes are row-wise array lengths."""
+    import numpy as np
+    import pandas as pd
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series(dtype="int64"),
+                "doc_b": pd.Series(dtype="int64"),
+                "jaccard_raw": pd.Series(dtype="float64"),
+            }
+        )
+        if n < 2:
+            return empty
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        toks = pdf["tokens"].to_numpy()[order]
+        lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+        flat = [t for ts in toks for t in ts]
+        if not flat:
+            return empty
+        codes, uniques = pd.factorize(pd.array(flat))
+        B = np.zeros((n, len(uniques)), dtype=np.float32)
+        B[np.repeat(np.arange(n), lens), codes] = 1.0
+        inter = (B @ B.T).astype(np.float64)
+        sizes = lens.astype(np.float64)
+        union = sizes[:, None] + sizes[None, :] - inter
+        iu = np.triu_indices(n, 1)
+        jac = inter[iu] / np.maximum(union[iu], 1.0)
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": ids[iu[0][keep]],
+                "doc_b": ids[iu[1][keep]],
+                "jaccard_raw": jac[keep],
+            }
+        )
+
+    out = doc_tokens.groupBy("bucket").applyInPandas(
+        pairs, "doc_a BIGINT, doc_b BIGINT, jaccard_raw DOUBLE"
+    )
+    # round in Spark, not numpy: Spark/DuckDB ROUND is HALF_UP, np.round
+    # is half-even — rounding JVM-side keeps the oracle hash exact
+    return out.select("doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard"))
+
+
 @register("llm_length_blocking", oracle=_BLOCK_ORACLE, category="K")
 def llm_length_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates: block by length bucket (n_chars // 100), then
-    token-set Jaccard ≥ 0.2 within a block (see bitmask_jaccard_pairs
-    for the physical strategy)."""
+    token-set Jaccard ≥ 0.2 within a block. Word tokens on a highly
+    self-similar corpus route to the per-bucket matmul strategy
+    (blocked_jaccard_pandas — see its docstring for the three-way
+    strategy comparison); the trigram-shaped llm_ngram_jaccard keeps the
+    distributed bitmask strategy."""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         (F.col("n_chars") / 100).cast("bigint").alias("bucket"),
-        F.explode(F.array_remove(F.array_distinct(F.split("text", " ")), "")).alias(
-            "token"
-        ),
+        F.array_remove(F.array_distinct(F.split("text", " ")), "").alias("tokens"),
     )
-    return bitmask_jaccard_pairs(spark, tok, 0.2)
+    return blocked_jaccard_pandas(spark, tok, 0.2)
 
 
 _BRUTE_ORACLE = """
