@@ -1149,6 +1149,7 @@ def minhash_band_pairs(
     n_bands: int = 4,
     rows_per_band: int = 2,
     threshold: float = 0.5,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Banded-LSH near-duplicate pairs: MinHash signatures → band-key
     blocking → exact Jaccard verify. Returns (doc_a, doc_b, jaccard)
@@ -1171,9 +1172,19 @@ def minhash_band_pairs(
        approximation only ever costs recall, never precision.
 
     At 100 TB: the band join is an equi-shuffle on (band, bkey) whose
-    per-bucket sizes the S-curve bounds; skewed buckets (boilerplate
-    docs) are the residual risk — cap bucket size or salt. Verify cost
-    is |candidates| · avg-token-set, linear-ish by construction."""
+    per-bucket sizes the S-curve bounds. Skewed buckets (boilerplate /
+    templated docs hashing to one band key) are handled by a BUCKET CAP:
+    buckets with more than ``max_bucket`` docs switch from all-pairs to
+    REPRESENTATIVE CHAINING — every doc pairs only with the bucket's min
+    doc_id. That turns a b-sized bucket's b²/2 candidate pairs into b−1
+    while keeping every doc covered (nothing is silently dropped): for
+    true boilerplate the star edges all survive the exact verify and
+    connected components reassembles the full cluster through the hub;
+    for an accidental hash pile-up the verify kills the false edges at
+    linear cost instead of quadratic. The residual recall loss (two
+    similar docs in an oversized bucket that are NOT both similar to the
+    hub) still has n_bands−1 other bands to collide in. Verify cost is
+    |candidates| · avg-token-set, linear-ish by construction."""
     toks = _doc_token_sets(docs)
     n_perms = n_bands * rows_per_band
     assert n_perms <= len(_MINHASH_PERMS8), "not enough fixed permutations"
@@ -1194,18 +1205,26 @@ def minhash_band_pairs(
     banded = sig_df.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.bkey").alias("bkey"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+    # bucket sizes + hub (min doc_id) — an aggregate on the same
+    # (band, bkey) key the pair join shuffles on, so the exchange is
+    # shared; rows are (band, bkey, bsize, rep): metadata-sized
+    bsz = banded.groupBy("band", "bkey").agg(
+        F.count("*").alias("bsize"), F.min("doc_id").alias("rep")
     )
+    bd = banded.join(bsz, ["band", "bkey"])
+    small = bd.filter(F.col("bsize") <= max_bucket).select("doc_id", "band", "bkey")
+    a = small.alias("a")
+    b = small.alias("b")
+    all_pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    star_pairs = bd.filter(
+        (F.col("bsize") > max_bucket) & (F.col("doc_id") != F.col("rep"))
+    ).select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    cand = all_pairs.unionByName(star_pairs).distinct()
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("tok_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("tok_b"))
     verified = (

@@ -255,3 +255,44 @@ def test_dedup_clusters_on_corpus(spark):
     keeps = {r["kept_id"] for r in out}
     assert all(r["kept_id"] < r["dup_id"] for r in out)
     assert not (dups & keeps), "a kept doc may not also be a duplicate"
+
+
+def test_minhash_band_cap_boilerplate_subquadratic(spark):
+    """Band-bucket skew cap: 600 identical-template docs collapse every
+    band into ONE oversized bucket. Without the cap that is 600·599/2 ≈
+    180k verified pairs (all Jaccard 1.0); with representative chaining
+    the candidate AND output pair count is linear (599 star edges), the
+    template cluster still reassembles into a single component through
+    the hub, and planted near-dups among the distinct docs keep full
+    recall."""
+    from gdxpy_spark.operators.llm import connected_components, minhash_band_pairs
+
+    template = " ".join(f"tmpl{k}" for k in range(30))
+    rows = [(d, template) for d in range(600)]
+    for d in range(50):  # mutually-disjoint distinct docs
+        rows.append((10_000 + d, " ".join(f"u{d}_{k}" for k in range(20))))
+    for d in range(5):  # planted near-dup of distinct doc d
+        rows.append(
+            (20_000 + d, " ".join(f"u{d}_{k}" for k in range(19)) + " zzq")
+        )
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    pairs = minhash_band_pairs(docs).collect()
+    pset = {(r["doc_a"], r["doc_b"]) for r in pairs}
+
+    # linear, not quadratic: star edges + planted pairs, nowhere near 180k
+    assert len(pset) < 3 * 655, f"cap failed: {len(pset)} pairs"
+    # every boilerplate doc is covered (hub 0 links to all 599 others)
+    assert {(0, d) for d in range(1, 600)} <= pset
+    # planted near-dups keep full recall (their buckets are small)
+    for d in range(5):
+        assert (10_000 + d, 20_000 + d) in pset, f"planted pair {d} missed"
+
+    # transitive reassembly: one component spanning all 600 templates
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pset], "doc_a BIGINT, doc_b BIGINT"
+    )
+    cc = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(spark, edges).collect()
+    }
+    assert len({cc[d] for d in range(600)}) == 1
