@@ -168,7 +168,14 @@ def llm_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    # NULL labels form their own applyInPandas group, but the equi-join
+    # semantics this operator models (and the SQL oracle) drop them —
+    # filter explicitly so the two stay aligned if nulls ever appear
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .filter(F.col("label").isNotNull())
+    )
 
     def pairs_in_label(pdf: "pd.DataFrame") -> "pd.DataFrame":
         if len(pdf) < 2:
@@ -244,7 +251,13 @@ def llm_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1: interpreted higher-order functions per pair vs one vectorized
     matmul per block). Because every vector has exactly one label, the
     per-block best IS the global best — no second shuffle, no window."""
-    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    # NULL-label rows would group together and emit pairs; the modeled
+    # equi-join (and the oracle) drop them — keep semantics join-aligned
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .filter(F.col("label").isNotNull())
+    )
 
     return (
         e.groupBy("label")

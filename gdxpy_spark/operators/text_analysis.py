@@ -295,9 +295,11 @@ WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
   FROM documents),
 bi AS (
+  -- per-row series via unnest(range(...)) so the bound is each doc's
+  -- own token count, not a magic constant that would silently drop
+  -- bigrams past it (generate_series can't take a subquery bound)
   SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
-  FROM toks CROSS JOIN generate_series(1, 10000) AS t(i)
-  WHERE i < len(ts)),
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i FROM toks)),
 cb AS (SELECT w1, w2, COUNT(*) AS nb FROM bi GROUP BY w1, w2),
 cu AS (SELECT w1, COUNT(*) AS nu FROM bi GROUP BY w1),
 scored AS (
