@@ -3,6 +3,16 @@
 Thin shim over gdxpy_spark: the engine's query inventory (SURVEY.md §2.2)
 registers itself in gdxpy_spark.registry; this module re-exposes it in
 the driver's shape. See gdxpy_spark/ for the implementation.
+
+ENV-GATED QUERY: `stream_stateful_typed` (SURVEY §2.2.H) is implemented
+at gdxpy_spark/streaming/replay.py but registers ONLY when the
+`google.protobuf` Python package imports — Spark 4's
+transformWithStateInPandas state server requires it and this container
+does not ship it (SURVEY §0 environment constraint). While absent, the
+query is missing from queries() by design (the driver records no row);
+its applyInPandasWithState twin `stream_stateful_running` covers the
+arbitrary-stateful surface, and a twin-equivalence test
+(tests/test_streaming.py) auto-activates the moment protobuf appears.
 """
 
 from __future__ import annotations

@@ -93,17 +93,36 @@ def test_partitioned_scan_prunes_partitions(spark):
     )
 
 
-def test_bitmask_dictionary_window_is_partitioned(spark):
-    """The bitmask token dictionary must use the two-phase partitioned
-    ranking, never a global single-partition sort: no `Exchange
-    SinglePartition` feeding a Window anywhere in llm_length_blocking /
-    llm_ngram_jaccard (round-1 scale-killer)."""
+def test_jaccard_plans_have_no_single_partition_exchange(spark):
+    """No `Exchange SinglePartition` anywhere in the Jaccard family
+    (round-1 scale-killer was a global-sort dictionary window). Checked
+    on the registered queries (now per-bucket matmul) AND directly on
+    bitmask_jaccard_pairs — the distributed fallback for buckets that
+    outgrow one task — whose token dictionary must keep the two-phase
+    PARTITIONED ranking."""
+    from pyspark.sql import functions as F
+
+    from gdxpy_spark.operators.llm import bitmask_jaccard_pairs
+    from gdxpy_spark.tables import table
+
     for name in ("llm_length_blocking", "llm_ngram_jaccard"):
         plan = formatted_plan(_df(spark, name))
         assert "SinglePartition" not in plan, (
             f"{name}: single-partition exchange in plan (global sort "
             "window came back)"
         )
+    tok = table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        (F.col("n_chars") / 100).cast("bigint").alias("bucket"),
+        F.explode(F.array_remove(F.array_distinct(F.split("text", " ")), "")).alias(
+            "token"
+        ),
+    )
+    plan = formatted_plan(bitmask_jaccard_pairs(spark, tok, 0.2))
+    spark.catalog.clearCache()
+    assert "SinglePartition" not in plan, (
+        "bitmask_jaccard_pairs: single-partition exchange in plan"
+    )
 
 
 def test_knn_brute_and_embed_dedup_have_no_driver_collect(spark):

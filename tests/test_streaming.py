@@ -162,3 +162,26 @@ def test_stateful_typed_counts_converge(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stateful_typed_equals_apply_in_pandas_twin(spark):
+    """Twin equivalence: the typed-state path (transformWithStateInPandas)
+    and the applyInPandasWithState path must produce identical final
+    per-user counts over the same replay fixture — the typed API is a
+    drop-in successor, not a semantic change. Env-gated like its sibling;
+    auto-activates if google.protobuf ever appears in the container."""
+    import pytest
+
+    from gdxpy_spark.streaming.replay import _has_protobuf, stream_stateful_typed
+
+    if not _has_protobuf():
+        pytest.skip("google.protobuf absent — transformWithState needs it")
+    typed = {
+        r["user_id"]: r["running_count"]
+        for r in stream_stateful_typed(spark, SF_DIR).collect()
+    }
+    twin = {
+        r["user_id"]: r["running_count"]
+        for r in ALL["stream_stateful_running"].fn(spark, SF_DIR).collect()
+    }
+    assert typed == twin

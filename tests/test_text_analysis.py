@@ -296,3 +296,31 @@ def test_minhash_band_cap_boilerplate_subquadratic(spark):
         for r in connected_components(spark, edges).collect()
     }
     assert len({cc[d] for d in range(600)}) == 1
+
+
+def test_bitmask_fallback_agrees_with_matmul_strategy(spark):
+    """bitmask_jaccard_pairs (the fully-distributed fallback for buckets
+    that outgrow one task) must produce exactly the pairs the per-bucket
+    matmul strategy produces — same blocking, same exact Jaccard."""
+    from gdxpy_spark.operators.llm import (
+        bitmask_jaccard_pairs,
+        blocked_jaccard_pandas,
+    )
+
+    docs = table(spark, SF_DIR, "documents")
+    exploded = docs.select(
+        "doc_id",
+        (F.col("n_chars") / 100).cast("bigint").alias("bucket"),
+        F.explode(F.array_remove(F.array_distinct(F.split("text", " ")), "")).alias(
+            "token"
+        ),
+    )
+    arrays = docs.select(
+        "doc_id",
+        (F.col("n_chars") / 100).cast("bigint").alias("bucket"),
+        F.array_remove(F.array_distinct(F.split("text", " ")), "").alias("tokens"),
+    )
+    a = sorted(tuple(r) for r in bitmask_jaccard_pairs(spark, exploded, 0.2).collect())
+    spark.catalog.clearCache()
+    b = sorted(tuple(r) for r in blocked_jaccard_pandas(spark, arrays, 0.2).collect())
+    assert a == b and len(a) > 0
