@@ -17,7 +17,7 @@ at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 # Decimal wide enough for sf0.1 sums with headroom; Long-backed (<=18 digits).
 _DEC = "decimal(18,6)"
@@ -67,6 +67,57 @@ def money4(c: Column | str, alias: str) -> Column:
 
 def sql_money4(expr: str, alias: str) -> str:
     return f"CAST(ROUND(CAST(({expr}) AS DECIMAL(18,6)), 4) AS DOUBLE) AS {alias}"
+
+
+# monotonically_increasing_id's documented layout: partition id in the
+# upper 31 bits, per-partition record number in the lower 33.
+_MID_LOCAL_MASK = (1 << 33) - 1
+
+
+def global_row_number(df: DataFrame, order_cols, out_col: str = "rn") -> DataFrame:
+    """Scalable global ROW_NUMBER() OVER (ORDER BY ...): the two-pass
+    partition-offset rank, with no single-partition exchange anywhere.
+
+    A plain `row_number().over(Window.orderBy(...))` funnels the whole
+    table through ONE WindowExec task — the classic 100 TB killer. Here:
+
+    1. `repartitionByRange` on the sort key → partitions are globally
+       ordered (partition i's rows all sort before partition i+1's);
+    2. `sortWithinPartitions` orders rows inside each partition;
+    3. each row's (partition, local row number) comes straight from
+       `monotonically_increasing_id`'s documented bit layout — no
+       WindowExec at all;
+    4. `localCheckpoint` pins partition ids so the counts branch and the
+       output branch see the same physical partitioning even if AQE
+       re-plans (and makes the range shuffle compute once, not twice);
+    5. per-partition row counts (metadata-sized: one row per partition)
+       self-join into cumulative start offsets, broadcast back, added.
+
+    The biggest structure any one task ever holds is one range partition;
+    the only driver-sized state is the counts aggregate. `order_cols`
+    must be a total order (include a unique tiebreak column) for the rank
+    to be deterministic.
+    """
+    part = (
+        df.repartitionByRange(*order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+        .withColumn("_local", F.col("_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK)))
+        .localCheckpoint(eager=False)
+    )
+    counts = part.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    prior = counts.select(F.col("_pid").alias("_p2"), F.col("_cnt").alias("_c2"))
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("_p2") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off"))
+    )
+    return (
+        part.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_local") + F.col("_off") + 1).cast("bigint"))
+        .drop("_mid", "_pid", "_local", "_off")
+    )
 
 
 # DuckDB-side equivalents (string templates for oracle SQL)

@@ -9,9 +9,9 @@ GdxEngine facade in gdxpy_spark.api.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gdxpy_spark.operators._util import dsum, r4, sql_dsum
+from gdxpy_spark.operators._util import dsum, global_row_number, r4, sql_dsum
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
 
@@ -31,9 +31,11 @@ FROM (SELECT n_name AS label FROM nation
 def gdx_uel_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GDX UEL table (R6): a dense, ordered id ↔ label dictionary over
     every label in a column set. In GDX this is the file-global string
-    dictionary; here it's distinct-union + row_number. At scale the
-    distinct is a shuffle on label; the single ordered window is fine
-    because a UEL dictionary is dimension-sized, not fact-sized."""
+    dictionary; here it's distinct-union + a two-pass partition-offset
+    rank (global_row_number). The format spec allows 2^31 UELs, so the
+    dense ids must NOT come from a single global-order window — the
+    distinct shuffles on label, then each range partition ranks locally
+    and adds a metadata-sized offset."""
     nation = table(spark, sf_dir, "nation")
     region = table(spark, sf_dir, "region")
     cust = table(spark, sf_dir, "customer")
@@ -43,8 +45,9 @@ def gdx_uel_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cust.select("c_mktsegment"))
         .distinct()
     )
-    w = W.orderBy("label")
-    return labels.select(F.row_number().over(w).cast("bigint").alias("uel_id"), "label")
+    return global_row_number(labels, [F.col("label").asc()], out_col="uel_id").select(
+        "uel_id", "label"
+    )
 
 
 @register(

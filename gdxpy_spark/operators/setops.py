@@ -7,8 +7,9 @@ verifies NULLS FIRST/LAST and tiebreak behavior.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from gdxpy_spark.operators._util import global_row_number
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
 
@@ -26,21 +27,25 @@ FROM orders
 )
 def sort_multi_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column sort with injected NULLs, NULLS FIRST vs LAST; the
-    rank column materializes the order so the hash check can see it."""
+    rank column materializes the order so the hash check can see it.
+
+    The rank is the two-pass partition-offset rank (global_row_number),
+    NOT a global-order window: orders is fact-sized, and a single
+    WindowExec over the whole table is the one-task bottleneck at scale.
+    o_orderkey makes the order total, so the rank is deterministic."""
     od = table(spark, sf_dir, "orders").withColumn(
         "null_status", F.expr("nullif(o_orderstatus, 'P')")
     )
-    w = W.orderBy(
-        F.col("null_status").asc_nulls_first(),
-        F.col("o_totalprice").desc_nulls_last(),
-        F.col("o_orderkey").asc(),
+    ranked = global_row_number(
+        od,
+        [
+            F.col("null_status").asc_nulls_first(),
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderkey").asc(),
+        ],
+        out_col="rn",
     )
-    return od.select(
-        F.row_number().over(w).alias("rn"),
-        "o_orderkey",
-        "null_status",
-        "o_totalprice",
-    )
+    return ranked.select("rn", "o_orderkey", "null_status", "o_totalprice")
 
 
 @register(

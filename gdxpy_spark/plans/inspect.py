@@ -35,3 +35,24 @@ def read_schema(df: DataFrame) -> str:
     return "\n".join(
         line.strip() for line in plan.splitlines() if "ReadSchema" in line
     )
+
+
+def has_unpartitioned_window(df: DataFrame) -> bool:
+    """True if the optimized logical plan contains a Window with an empty
+    PARTITION BY — the shape that physically funnels the whole input
+    through ONE WindowExec task (Exchange SinglePartition → Window).
+
+    Checked semantically on the logical plan rather than by grepping the
+    physical plan string, because 'SinglePartition' also appears for
+    benign metadata-sized shapes (a global aggregate's one-row final
+    stage) and partitioned windows print their partition columns inside
+    the same windowspecdefinition(...) text."""
+    stack = [df._jdf.queryExecution().optimizedPlan()]  # noqa: SLF001
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Window" and node.partitionSpec().isEmpty():
+            return True
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return False

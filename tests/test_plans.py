@@ -125,6 +125,28 @@ def test_jaccard_plans_have_no_single_partition_exchange(spark):
     )
 
 
+def test_no_single_partition_window_anywhere(spark):
+    """No registered query may rank/order through an unpartitioned Window
+    (Exchange SinglePartition → WindowExec: the whole table in one task).
+    sort_multi_nulls and gdx_uel_dictionary used to — both now use the
+    two-pass partition-offset rank (global_row_number). The only allowed
+    exception is win_ntile_pct, the documented bounded-input exact twin
+    of win_ntile_pct_sketch."""
+    from gdxpy_spark.plans.inspect import has_unpartitioned_window
+
+    offenders = []
+    for name, q in ALL.items():
+        if name == "win_ntile_pct" or name.startswith("stream_"):
+            continue
+        try:
+            df = q.fn(spark, SF_DIR)
+        except Exception:
+            continue
+        if has_unpartitioned_window(df):
+            offenders.append(name)
+    assert not offenders, f"unpartitioned global windows: {offenders}"
+
+
 def test_knn_brute_and_embed_dedup_have_no_driver_collect(spark):
     """Regression guard for the round-1 anti-pattern: building these
     plans must not trigger any Spark job (the old versions .collect()ed
