@@ -853,38 +853,98 @@ def _lsh_signature(n_bits: int = 6, dim: int = 64):
     return sig
 
 
-@register("llm_ann_lsh", oracle=None, category="K")  # weak: approximate by design
-def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate nearest neighbor: 6 fixed random-
-    hyperplane sign bits form the bucket key; candidate pairs form only
-    within a bucket, then exact cosine + top-1 per vector. Recall
-    against llm_knn_brute is a planted-near-duplicate test
-    (tests/test_ann.py) — on this corpus's near-orthogonal vectors
-    bucket collisions are rare by construction, which is precisely the
-    property that makes the join linear-ish at 100 TB: E[pairs] =
-    n²·P(collision), and P is driven down exponentially by adding bits.
-    Cache lifetime: the bucketed frame is cached for the self-join;
-    callers running many queries per session clear with
-    spark.catalog.clearCache() (bench.py does)."""
-    e = _with_norm(table(spark, sf_dir, "embeddings"))
-    bucketed = e.withColumn("bucket", _lsh_signature()).cache()
-    a = bucketed.alias("a")
-    b = bucketed.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") != F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_id"),
-        F.col("b.vec_id").alias("nn_id"),
-        (
-            _dot(F.col("a.embedding"), F.col("b.embedding"))
-            / (F.col("a.norm") * F.col("b.norm"))
-        ).alias("cos_sim"),
+def _auto_n_bits(n: int, target_bucket: int = 32, lo: int = 6, hi: int = 24) -> int:
+    """Size the hyperplane count from the corpus so buckets stay
+    target-sized: 2^n_bits buckets ⇒ E[bucket] ≈ n / 2^n_bits. A FIXED
+    bit count is quadratic at scale (E[within-bucket pairs] = n²/2^bits
+    grows as n²), so bits must grow with log₂(n/target). `lo` keeps
+    test-scale corpora on the historical 6-bit signature; `hi` bounds
+    plane-evaluation cost (24 bits ≈ 0.5G vectors at target 32)."""
+    import math
+
+    if n <= target_bucket:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target_bucket))))
+
+
+def lsh_candidate_pairs(
+    bucketed: DataFrame, n_probe_bits: int = 0, max_bucket: int = 64
+) -> DataFrame:
+    """ANN candidate id pairs (vec_id, nn_id) from (vec_id, bucket) rows
+    — ids only; embeddings NEVER ride the bucket join (same design rule
+    as minhash_band_pairs: the skew-prone shuffle carries two longs per
+    row, the fat arrays join back per-candidate afterwards).
+
+    Skew cap, ported from minhash_band_pairs: buckets larger than
+    ``max_bucket`` (boilerplate / duplicated vectors collapsing into one
+    signature) switch from all-pairs to REPRESENTATIVE CHAINING — the
+    bucket's min vec_id stands in as the index entry, every member pairs
+    with it (both directions, so the hub also receives its members as
+    candidates). A b-sized bucket costs O(b) candidates instead of b²,
+    every vector still gets ≥1 candidate, and the residual recall loss
+    is the approximate-by-design contract the weak check declares.
+
+    ``n_probe_bits`` > 0 adds query-side multiprobe: each vector also
+    probes the Hamming-1 flips of its own bucket key (index side stays
+    single-bucket — the standard multiprobe trade)."""
+    bsz = bucketed.groupBy("bucket").agg(
+        F.count("*").alias("bsize"), F.min("vec_id").alias("rep")
+    )
+    bd = bucketed.join(bsz, "bucket")
+    idx_small = bd.filter(F.col("bsize") <= max_bucket).select("bucket", "vec_id")
+    idx_rep = (
+        bd.filter(F.col("bsize") > max_bucket)
+        .select("bucket", F.col("rep").alias("vec_id"))
+        .distinct()
+    )
+    index_ids = idx_small.unionByName(idx_rep)
+    if n_probe_bits > 0:
+        probes_arr = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_probe_bits)],
+        )
+        q_ids = bucketed.select(
+            "vec_id", F.explode(probes_arr).alias("bucket")
+        )
+    else:
+        q_ids = bucketed
+    q = q_ids.alias("q")
+    x = index_ids.alias("x")
+    cand = q.join(x, F.col("q.bucket") == F.col("x.bucket")).filter(
+        F.col("q.vec_id") != F.col("x.vec_id")
+    ).select(F.col("q.vec_id").alias("vec_id"), F.col("x.vec_id").alias("nn_id"))
+    # hub → members back-edges for capped buckets (members already get
+    # hub as a candidate via the join; this gives the hub its side)
+    star_back = bd.filter(
+        (F.col("bsize") > max_bucket) & (F.col("vec_id") != F.col("rep"))
+    ).select(F.col("rep").alias("vec_id"), F.col("vec_id").alias("nn_id"))
+    return cand.unionByName(star_back).distinct()
+
+
+def _cosine_top1(e: DataFrame, cand: DataFrame) -> DataFrame:
+    """Join candidate id pairs back to their embeddings, exact cosine,
+    keep each vector's best neighbor (window partitioned by vec_id —
+    never a global window)."""
+    ea = e.select("vec_id", F.col("embedding").alias("emb_a"), F.col("norm").alias("norm_a"))
+    eb = e.select(
+        F.col("vec_id").alias("nn_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    scored = (
+        cand.join(ea, "vec_id")
+        .join(eb, "nn_id")
+        .select(
+            "vec_id",
+            "nn_id",
+            (_dot(F.col("emb_a"), F.col("emb_b")) / (F.col("norm_a") * F.col("norm_b"))).alias(
+                "cos_sim"
+            ),
+        )
     )
     w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id").asc())
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select(
             "vec_id",
@@ -892,54 +952,42 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
         )
     )
+
+
+@register("llm_ann_lsh", oracle=None, category="K")  # weak: approximate by design
+def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbor: corpus-sized random-
+    hyperplane sign bits (_auto_n_bits: n_bits grows with log₂(n), so
+    E[bucket] stays ~constant instead of E[pairs] growing as n²) form
+    the bucket key; candidate id pairs form only within a bucket with
+    the representative-chaining cap (lsh_candidate_pairs), then exact
+    cosine + top-1 per vector. The corpus count is one metadata-sized
+    parquet count-star. Recall against llm_knn_brute is pinned by a
+    planted-near-duplicate test (tests/test_ann.py); the skew cap by a
+    planted-boilerplate test. Cache lifetime: the (vec_id, bucket) frame
+    (two longs per row) is cached for the self-join; bench.py clears
+    with spark.catalog.clearCache()."""
+    e = _with_norm(table(spark, sf_dir, "embeddings"))
+    n_bits = _auto_n_bits(e.count())
+    bucketed = e.select("vec_id", _lsh_signature(n_bits).alias("bucket")).cache()
+    return _cosine_top1(e, lsh_candidate_pairs(bucketed))
 
 
 @register("llm_ann_lsh_multiprobe", oracle=None, category="K")  # weak: approximate
 def llm_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiprobe hyperplane LSH: each QUERY vector probes its own
-    bucket plus the 6 Hamming-1 neighbors (one sign bit flipped), the
-    INDEX side stays single-bucket — recall rises toward the L-table
-    OR-construction's without duplicating the index or adding tables
-    (the standard multiprobe trade: fan-out × (1+bits) on the query
-    side only). Candidate pairs still form by bucket equi-join, so the
-    subquadratic property is preserved; exact cosine verifies, top-1
-    per vector. Recall ≥ single-probe llm_ann_lsh is pinned in
+    bucket plus all n_bits Hamming-1 neighbors (one sign bit flipped),
+    the INDEX side stays single-bucket — recall rises toward the
+    L-table OR-construction's without duplicating the index (the
+    standard multiprobe trade: fan-out × (1+bits) on the query side
+    only). n_bits is corpus-sized and buckets are skew-capped exactly
+    as in llm_ann_lsh, so the multiprobe candidate set is a superset of
+    the single-probe one at every scale — recall dominance is pinned in
     tests/test_ann.py."""
     e = _with_norm(table(spark, sf_dir, "embeddings"))
-    indexed = e.withColumn("bucket", _lsh_signature()).cache()
-    # query-side fan-out: own bucket + the 6 Hamming-1 buckets
-    probes_arr = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(6)],
-    )
-    queries = indexed.select(
-        F.col("vec_id"), F.col("embedding"), F.col("norm"),
-        F.explode(probes_arr).alias("bucket"),
-    )
-    q = queries.alias("q")
-    x = indexed.alias("x")
-    pairs = q.join(
-        x,
-        (F.col("q.bucket") == F.col("x.bucket"))
-        & (F.col("q.vec_id") != F.col("x.vec_id")),
-    ).select(
-        F.col("q.vec_id").alias("vec_id"),
-        F.col("x.vec_id").alias("nn_id"),
-        (
-            _dot(F.col("q.embedding"), F.col("x.embedding"))
-            / (F.col("q.norm") * F.col("x.norm"))
-        ).alias("cos_sim"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id").asc())
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "nn_id",
-            (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
-        )
-    )
+    n_bits = _auto_n_bits(e.count())
+    bucketed = e.select("vec_id", _lsh_signature(n_bits).alias("bucket")).cache()
+    return _cosine_top1(e, lsh_candidate_pairs(bucketed, n_probe_bits=n_bits))
 
 
 @register("llm_ann_ivf", oracle=None, category="K")  # weak: approximate by design

@@ -96,6 +96,45 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert r_multi >= 0.2, f"multiprobe recall {r_multi:.2f} suspiciously low"
 
 
+def test_lsh_candidates_capped_on_planted_boilerplate(spark):
+    """A boilerplate cluster (hundreds of near-identical vectors → one
+    LSH bucket) must cost O(cluster) candidates via representative
+    chaining, not cluster² — the 100 TB skew property. Every member must
+    still receive ≥1 candidate (nothing silently dropped)."""
+    from gdxpy_spark.operators.llm import lsh_candidate_pairs
+
+    n_boiler, n_rand, cap = 300, 200, 64
+    rng = random.Random(11)
+    rows = [(i, 0) for i in range(n_boiler)]  # one giant bucket
+    rows += [(n_boiler + i, 1 + rng.randrange(63)) for i in range(n_rand)]
+    bucketed = spark.createDataFrame(rows, "vec_id BIGINT, bucket BIGINT")
+
+    for probes in (0, 6):
+        cand = lsh_candidate_pairs(bucketed, n_probe_bits=probes, max_bucket=cap)
+        n_cand = cand.count()
+        n = n_boiler + n_rand
+        # uncapped boilerplate alone would be n_boiler*(n_boiler-1) ≈ 90k
+        bound = n * (probes + 1) * cap + 2 * n
+        assert n_cand <= bound, f"probes={probes}: {n_cand} candidates > {bound}"
+        assert n_cand < n_boiler * (n_boiler - 1) / 2, "cap did not engage"
+        # every CAPPED-bucket member must still get ≥1 candidate (random-
+        # bucket singletons legitimately have none at probes=0)
+        covered = (
+            cand.filter(F.col("vec_id") < n_boiler).select("vec_id").distinct().count()
+        )
+        assert covered == n_boiler, f"only {covered}/{n_boiler} capped members covered"
+
+
+def test_lsh_nbits_scales_with_corpus():
+    from gdxpy_spark.operators.llm import _auto_n_bits
+
+    assert _auto_n_bits(500) == 6          # test-scale floor: unchanged behavior
+    assert _auto_n_bits(10_000) == 9       # ceil(log2(10000/32))
+    assert _auto_n_bits(1_000_000) == 15
+    assert _auto_n_bits(10**9) == 24       # hi bound
+    assert _auto_n_bits(10) == 6
+
+
 def test_embed_dedup_finds_planted_dups(spark, planted_dir):
     out = {r["dup_id"]: r["kept_id"] for r in ALL["llm_embed_dedup"].fn(spark, planted_dir).collect()}
     for i in range(N_PLANT):
