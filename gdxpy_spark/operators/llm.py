@@ -515,21 +515,68 @@ def blocked_jaccard_pandas(
     return out.select("doc_a", "doc_b", F.round("jaccard_raw", 4).alias("jaccard"))
 
 
+def blocked_jaccard_auto(
+    spark: SparkSession,
+    doc_tokens: DataFrame,
+    threshold: float,
+    max_cells: int = 1 << 28,
+) -> DataFrame:
+    """Blocked exact set-Jaccard with AUTOMATIC per-bucket strategy
+    routing: buckets that fit one task's memory go through the BLAS
+    matmul (blocked_jaccard_pandas, fastest measured strategy); buckets
+    that would not are routed to the fully-distributed bitmask path
+    (bitmask_jaccard_pairs) instead of OOMing a Python worker.
+
+    The probe is ONE aggregate over the doc-level frame (one output row
+    per bucket — metadata-sized): n_docs and Σ|token set|. A bucket is
+    oversized when either bound can break the matmul's memory model —
+    the n_docs × vocab indicator matrix (vocab ≤ Σ|tokens| is the
+    data-independent upper bound; the true vocab needs the explode the
+    probe exists to avoid) or the n_docs × n_docs intersection matrix:
+
+        is_big  ⇔  n_docs·Σtok > max_cells  ∨  n_docs² > max_cells
+
+    max_cells = 2²⁸ ≈ 1 GiB of float32 — conservative for a worker with
+    a few GiB. Routing is in-plan (broadcast join on the per-bucket flag
+    — no driver collect, no action at plan time); both strategies
+    compute EXACT Jaccard, so routing never changes results, only the
+    physical plan. Length-blocked bucket populations grow linearly with
+    the corpus, so at 100 TB the big-bucket branch is not an edge case —
+    it is where the volume lands, and it degrades to the 3-shuffle
+    bitmask plan rather than a task OOM."""
+    doc_tokens = doc_tokens.cache()
+    flags = doc_tokens.groupBy("bucket").agg(
+        (
+            (F.count("*") * F.sum(F.size("tokens")) > F.lit(max_cells))
+            | (F.count("*") * F.count("*") > F.lit(max_cells))
+        ).alias("is_big")
+    )
+    dt = doc_tokens.join(F.broadcast(flags), "bucket")
+    small = dt.filter(~F.col("is_big")).select("doc_id", "bucket", "tokens")
+    big = (
+        dt.filter(F.col("is_big"))
+        .select("doc_id", "bucket", F.explode("tokens").alias("token"))
+    )
+    return blocked_jaccard_pandas(spark, small, threshold).unionByName(
+        bitmask_jaccard_pairs(spark, big, threshold)
+    )
+
+
 @register("llm_length_blocking", oracle=_BLOCK_ORACLE, category="K")
 def llm_length_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates: block by length bucket (n_chars // 100), then
     token-set Jaccard ≥ 0.2 within a block. Word tokens on a highly
-    self-similar corpus route to the per-bucket matmul strategy
-    (blocked_jaccard_pandas — see its docstring for the three-way
-    strategy comparison); the trigram-shaped llm_ngram_jaccard keeps the
-    distributed bitmask strategy."""
+    self-similar corpus route through blocked_jaccard_auto: per-bucket
+    matmul for task-sized buckets, distributed bitmask for oversized
+    ones (see blocked_jaccard_auto / blocked_jaccard_pandas docstrings
+    for the strategy comparison and memory model)."""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
         (F.col("n_chars") / 100).cast("bigint").alias("bucket"),
         F.array_remove(F.array_distinct(F.split("text", " ")), "").alias("tokens"),
     )
-    return blocked_jaccard_pandas(spark, tok, 0.2)
+    return blocked_jaccard_auto(spark, tok, 0.2)
 
 
 _BRUTE_ORACLE = """

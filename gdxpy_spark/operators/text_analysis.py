@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdxpy_spark.operators._util import r4
-from gdxpy_spark.operators.llm import blocked_jaccard_pandas
+from gdxpy_spark.operators.llm import blocked_jaccard_auto
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
 
@@ -392,12 +392,13 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.8
 @register("llm_ngram_jaccard", oracle=_NGRAM_ORACLE, category="K")
 def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram shingle Jaccard ≥ 0.8 within length buckets —
-    the shingling used by classic near-dup (Broder) pipelines. Routes to
-    the per-bucket matmul strategy (blocked_jaccard_pandas — measured
-    3.8 s → 1.6 s over the distributed bitmask path at sf0.1); trigram
-    vocabulary is bounded (≤ alphabet³) so per-bucket matrices stay
-    small at any corpus scale, and bitmask_jaccard_pairs remains the
-    fully-distributed fallback shape for buckets that outgrow a task."""
+    the shingling used by classic near-dup (Broder) pipelines. Routes
+    through blocked_jaccard_auto: per-bucket matmul (measured 3.8 s →
+    1.6 s over the distributed bitmask path at sf0.1) while the bucket
+    fits a task, automatic bitmask_jaccard_pairs fallback for buckets
+    that outgrow one (trigram vocab is bounded by alphabet³, but bucket
+    POPULATIONS grow with the corpus — the n_docs² bound is the one
+    that trips at scale)."""
     docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     # shingle via a char array + element_at: substring(text, i, 3) per
     # position is O(i) on UTF8 strings (quadratic per doc); splitting
@@ -417,7 +418,7 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             shingles.alias("tokens"),
         )
     )
-    return blocked_jaccard_pandas(spark, sh, 0.8)
+    return blocked_jaccard_auto(spark, sh, 0.8)
 
 
 # ---------------------------------------------------------------------------

@@ -3,6 +3,8 @@ the oracle-checkable ones are covered by test_oracle_parity."""
 
 from __future__ import annotations
 
+import random
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -324,3 +326,40 @@ def test_bitmask_fallback_agrees_with_matmul_strategy(spark):
     spark.catalog.clearCache()
     b = sorted(tuple(r) for r in blocked_jaccard_pandas(spark, arrays, 0.2).collect())
     assert a == b and len(a) > 0
+
+
+def test_auto_router_sends_giant_bucket_to_bitmask(spark):
+    """blocked_jaccard_auto must route a bucket that exceeds the matmul
+    memory model through the distributed bitmask path — same exact
+    results as forcing the matmul on everything, and the bitmask
+    operators (bit_count mask folds) must actually appear in the plan."""
+    from gdxpy_spark.operators.llm import (
+        blocked_jaccard_auto,
+        blocked_jaccard_pandas,
+    )
+    from gdxpy_spark.plans.inspect import formatted_plan
+
+    rng = random.Random(3)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    # giant bucket 0: 120 docs of 12 tokens each -> n_docs*sum_tok = 172k
+    for d in range(120):
+        rows.append((d, 0, rng.sample(vocab, 12)))
+    # small bucket 1: 10 docs
+    for d in range(120, 130):
+        rows.append((d, 1, rng.sample(vocab, 12)))
+    dt = spark.createDataFrame(
+        rows, "doc_id BIGINT, bucket BIGINT, tokens ARRAY<STRING>"
+    )
+    # max_cells=50k: bucket 0 (120*1440=172k cells and 120^2=14.4k) trips
+    # the sum_tok bound, bucket 1 (10*120=1.2k) stays on the matmul
+    auto = blocked_jaccard_auto(spark, dt, 0.2, max_cells=50_000)
+    plan = formatted_plan(auto)
+    assert "bit_count" in plan, "giant bucket not routed to bitmask path"
+    got = sorted(tuple(r) for r in auto.collect())
+    spark.catalog.clearCache()
+    want = sorted(
+        tuple(r) for r in blocked_jaccard_pandas(spark, dt, 0.2).collect()
+    )
+    assert got == want and len(got) > 0
+    spark.catalog.clearCache()
