@@ -321,9 +321,12 @@ WITH tok AS (
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
 inter AS (
+  -- abs(Δbucket) <= 1: adjacent-bucket probing, same pair set as the
+  -- engine's probe-replica scheme (each doc probes buckets b and b+1)
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM tok a JOIN tok b
-    ON a.bucket = b.bucket AND a.token = b.token AND a.doc_id < b.doc_id
+    ON abs(a.bucket - b.bucket) <= 1 AND a.token = b.token
+       AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -397,10 +400,12 @@ def bitmask_jaccard_pairs(
     # passing a non-distinct (doc_id, bucket, token) stream still gets
     # exact set-Jaccard (the size prefilter below is only exact when
     # n_tok is the true set size)
+    has_native = "native" in items.columns  # adjacent-bucket probe replicas
+    extra = [F.first("native").alias("native")] if has_native else []
     ids = (
         items.join(dic, ["bucket", "token"])
         .groupBy("doc_id", "bucket")
-        .agg(F.collect_set("tid").alias("ids"))
+        .agg(F.collect_set("tid").alias("ids"), *extra)
         .withColumn("n_tok", F.size("ids"))
     )
     mask = F.expr(
@@ -412,7 +417,8 @@ def bitmask_jaccard_pairs(
     # cache the per-doc masks: one row per doc (dimension-sized), but the
     # self-join would otherwise recompute the explode+dictionary+groupBy
     # lineage twice (measured ~30% of wall time at sf0.1)
-    m = ids.select("doc_id", "bucket", "n_tok", mask.alias("mask")).cache()
+    keep_cols = ["doc_id", "bucket", "n_tok"] + (["native"] if has_native else [])
+    m = ids.select(*keep_cols, mask.alias("mask")).cache()
     a = m.alias("a")
     b = m.alias("b")
     and_ = F.zip_with(F.col("a.mask"), F.col("b.mask"), lambda x, y: x.bitwiseAND(y))
@@ -424,11 +430,20 @@ def bitmask_jaccard_pairs(
     size_ok = F.least(F.col("a.n_tok"), F.col("b.n_tok")) >= F.lit(
         threshold
     ) * F.greatest(F.col("a.n_tok"), F.col("b.n_tok"))
-    jac = a.join(
-        b,
+    cond = (
         (F.col("a.bucket") == F.col("b.bucket"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
-        & size_ok,
+        & size_ok
+    )
+    if has_native:
+        # probe replicas: emit each pair only in its max-native group
+        # (same once-only rule as the matmul strategy)
+        cond = cond & (
+            F.greatest(F.col("a.native"), F.col("b.native")) == F.col("a.bucket")
+        )
+    jac = a.join(
+        b,
+        cond,
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
@@ -467,9 +482,18 @@ def blocked_jaccard_pandas(
     the fallback shape for buckets that outgrow a task.
 
     Contract: `tokens` must be duplicate-free per row (callers pass
-    array_distinct output); sizes are row-wise array lengths."""
+    array_distinct output); sizes are row-wise array lengths.
+
+    ADJACENT-BUCKET PROBING (opt-in): if the input carries a `native`
+    column, rows are probe REPLICAS — the caller copied each doc into
+    probe groups native and native+1 — and a pair is emitted only in the
+    group equal to max(native_a, native_b). Same-bucket pairs emit in
+    their own group, boundary-straddling pairs (|Δbucket| = 1) in the
+    higher one; every pair exactly once, no dedup pass."""
     import numpy as np
     import pandas as pd
+
+    has_native = "native" in doc_tokens.columns
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -499,6 +523,10 @@ def blocked_jaccard_pandas(
         iu = np.triu_indices(n, 1)
         jac = inter[iu] / np.maximum(union[iu], 1.0)
         keep = jac >= threshold
+        if has_native:
+            nat = pdf["native"].to_numpy(np.int64)[order]
+            group = np.int64(pdf["bucket"].iloc[0])
+            keep &= np.maximum(nat[iu[0]], nat[iu[1]]) == group
         return pd.DataFrame(
             {
                 "doc_a": ids[iu[0][keep]],
@@ -551,11 +579,12 @@ def blocked_jaccard_auto(
             | (F.count("*") * F.count("*") > F.lit(max_cells))
         ).alias("is_big")
     )
+    nat = ["native"] if "native" in doc_tokens.columns else []
     dt = doc_tokens.join(F.broadcast(flags), "bucket")
-    small = dt.filter(~F.col("is_big")).select("doc_id", "bucket", "tokens")
+    small = dt.filter(~F.col("is_big")).select("doc_id", "bucket", *nat, "tokens")
     big = (
         dt.filter(F.col("is_big"))
-        .select("doc_id", "bucket", F.explode("tokens").alias("token"))
+        .select("doc_id", "bucket", *nat, F.explode("tokens").alias("token"))
     )
     return blocked_jaccard_pandas(spark, small, threshold).unionByName(
         bitmask_jaccard_pairs(spark, big, threshold)
@@ -564,19 +593,26 @@ def blocked_jaccard_auto(
 
 @register("llm_length_blocking", oracle=_BLOCK_ORACLE, category="K")
 def llm_length_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidates: block by length bucket (n_chars // 100), then
-    token-set Jaccard ≥ 0.2 within a block. Word tokens on a highly
-    self-similar corpus route through blocked_jaccard_auto: per-bucket
-    matmul for task-sized buckets, distributed bitmask for oversized
-    ones (see blocked_jaccard_auto / blocked_jaccard_pandas docstrings
-    for the strategy comparison and memory model)."""
+    """Near-dup candidates: block by length bucket (n_chars // 100) WITH
+    adjacent-bucket probing — each doc also probes bucket b+1, so a
+    Jaccard ≥ 0.2 pair whose lengths straddle a boundary (99 vs 101
+    chars) is found instead of silently missed; pairs form for
+    |Δbucket| ≤ 1, each emitted exactly once (max-native rule). Routes
+    through blocked_jaccard_auto: per-bucket matmul for task-sized
+    buckets, distributed bitmask for oversized ones."""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
-        (F.col("n_chars") / 100).cast("bigint").alias("bucket"),
+        (F.col("n_chars") / 100).cast("bigint").alias("native"),
         F.array_remove(F.array_distinct(F.split("text", " ")), "").alias("tokens"),
     )
-    return blocked_jaccard_auto(spark, tok, 0.2)
+    probed = tok.select(
+        "doc_id",
+        "native",
+        F.explode(F.array(F.col("native"), F.col("native") + 1)).alias("bucket"),
+        "tokens",
+    )
+    return blocked_jaccard_auto(spark, probed, 0.2)
 
 
 _BRUTE_ORACLE = """

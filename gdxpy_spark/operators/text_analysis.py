@@ -375,9 +375,12 @@ WITH sh AS (
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM sh GROUP BY doc_id),
 inter AS (
+  -- abs(Δbucket) <= 1: adjacent-bucket probing, same pair set as the
+  -- engine's probe-replica scheme (each doc probes buckets b and b+1)
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM sh a JOIN sh b
-    ON a.bucket = b.bucket AND a.token = b.token AND a.doc_id < b.doc_id
+    ON abs(a.bucket - b.bucket) <= 1 AND a.token = b.token
+       AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        ROUND(CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common), 4)
@@ -414,11 +417,17 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("cs", F.split("text", ""))
         .select(
             "doc_id",
-            (F.col("n_chars") / 100).cast("bigint").alias("bucket"),
+            (F.col("n_chars") / 100).cast("bigint").alias("native"),
             shingles.alias("tokens"),
         )
     )
-    return blocked_jaccard_auto(spark, sh, 0.8)
+    probed = sh.select(
+        "doc_id",
+        "native",
+        F.explode(F.array(F.col("native"), F.col("native") + 1)).alias("bucket"),
+        "tokens",
+    )
+    return blocked_jaccard_auto(spark, probed, 0.8)
 
 
 # ---------------------------------------------------------------------------

@@ -328,6 +328,29 @@ def test_bitmask_fallback_agrees_with_matmul_strategy(spark):
     assert a == b and len(a) > 0
 
 
+def test_boundary_straddling_pair_found_by_adjacent_probe(spark, tmp_path):
+    """A near-dup pair whose lengths straddle a length-bucket boundary
+    (99 vs 101 chars → buckets 0 and 1) must be found by the adjacent-
+    bucket probe — and a pair two buckets apart must NOT appear."""
+    words = [f"tok{i:02d}" for i in range(12)]
+    base = " ".join(words)
+    t99 = (base + " " + "x" * 40)[:99]
+    t101 = (base + " " + "x" * 42)[:101]
+    t305 = (base + " " + "y" * 300)[:305]  # bucket 3: out of probe range of 0/1
+    rows = [(1, t99, len(t99)), (2, t101, len(t101)), (3, t305, len(t305))]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, n_chars INT")
+    out = str(tmp_path / "docs")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in ALL["llm_length_blocking"].fn(spark, out).collect()
+    }
+    spark.catalog.clearCache()
+    assert (1, 2) in got, f"boundary pair missed: {got}"
+    assert (1, 3) not in got and (2, 3) not in got, got
+
+
 def test_auto_router_sends_giant_bucket_to_bitmask(spark):
     """blocked_jaccard_auto must route a bucket that exceeds the matmul
     memory model through the distributed bitmask path — same exact
