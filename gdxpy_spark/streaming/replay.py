@@ -6,9 +6,12 @@ maxFilesPerTrigger=1 (one micro-batch per file, so watermarks advance
 *between* batches — the only way late-data semantics are observable), and
 collected through a memory sink.
 
-Raw events schema on disk: ts is INT64 nanoseconds (read via the
-nanosAsLong conf); the stream reader takes ts as LONG and rebuilds the
-timestamp exactly like gdxpy_spark.tables.table does for batch.
+Raw events on disk carry ts as either INT64 nanoseconds (older driver
+drops, surfaced as LONG via the nanosAsLong conf) or TIMESTAMP(MICROS)
+(newer drops, surfaced as TIMESTAMP_NTZ). _raw_events normalizes both to
+the replay-canonical LONG nanos, so every batch file this module writes
+matches _RAW_SCHEMA and the stream side rebuilds the timestamp exactly
+like gdxpy_spark.tables.table does for batch.
 """
 
 from __future__ import annotations
@@ -84,8 +87,16 @@ def _run_stream(spark: SparkSession, src_dir: str, build, name: str) -> DataFram
 
 
 def _raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts normalized to the replay-canonical LONG nanos."""
     configure(spark)
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] != "bigint":
+        # TIMESTAMP(MICROS) file: µs → ns (exact; session pinned UTC so the
+        # NTZ→TIMESTAMP cast is wall-clock identity)
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return df
 
 
 @register("stream_watermark_late", oracle=None, category="H")  # weak: stateful streaming
@@ -217,9 +228,13 @@ def stream_events_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """src_stream_events: replay the events directory through the stream
     engine (single AvailableNow pass) → complete-mode per-type counts."""
     configure(spark)
-    # file-stream sources need a directory; glob down to the events file
+    # file-stream sources need a directory; glob down to the events file.
+    # The stream schema must match the file's surfaced types exactly
+    # (BIGINT-nanos vs TIMESTAMP_NTZ drops differ), so derive it from a
+    # batch-side sniff of the same file instead of hardcoding _RAW_SCHEMA.
+    on_disk = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
-        spark.readStream.schema(_RAW_SCHEMA)
+        spark.readStream.schema(on_disk)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )

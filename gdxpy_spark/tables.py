@@ -7,11 +7,14 @@ no matter which session (ours or the driver's) runs the query:
 - ``spark.sql.session.timeZone = UTC`` — DuckDB timestamps are UTC-naive;
   pinning the Spark session keeps TIMESTAMP↔NTZ conversions and collected
   values byte-identical to the oracle.
-- ``spark.sql.legacy.parquet.nanosAsLong = true`` — ``events.parquet``
-  stores TIMESTAMP(NANOS) which Spark cannot read natively; we read the
-  raw int64 nanos and rebuild a TIMESTAMP_NTZ via *integer* division
-  (``ts div 1000`` — going through a double would lose precision at
-  1.7e18 ns).
+- ``spark.sql.legacy.parquet.nanosAsLong = true`` — older driver drops of
+  ``events.parquet`` store TIMESTAMP(NANOS) which Spark cannot read
+  natively; with the conf set they surface as int64 nanos and we rebuild
+  a TIMESTAMP_NTZ via *integer* division (``ts div 1000`` — going through
+  a double would lose precision at 1.7e18 ns). Newer drops store
+  TIMESTAMP(MICROS), which Spark reads directly as TIMESTAMP_NTZ; the
+  loader sniffs the surfaced dtype and normalizes either way, so the
+  canonical in-engine type is always TIMESTAMP_NTZ(µs).
 
 At 100 TB these loaders are the single choke-point where layout policy
 lives: path-level partition discovery, pushdown-friendly schemas, and
@@ -49,8 +52,16 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # int64 nanos → µs (exact integer division) → NTZ timestamp.
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-        )
+        dt = dict(df.dtypes)["ts"]
+        if dt == "bigint":
+            # TIMESTAMP(NANOS) file read as int64 nanos (nanosAsLong):
+            # nanos → µs (exact integer division) → NTZ timestamp.
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        elif dt == "timestamp":
+            # session is pinned UTC, so the wall-clock value is unchanged
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        # timestamp_ntz: already canonical
     return df
