@@ -405,29 +405,36 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
     # shingle via a char array + element_at: substring(text, i, 3) per
     # position is O(i) on UTF8 strings (quadratic per doc); splitting
-    # once and indexing is O(1) per element (measured ~2× on the explode)
+    # once and indexing is O(1) per element (measured ~2× on the explode).
+    # Trigrams are packed into ONE BIGINT instead of a 3-char string:
+    # c1·2⁴² + c2·2²¹ + c3 over the per-char codepoints is INJECTIVE
+    # (codepoints < 2²¹, max value < 2⁶³), so distinct-counts and
+    # intersections — hence every Jaccard value — are identical to the
+    # string form, while the arrays Arrow-transfer at 8 B/shingle and
+    # factorize at integer speed (the string shingles were most of the
+    # pandas-path cost at sf0.1).
     shingles = F.array_distinct(
         F.expr(
             "transform(sequence(1, length(text) - 2),"
-            " i -> concat(element_at(cs, i), element_at(cs, i + 1),"
-            "             element_at(cs, i + 2)))"
+            " i -> element_at(cc, i) * 4398046511104L"
+            "      + element_at(cc, i + 1) * 2097152L"
+            "      + element_at(cc, i + 2))"
         )
     )
     sh = (
         docs.withColumn("cs", F.split("text", ""))
+        .withColumn(
+            "cc", F.expr("transform(cs, c -> CAST(ascii(c) AS BIGINT))")
+        )
         .select(
             "doc_id",
             (F.col("n_chars") / 100).cast("bigint").alias("native"),
             shingles.alias("tokens"),
         )
     )
-    probed = sh.select(
-        "doc_id",
-        "native",
-        F.explode(F.array(F.col("native"), F.col("native") + 1)).alias("bucket"),
-        "tokens",
-    )
-    return blocked_jaccard_auto(spark, probed, 0.8)
+    # adjacent-bucket (|Δbucket| ≤ 1) pairing and big-bucket routing both
+    # happen inside blocked_jaccard_auto (native-mode input)
+    return blocked_jaccard_auto(spark, sh, 0.8)
 
 
 # ---------------------------------------------------------------------------

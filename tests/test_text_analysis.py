@@ -374,9 +374,10 @@ def test_auto_router_sends_giant_bucket_to_bitmask(spark):
     dt = spark.createDataFrame(
         rows, "doc_id BIGINT, bucket BIGINT, tokens ARRAY<STRING>"
     )
-    # max_cells=50k: bucket 0 (120*1440=172k cells and 120^2=14.4k) trips
-    # the sum_tok bound, bucket 1 (10*120=1.2k) stays on the matmul
-    auto = blocked_jaccard_auto(spark, dt, 0.2, max_cells=50_000)
+    # max_cells=4000: bucket 0 trips the true-vocab model (n_docs·vocab =
+    # 120·40 = 4.8k and n_docs² = 14.4k, both > 4k); bucket 1 stays on
+    # the matmul (10·40 = 400 and 10² = 100)
+    auto = blocked_jaccard_auto(spark, dt, 0.2, max_cells=4_000)
     plan = formatted_plan(auto)
     assert "bit_count" in plan, "giant bucket not routed to bitmask path"
     got = sorted(tuple(r) for r in auto.collect())
