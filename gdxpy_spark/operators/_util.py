@@ -81,30 +81,48 @@ def global_row_number(df: DataFrame, order_cols, out_col: str = "rn") -> DataFra
     A plain `row_number().over(Window.orderBy(...))` funnels the whole
     table through ONE WindowExec task — the classic 100 TB killer. Here:
 
-    1. `repartitionByRange` on the sort key → partitions are globally
-       ordered (partition i's rows all sort before partition i+1's);
+    1. `repartitionByRange(N, ...)` on the sort key → partitions are
+       globally ordered (partition i's rows all sort before partition
+       i+1's);
     2. `sortWithinPartitions` orders rows inside each partition;
     3. each row's (partition, local row number) comes straight from
        `monotonically_increasing_id`'s documented bit layout — no
        WindowExec at all;
-    4. `localCheckpoint` pins partition ids so the counts branch and the
-       output branch see the same physical partitioning even if AQE
-       re-plans (and makes the range shuffle compute once, not twice);
-    5. per-partition row counts (metadata-sized: one row per partition)
+    4. per-partition row counts (metadata-sized: one row per partition)
        self-join into cumulative start offsets, broadcast back, added.
 
+    The counts branch and the output branch must see the SAME physical
+    range partitioning (the range partitioner SAMPLES its boundaries, so
+    two independent materializations may not agree). r4 guaranteed that
+    with `localCheckpoint` — correct, but it pins a full second copy of
+    the table in executor storage, which at 100 TB is the dominant cost
+    of the whole operator. This version instead guarantees it by
+    construction:
+
+    - the partition count is pinned explicitly (REPARTITION_BY_NUM), so
+      AQE must preserve the exchange's partitioning exactly — it may not
+      coalesce the two consumers differently; and
+    - both branches are the identical exchange subtree, so exchange
+      reuse (plain ReuseExchange, or AQE stage reuse) materializes the
+      range shuffle ONCE and every consumer reads the same map output —
+      partition ids therefore agree across branches by identity, not by
+      luck. tests/test_plans.py::test_global_row_number_reuses_one_range_
+      exchange pins ReusedExchange in the executed plan, so a Spark
+      upgrade that stopped reusing would fail loudly instead of
+      silently mis-ranking.
+
     The biggest structure any one task ever holds is one range partition;
-    the only driver-sized state is the counts aggregate. `order_cols`
-    must be a total order (include a unique tiebreak column) for the rank
-    to be deterministic.
+    the only driver-sized state is the counts aggregate; nothing is
+    cached or checkpointed. `order_cols` must be a total order (include
+    a unique tiebreak column) for the rank to be deterministic.
     """
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     part = (
-        df.repartitionByRange(*order_cols)
+        df.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_mid", F.monotonically_increasing_id())
         .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
         .withColumn("_local", F.col("_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK)))
-        .localCheckpoint(eager=False)
     )
     counts = part.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     prior = counts.select(F.col("_pid").alias("_p2"), F.col("_cnt").alias("_c2"))

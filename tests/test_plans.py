@@ -189,3 +189,39 @@ def test_gdx_scan_partitions_by_chunk(spark):
     parts = reader.partitions()
     f = codec.GdxFile(path)
     assert len(parts) == f.n_chunks(f.find("acctbal"))
+
+
+def test_global_row_number_reuses_one_range_exchange(spark):
+    """global_row_number's counts branch and output branch MUST read the
+    same materialized range shuffle: the range partitioner samples its
+    boundaries, so two independent materializations of the exchange may
+    disagree and silently mis-rank. Since r5 the helper relies on
+    exchange reuse (not localCheckpoint) for that identity — this test
+    executes the plan and pins (a) ReusedExchange in the final plan,
+    (b) no checkpoint/cache materialization, and (c) the rank being
+    exactly 1..n on skewed input with AQE enabled."""
+    from pyspark.sql import functions as F
+
+    from gdxpy_spark.operators._util import global_row_number
+
+    df = (
+        spark.range(0, 50_000)
+        .select((F.col("id") % 7).alias("k"), F.col("id").alias("uid"))
+        .union(
+            spark.range(0, 50_000).select(
+                F.lit(0).alias("k"), (F.col("id") + 50_000).alias("uid")
+            )
+        )
+    )
+    r = global_row_number(df, [F.col("k").asc(), F.col("uid").asc()])
+    rows = r.collect()  # executes THIS QueryExecution (plan inspected below)
+    assert sorted(x.rn for x in rows) == list(range(1, len(rows) + 1))
+    final = r._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, (
+        "range exchange not reused across branches — partition ids may "
+        "diverge between the counts and output branches:\n" + final
+    )
+    assert "InMemoryTableScan" not in final and "Checkpoint" not in final, (
+        "global_row_number must not materialize the table:\n" + final
+    )
