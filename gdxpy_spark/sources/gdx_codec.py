@@ -24,7 +24,11 @@ Implements the GAMS GDX *data model* from the publicly documented format
 - a set-text table and an acronym table,
 - a trailer with section offsets (direct seek → per-symbol partition
   pruning) plus intra-symbol chunk offsets every CHUNK records so a
-  distributed reader can split one large symbol across tasks,
+  distributed reader can split one large symbol across tasks; since
+  container VERSION 2 each chunk also carries per-dimension min/max key
+  labels (the parquet row-group-statistics pattern) so a keyed slice can
+  skip whole chunks without decoding them (gdx_datasource.GdxSymbolReader
+  consumes these via Spark's pushFilters partition pruning),
 - optional zlib compression per data block.
 
 Byte-level compatibility with GAMS-written files is *not* claimed for
@@ -58,7 +62,13 @@ import zlib
 from dataclasses import dataclass, field
 
 MAGIC = b"GDXPY7\x00"
-VERSION = 1
+# VERSION history: 1 = initial container; 2 = (a) the chunk record
+# stride is stored in the header instead of being implied by the CHUNK
+# constant — files are self-describing, a reader never needs the writer's
+# compile-time constant — and (b) per-chunk per-dimension min/max
+# key-label statistics follow each catalog entry. Readers of v1 files
+# still work: both additions parse only when version >= 2.
+VERSION = 2
 
 # symbol types (codes follow the public GMS_DT_* numbering)
 DT_SET, DT_PAR, DT_VAR, DT_EQU, DT_ALIAS = 0, 1, 2, 3, 4
@@ -110,6 +120,41 @@ class SymbolMeta:
     @property
     def type_name(self) -> str:
         return TYPE_NAMES[self.type]
+
+
+class _ChunkStatsTracker:
+    """Accumulates per-chunk per-dimension min/max key LABELS while a
+    data block is encoded. Labels (not UEL codes) are what predicates
+    compare against on read, and min/max per chunk is valid whatever
+    order the records were streamed in — the pruning contract is
+    "chunk MAY contain a matching key", exactly parquet's row-group
+    statistics contract."""
+
+    def __init__(self, dim: int):
+        self.dim = dim
+        self.chunks: list[list[tuple[str, str]]] = []
+        self._cur: list[list[str]] | None = None
+
+    def observe(self, key: tuple[str, ...]) -> None:
+        cur = self._cur
+        if cur is None:
+            self._cur = [[k, k] for k in key]
+            return
+        for d in range(self.dim):
+            k = key[d]
+            if k < cur[d][0]:
+                cur[d][0] = k
+            elif k > cur[d][1]:
+                cur[d][1] = k
+
+    def next_chunk(self) -> None:
+        if self._cur is not None:
+            self.chunks.append([(lo, hi) for lo, hi in self._cur])
+            self._cur = None
+
+    def finish(self) -> list[list[tuple[str, str]]]:
+        self.next_chunk()
+        return self.chunks
 
 
 @dataclass
@@ -223,17 +268,22 @@ class GdxWriter:
     writer pre-sorts per partition and merges at commit.
     """
 
-    def __init__(self, path: str, producer: str = "gdxpy_spark", compress: bool = False):
+    def __init__(self, path: str, producer: str = "gdxpy_spark",
+                 compress: bool = False, chunk_records: int = CHUNK):
         self.path = path
         self.producer = producer
         self.compress = compress
+        if chunk_records < 1:
+            raise ValueError("chunk_records must be >= 1")
+        self.chunk_records = chunk_records  # records per splittable chunk
         self.uel: dict[str, int] = {}  # label → 1-based code
         self.set_text: dict[str, int] = {}  # text → index (0 = none)
         self.acronyms: list[str] = []
         self.symbols: list[SymbolData] = []  # in-memory symbols (add_symbol)
-        # streamed symbols: (meta, spill_path, encoded_len, chunk_offsets);
-        # their record blocks live on disk, never in driver memory
-        self._streamed: list[tuple[SymbolMeta, str, int, list[int]]] = []
+        # streamed symbols: (meta, spill_path, encoded_len, chunk_offsets,
+        # chunk_stats); their record blocks live on disk, never in driver
+        # memory
+        self._streamed: list[tuple[SymbolMeta, str, int, list[int], list]] = []
         # file order of symbols across both add paths: ("mem"|"stream", idx)
         self._order: list[tuple[str, int]] = []
 
@@ -257,7 +307,7 @@ class GdxWriter:
 
     def _check_dup(self, name: str) -> None:
         existing = [s.meta.name for s in self.symbols] + [
-            m.name for m, _, _, _ in self._streamed
+            m.name for m, _, _, _, _ in self._streamed
         ]
         if any(n.lower() == name.lower() for n in existing):
             raise ValueError(f"duplicate symbol {name}")
@@ -290,6 +340,7 @@ class GdxWriter:
         raw_pos = 0  # offset in the *raw* (pre-compression) block
         enc_len = 0  # bytes actually written (compressed if enabled)
         chunks = [0]
+        stats = _ChunkStatsTracker(meta.dim)
         prev: tuple[int, ...] | None = None
         n = 0
         rec = io.BytesIO()
@@ -300,9 +351,11 @@ class GdxWriter:
                         f"{meta.name}: key arity {len(key)} != dim {meta.dim}"
                     )
                 codes = tuple(self._code(k) for k in key)
-                if n and n % CHUNK == 0:
+                if n and n % self.chunk_records == 0:
                     chunks.append(raw_pos)
+                    stats.next_chunk()
                     prev = None  # chunks are self-delimiting (restart delta)
+                stats.observe(key)
                 rec.seek(0)
                 rec.truncate()
                 shared = 0
@@ -333,7 +386,7 @@ class GdxWriter:
             tmp.close()
         meta.nrecs = n
         self._order.append(("stream", len(self._streamed)))
-        self._streamed.append((meta, tmp.name, enc_len, chunks))
+        self._streamed.append((meta, tmp.name, enc_len, chunks, stats.finish()))
         return meta
 
     def close(self) -> None:
@@ -341,25 +394,27 @@ class GdxWriter:
 
         # encode in-memory blocks first (they intern UELs/set text);
         # streamed blocks were encoded (and interned) at add time
-        mem_blocks: list[tuple[bytes, list[int]]] = []
+        mem_blocks: list[tuple[bytes, list[int], list]] = []
         for sym in self.symbols:
             mem_blocks.append(self._encode_block(sym))
-        # resolve file order → (meta, block_len, chunks, source)
-        entries: list[tuple[SymbolMeta, int, list[int], tuple]] = []
+        # resolve file order → (meta, block_len, chunks, stats, source)
+        entries: list[tuple[SymbolMeta, int, list[int], list, tuple]] = []
         for kind, idx in self._order:
             if kind == "mem":
-                block, chunks = mem_blocks[idx]
+                block, chunks, stats = mem_blocks[idx]
                 entries.append(
-                    (self.symbols[idx].meta, len(block), chunks, ("mem", block))
+                    (self.symbols[idx].meta, len(block), chunks, stats,
+                     ("mem", block))
                 )
             else:
-                meta, spill, enc_len, chunks = self._streamed[idx]
-                entries.append((meta, enc_len, chunks, ("file", spill)))
+                meta, spill, enc_len, chunks, stats = self._streamed[idx]
+                entries.append((meta, enc_len, chunks, stats, ("file", spill)))
 
         with open(self.path, "wb") as out:
             out.write(MAGIC)
             out.write(struct.pack("<HB", VERSION, 1 if self.compress else 0))
             _ws(out, self.producer)
+            _wv(out, self.chunk_records)  # v2: self-describing chunk stride
 
             # section: UEL table
             uel_off = out.tell()
@@ -383,7 +438,7 @@ class GdxWriter:
             # lengths; absolute data-block offsets live in the trailer
             cat_off = out.tell()
             _wv(out, len(entries))
-            for m, block_len, chunks, _src in entries:
+            for m, block_len, chunks, stats, _src in entries:
                 _ws(out, m.name)
                 out.write(bytes([m.dim, m.type]))
                 _wv(out, m.subtype)
@@ -396,11 +451,18 @@ class GdxWriter:
                 _wv(out, len(chunks))
                 for c in chunks:
                     _wv(out, c)
+                # v2: per-chunk per-dimension (min,max) key labels — one
+                # stats entry per populated chunk (0 for empty symbols)
+                _wv(out, len(stats))
+                for chunk_stat in stats:
+                    for lo, hi in chunk_stat:
+                        _ws(out, lo)
+                        _ws(out, hi)
 
             # section: data blocks (in-memory ones written, streamed ones
             # spliced from their spill files — constant driver memory)
             block_offs = []
-            for _m, _len, _chunks, src in entries:
+            for _m, _len, _chunks, _stats, src in entries:
                 block_offs.append(out.tell())
                 if src[0] == "mem":
                     out.write(src[1])
@@ -418,7 +480,7 @@ class GdxWriter:
                 out.write(struct.pack("<Q", off))
             out.write(struct.pack("<Q", trailer_off))
 
-    def _encode_block(self, sym: SymbolData) -> tuple[bytes, list[int]]:
+    def _encode_block(self, sym: SymbolData) -> tuple[bytes, list[int], list]:
         m = sym.meta
         nv = m.n_values
         # map labels → codes, sort records by code tuple (GDX mapped order)
@@ -430,16 +492,19 @@ class GdxWriter:
             vals = sym.values[i] if sym.values else ()
             eps = sym.eps_mask[i] if sym.eps_mask else 0
             txt = sym.text[i] if sym.text else ""
-            recs.append((codes, vals, eps, txt))
+            recs.append((codes, vals, eps, txt, key))
         recs.sort(key=lambda r: r[0])
 
         b = io.BytesIO()
         prev: tuple[int, ...] | None = None
         chunks = [0]
-        for n, (codes, vals, eps, txt) in enumerate(recs):
-            if n and n % CHUNK == 0:
+        stats = _ChunkStatsTracker(m.dim)
+        for n, (codes, vals, eps, txt, key) in enumerate(recs):
+            if n and n % self.chunk_records == 0:
                 chunks.append(b.tell())
+                stats.next_chunk()
                 prev = None  # chunks are self-delimiting (restart delta)
+            stats.observe(key)
             shared = 0
             if prev is not None:
                 while shared < m.dim and codes[shared] == prev[shared]:
@@ -457,7 +522,7 @@ class GdxWriter:
         raw = b.getvalue()
         if self.compress:
             raw = zlib.compress(raw, 6)
-        return raw, chunks
+        return raw, chunks, stats.finish()
 
 
 # --- reader -----------------------------------------------------------------
@@ -494,6 +559,9 @@ class GdxFile:
         b = io.BytesIO(buf)
         b.seek(off + 3)
         self.producer = _rs(b)
+        # v2 stores the chunk record stride; v1 files used the then-
+        # compile-time CHUNK constant
+        self.chunk_records = _rv(b) if self.version >= 2 else CHUNK
 
         # trailer
         t_off = struct.unpack_from("<Q", buf, len(buf) - 8)[0]
@@ -516,6 +584,7 @@ class GdxFile:
         self.symbols: list[SymbolMeta] = []
         self._block_len: list[int] = []
         self._chunks: list[list[int]] = []
+        self._chunk_stats: list[list[list[tuple[str, str]]] | None] = []
         for _ in range(n_sym):
             name = _rs(b)
             dim, typ = b.read(2)
@@ -527,6 +596,15 @@ class GdxFile:
             blen = _rv(b)
             n_chunks = _rv(b)
             chunks = [_rv(b) for _ in range(n_chunks)]
+            if self.version >= 2:
+                n_stats = _rv(b)
+                stats: list[list[tuple[str, str]]] | None = [
+                    [(_rs(b), _rs(b)) for _ in range(dim)]
+                    for _ in range(n_stats)
+                ]
+            else:
+                stats = None
+            self._chunk_stats.append(stats)
             self.symbols.append(
                 SymbolMeta(name=name, dim=dim, type=typ, subtype=subtype,
                            expl_text=expl, domains=domains, nrecs=nrecs,
@@ -553,6 +631,14 @@ class GdxFile:
     def n_chunks(self, idx: int) -> int:
         return len(self._chunks[idx])
 
+    def chunk_stats(self, idx: int) -> list[list[tuple[str, str]]] | None:
+        """Per-chunk per-dimension (min_label, max_label) key statistics,
+        or None when the file predates VERSION 2 (or the symbol is empty).
+        ``chunk_stats(idx)[c][d]`` bounds every k{d+1} label in chunk c —
+        the contract a distributed scan prunes partitions against."""
+        stats = self._chunk_stats[idx]
+        return stats or None
+
     def read_records(self, idx: int, chunk: int | None = None) -> SymbolData:
         """Decode one symbol's records (or one chunk of them)."""
         m = self.symbols[idx]
@@ -566,8 +652,8 @@ class GdxFile:
         else:
             start = chunks[chunk]
             end = chunks[chunk + 1] if chunk + 1 < len(chunks) else len(block)
-            n_from = chunk * CHUNK
-            n_to = min(n_from + CHUNK, m.nrecs)
+            n_from = chunk * self.chunk_records
+            n_to = min(n_from + self.chunk_records, m.nrecs)
         b = io.BytesIO(block[start:end])
         prev: tuple[int, ...] = ()
         nv = m.n_values

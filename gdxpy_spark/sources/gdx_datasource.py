@@ -18,6 +18,23 @@ chunk offsets every CHUNK records, so a single large symbol splits across
 tasks; partitions decode their byte range only and emit Arrow
 RecordBatches (vectorized, never per-record Python↔JVM — the reference's
 per-record C-call bottleneck, SURVEY §3.1, is avoided structurally).
+Keyed slices additionally prune at plan time — opt-in via
+``.option("pushdown", "true")``: PushdownGdxSymbolReader implements
+Spark's pushFilters (4.1 Python-DataSource pushdown) and tests each
+predicate on k1..kdim / scenario against the v2 container's per-chunk
+min/max key-label statistics (gdx_codec.GdxFile.chunk_stats) — chunks
+that cannot match are never scheduled, the parquet row-group-stats
+pattern. Pruning is partition-level only: every filter is returned to
+Spark for row-level re-evaluation, so row semantics never depend on
+stats. It is OPT-IN (not the default) because Spark 4.1.2 caches the
+pushed-down partition set on the JVM relation (PythonDataSourceV2
+.readInfo is replaced by each filtered plan and NOT invalidated by a
+later filter-less plan): reusing one pushdown-enabled DataFrame for a
+filtered action and then an unfiltered one replays the stale pruned
+partitions — an upstream bug affecting every pushFilters-capable Python
+DataSource (minimal doc-example repro pinned in
+tests/test_gdx_datasource.py::test_upstream_pushdown_cache_staleness).
+With pushdown on, use one load() per query shape.
 The writer sorts per partition and merges sorted runs at commit (the
 distributed-sort-then-merge pattern; the commit node only streams runs).
 
@@ -40,7 +57,15 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -108,6 +133,34 @@ def _expand_paths(path: str) -> list[str]:
     return files
 
 
+def _range_may_match(lo: str, hi: str, flt: Filter) -> bool:
+    """May any label in [lo, hi] satisfy flt? Conservative: unknown
+    filter shapes or non-string operands answer True (no pruning).
+    For StringStartsWith: a prefix-p match needs s >= p, impossible if
+    hi < p; and s[:len(p)] == p, impossible if lo[:len(p)] > p (s >= lo
+    implies s[:k] >= lo[:k] lexicographically)."""
+    if isinstance(flt, EqualTo):
+        v = flt.value
+        return not isinstance(v, str) or lo <= v <= hi
+    if isinstance(flt, In):
+        vs = [v for v in flt.value if isinstance(v, str)]
+        if len(vs) != len(flt.value):
+            return True
+        return any(lo <= v <= hi for v in vs)
+    if isinstance(flt, GreaterThan):
+        return not isinstance(flt.value, str) or hi > flt.value
+    if isinstance(flt, GreaterThanOrEqual):
+        return not isinstance(flt.value, str) or hi >= flt.value
+    if isinstance(flt, LessThan):
+        return not isinstance(flt.value, str) or lo < flt.value
+    if isinstance(flt, LessThanOrEqual):
+        return not isinstance(flt.value, str) or lo <= flt.value
+    if isinstance(flt, StringStartsWith):
+        p = flt.value
+        return not (hi < p or lo[: len(p)] > p)
+    return True
+
+
 class GdxPartition(InputPartition):
     def __init__(self, path: str, sym_idx: int, chunk: int | None, scenario: str | None):
         self.path = path
@@ -137,24 +190,52 @@ class GdxCatalogReader(DataSourceReader):
 
 
 class GdxSymbolReader(DataSourceReader):
+    """One InputPartition per (file, chunk). The base class never prunes
+    (``self.pruning`` stays empty) and deliberately does NOT define
+    pushFilters: a reader that defines it is rejected by Spark whenever
+    spark.sql.python.filterPushdown.enabled is off, and — worse — is
+    exposed to the upstream stale-readInfo bug described in the module
+    docstring. PushdownGdxSymbolReader below opts in per-read."""
+
     def __init__(self, path: str, symbol: str):
         self.paths = _expand_paths(path)
         self.multi = len(self.paths) > 1
         self.symbol = symbol
+        # column name → pruning predicates on it ("k1".."kN", "scenario")
+        self.pruning: dict[str, list[Filter]] = {}
 
     def partitions(self):
         parts = []
         for p in self.paths:
+            scen = os.path.splitext(os.path.basename(p))[0] if self.multi else None
+            if scen is not None and any(
+                not _range_may_match(scen, scen, flt)
+                for flt in self.pruning.get("scenario", ())
+            ):
+                continue
             f = open_gdx(p)
             idx = f.find(self.symbol)
-            scen = os.path.splitext(os.path.basename(p))[0] if self.multi else None
+            stats = f.chunk_stats(idx)
             n = max(1, f.n_chunks(idx))
-            parts.extend(GdxPartition(p, idx, c, scen) for c in range(n))
+            for c in range(n):
+                if stats is not None and c < len(stats):
+                    dim_ranges = stats[c]
+                    if any(
+                        not _range_may_match(*dim_ranges[d], flt)
+                        for d in range(len(dim_ranges))
+                        for flt in self.pruning.get(f"k{d + 1}", ())
+                    ):
+                        continue
+                parts.append(GdxPartition(p, idx, c, scen))
         return parts
 
     def read(self, partition: GdxPartition):
         import pyarrow as pa
 
+        if partition is None:
+            # every chunk was pruned: partitions() returned [], and Spark
+            # then schedules one task with a None partition — emit nothing
+            return
         f = open_gdx(partition.path)
         m = f.symbols[partition.sym_idx]
         chunk = partition.chunk if f.n_chunks(partition.sym_idx) > 1 else None
@@ -187,6 +268,40 @@ class GdxSymbolReader(DataSourceReader):
             yield pa.RecordBatch.from_pydict(cols)
 
 
+class PushdownGdxSymbolReader(GdxSymbolReader):
+    """Chunk/scenario-pruning reader, selected by .option("pushdown",
+    "true"). pushFilters prunes both partition levels — files by the
+    scenario column (= file stem, gdxpy's R12 multi-scenario axis) and
+    chunks by the v2 per-chunk min/max key-label stats. All filters are
+    handed back to Spark for row-level re-evaluation, so a stale or
+    absent stats section can only cost performance, never rows — within
+    one plan. Across plans, see the module-docstring caveat: Spark 4.1
+    replays a filtered plan's partition set for a later filter-less plan
+    on the SAME DataFrame, so with pushdown enabled use one load() per
+    query shape (our facade and registered queries all do)."""
+
+    def pushFilters(self, filters):
+        # a reused reader re-plans per action: rebuild pruning state from
+        # scratch so each plan prunes on its own filters, not an
+        # accumulation of every prior action's
+        self.pruning = {}
+        for flt in filters:
+            attr = getattr(flt, "attribute", None)
+            if (
+                isinstance(attr, tuple)
+                and len(attr) == 1
+                and isinstance(flt, (EqualTo, In, GreaterThan,
+                                     GreaterThanOrEqual, LessThan,
+                                     LessThanOrEqual, StringStartsWith))
+                and (attr[0] == "scenario"
+                     or (attr[0].startswith("k") and attr[0][1:].isdigit()))
+            ):
+                self.pruning.setdefault(attr[0], []).append(flt)
+        # partition pruning only — Spark re-evaluates every filter on the
+        # rows the surviving chunks emit (the parquet row-group contract)
+        return filters
+
+
 class GdxCommitMessage(WriterCommitMessage):
     def __init__(self, payload: bytes):
         self.payload = payload
@@ -214,6 +329,7 @@ class GdxSymbolWriter(DataSourceWriter):
         self.symtype = _TYPE_BY_NAME[options.get("symtype", "parameter")]
         self.expl = options.get("expl_text", "")
         self.compress = (options.get("compress", "false") or "").lower() == "true"
+        self.chunk_records = int(options.get("chunk_records", "0")) or None
         self.layout = (options.get("layout", "gdxpy") or "gdxpy").lower()
         if self.layout not in ("gdxpy", "gams"):
             raise ValueError(f"gdx: unknown layout {self.layout!r}")
@@ -346,7 +462,10 @@ class GdxSymbolWriter(DataSourceWriter):
                 w.add_symbol(data)
                 w.close()
             else:
-                w = GdxWriter(self.path, compress=self.compress)
+                kw = {"compress": self.compress}
+                if self.chunk_records:
+                    kw["chunk_records"] = self.chunk_records
+                w = GdxWriter(self.path, **kw)
                 w.add_symbol_streaming(meta, records)
                 w.close()
         finally:
@@ -382,6 +501,8 @@ class GdxDataSource(DataSource):
         sym = self.options.get("symbol", "*")
         if sym == "*":
             return GdxCatalogReader(self._path())
+        if (self.options.get("pushdown", "") or "").lower() in ("true", "1"):
+            return PushdownGdxSymbolReader(self._path(), sym)
         return GdxSymbolReader(self._path(), sym)
 
     def writer(self, schema, overwrite: bool):
@@ -392,5 +513,15 @@ class GdxDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the gdx format on a session."""
+    """Idempotently register the gdx format on a session.
+
+    Also enables spark.sql.python.filterPushdown.enabled (default false
+    in Spark 4.1, runtime-settable): GdxSymbolReader implements
+    pushFilters, and Spark refuses to plan a pushdown-capable Python
+    reader while the flag is off — so any session that can read gdx at
+    all gets chunk/scenario pruning with it."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass  # immutable on some deployments; reads then need the flag on
     spark.dataSource.register(GdxDataSource)

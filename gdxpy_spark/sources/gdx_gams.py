@@ -484,6 +484,9 @@ class GamsGdxFile:
     def n_chunks(self, idx: int) -> int:
         return 1  # GAMS layout has no chunk index; symbols are model-sized
 
+    def chunk_stats(self, idx: int) -> None:
+        return None  # no per-chunk key statistics in the GAMS layout
+
     def read_records(self, idx: int, chunk: int | None = None) -> SymbolData:
         m = self.symbols[idx]
         if m.type == DT_ALIAS:

@@ -173,37 +173,41 @@ def test_golden_fixture_multi_symbol():
 
 def test_chunked_symbol_split_reads():
     """A symbol larger than one chunk decodes identically whole or
-    chunk-by-chunk (the distributed-scan unit)."""
-    import gdxpy_spark.sources.gdx_codec as codec
-
-    old = codec.CHUNK
-    codec.CHUNK = 100
-    try:
-        path = _tmp("chunks.gdx")
-        w = GdxWriter(path)
-        keys = [(f"a{i // 50}", f"b{i}") for i in range(505)]
-        vals = [(float(i),) for i in range(505)]
-        w.add_symbol(
-            SymbolData(
-                meta=SymbolMeta("big", 2, DT_PAR),
-                keys=keys,
-                values=vals,
-                eps_mask=[0] * 505,
-            )
+    chunk-by-chunk (the distributed-scan unit). The v2 container stores
+    the chunk stride in the header, so a reader process never needs the
+    writer's configuration."""
+    path = _tmp("chunks.gdx")
+    w = GdxWriter(path, chunk_records=100)
+    keys = [(f"a{i // 50}", f"b{i}") for i in range(505)]
+    vals = [(float(i),) for i in range(505)]
+    w.add_symbol(
+        SymbolData(
+            meta=SymbolMeta("big", 2, DT_PAR),
+            keys=keys,
+            values=vals,
+            eps_mask=[0] * 505,
         )
-        w.close()
-        f = GdxFile(path)
-        idx = f.find("big")
-        assert f.n_chunks(idx) == 6
-        whole = f.read_records(idx)
-        pieces: list = []
-        for c in range(f.n_chunks(idx)):
-            part = f.read_records(idx, chunk=c)
-            pieces.extend(zip(part.keys, part.values))
-        assert pieces == list(zip(whole.keys, whole.values))
-        assert len(whole.keys) == 505
-    finally:
-        codec.CHUNK = old
+    )
+    w.close()
+    f = GdxFile(path)
+    assert f.chunk_records == 100
+    idx = f.find("big")
+    assert f.n_chunks(idx) == 6
+    whole = f.read_records(idx)
+    pieces: list = []
+    for c in range(f.n_chunks(idx)):
+        part = f.read_records(idx, chunk=c)
+        pieces.extend(zip(part.keys, part.values))
+    assert pieces == list(zip(whole.keys, whole.values))
+    assert len(whole.keys) == 505
+    # v2 stats bound every chunk's labels per dimension
+    stats = f.chunk_stats(idx)
+    assert len(stats) == 6
+    for c in range(6):
+        part = f.read_records(idx, chunk=c)
+        for d in range(2):
+            labs = [k[d] for k in part.keys]
+            assert stats[c][d] == (min(labs), max(labs))
 
 
 def test_streaming_writer_matches_in_memory():
@@ -259,30 +263,28 @@ def test_streaming_writer_matches_in_memory():
 def test_streaming_writer_chunked_and_constant_memory():
     """A streamed symbol larger than one chunk splits into chunks exactly
     like the in-memory path and never materializes its records."""
-    import gdxpy_spark.sources.gdx_codec as codec
+    path = _tmp("stream_chunks.gdx")
+    w = GdxWriter(path, compress=True, chunk_records=100)
 
-    old = codec.CHUNK
-    codec.CHUNK = 100
-    try:
-        path = _tmp("stream_chunks.gdx")
-        w = GdxWriter(path, compress=True)
+    def gen():
+        for i in range(505):
+            yield (f"a{i // 50:02d}", f"b{i:04d}"), (float(i),), 0, ""
 
-        def gen():
-            for i in range(505):
-                yield (f"a{i // 50:02d}", f"b{i:04d}"), (float(i),), 0, ""
-
-        w.add_symbol_streaming(SymbolMeta("big", 2, DT_PAR), gen())
-        w.close()
-        f = GdxFile(path)
-        idx = f.find("big")
-        assert f.n_chunks(idx) == 6
-        whole = f.read_records(idx)
-        assert len(whole.keys) == 505
-        assert whole.values[504] == (504.0,)
-        pieces: list = []
-        for c in range(f.n_chunks(idx)):
-            part = f.read_records(idx, chunk=c)
-            pieces.extend(zip(part.keys, part.values))
-        assert pieces == list(zip(whole.keys, whole.values))
-    finally:
-        codec.CHUNK = old
+    w.add_symbol_streaming(SymbolMeta("big", 2, DT_PAR), gen())
+    w.close()
+    f = GdxFile(path)
+    assert f.chunk_records == 100
+    idx = f.find("big")
+    assert f.n_chunks(idx) == 6
+    whole = f.read_records(idx)
+    assert len(whole.keys) == 505
+    assert whole.values[504] == (504.0,)
+    pieces: list = []
+    for c in range(f.n_chunks(idx)):
+        part = f.read_records(idx, chunk=c)
+        pieces.extend(zip(part.keys, part.values))
+    assert pieces == list(zip(whole.keys, whole.values))
+    # streamed-path stats match the in-memory contract
+    stats = f.chunk_stats(idx)
+    assert len(stats) == 6
+    assert stats[0][0] == ("a00", "a01") and stats[0][1] == ("b0000", "b0099")
