@@ -71,6 +71,31 @@ def sql_money4(expr: str, alias: str) -> str:
 
 # monotonically_increasing_id's documented layout: partition id in the
 # upper 31 bits, per-partition record number in the lower 33.
+# --- bounded cache lifetimes -------------------------------------------------
+# Operators that cache an intermediate frame (blocked-Jaccard token
+# masks, LSH bucket signatures, IVF assignments) register it here; the
+# NEXT registered query's build releases everything from the previous
+# one. Sequential runners (the driver's correctness loop, bench.py, a
+# user stepping through queries) therefore hold at most one query's
+# caches at a time — at 100 TB an unreleased corpus-sized token frame
+# is executor-storage pressure for every later query, even though
+# MEMORY_AND_DISK degrades gracefully. Interleaved use stays CORRECT:
+# unpersist() only drops the materialized copy, the plan recomputes.
+_live_caches: list[DataFrame] = []
+
+
+def managed_cache(df: DataFrame) -> DataFrame:
+    """cache() with a lifetime bounded by the operator-call cadence."""
+    df = df.cache()
+    _live_caches.append(df)
+    return df
+
+
+def release_managed_caches() -> None:
+    while _live_caches:
+        _live_caches.pop().unpersist()
+
+
 _MID_LOCAL_MASK = (1 << 33) - 1
 
 

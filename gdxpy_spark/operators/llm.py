@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from gdxpy_spark.operators._util import davg, r4, sql_davg
+from gdxpy_spark.operators._util import davg, managed_cache, r4, sql_davg
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
 
@@ -373,17 +373,17 @@ def bitmask_jaccard_pairs(
     threshold and are pruned before the mask fold — exact, and at
     t=0.8 it eliminates most of the per-pair popcount work.
 
-    Cache lifetime: the per-doc mask frame is ``.cache()``d because the
+    Cache lifetime: the per-doc mask frame is cached because the
     self-join would recompute the explode+dictionary+groupBy lineage
-    twice (~30% of wall time at sf0.1). The cache is registered on the
-    returned plan's lineage; callers running many queries in one session
-    (bench loops, parity suites) should ``spark.catalog.clearCache()``
-    between queries — bench.py does."""
+    twice (~30% of wall time at sf0.1). Both caches go through
+    _util.managed_cache, so building the NEXT registered query releases
+    them — a sequential runner (driver loop, bench.py) holds at most one
+    query's corpus-sized frames in executor storage at a time."""
     # the (doc, bucket, token) explode is the most expensive leaf of this
     # plan (HOF shingling / tokenization) and three consumers need it
     # (vocab-size collect, dictionary, id join) — cache it once; it is
-    # spill-able and freed by the caller's clearCache
-    items = items.cache()
+    # spill-able and released at the next registered-query build
+    items = managed_cache(items)
     vocab = items.select("bucket", "token").distinct()
     row = vocab.groupBy("bucket").agg(F.count("*").alias("cnt")).agg(
         F.max("cnt").alias("mx")
@@ -418,7 +418,7 @@ def bitmask_jaccard_pairs(
     # self-join would otherwise recompute the explode+dictionary+groupBy
     # lineage twice (measured ~30% of wall time at sf0.1)
     keep_cols = ["doc_id", "bucket", "n_tok"] + (["side"] if has_side else [])
-    m = ids.select(*keep_cols, mask.alias("mask")).cache()
+    m = managed_cache(ids.select(*keep_cols, mask.alias("mask")))
     a = m.alias("a")
     b = m.alias("b")
     and_ = F.zip_with(F.col("a.mask"), F.col("b.mask"), lambda x, y: x.bitwiseAND(y))
@@ -629,7 +629,7 @@ def blocked_jaccard_auto(
 
     Contract: threshold > 0 (docs whose group emits no token row can
     never reach a positive Jaccard and are dropped by the flag join)."""
-    doc_tokens = doc_tokens.cache()
+    doc_tokens = managed_cache(doc_tokens)
     adjacent = "native" in doc_tokens.columns
     if adjacent:
         replicated = doc_tokens.select(
@@ -1152,11 +1152,12 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet count-star. Recall against llm_knn_brute is pinned by a
     planted-near-duplicate test (tests/test_ann.py); the skew cap by a
     planted-boilerplate test. Cache lifetime: the (vec_id, bucket) frame
-    (two longs per row) is cached for the self-join; bench.py clears
-    with spark.catalog.clearCache()."""
+    (two longs per row) is cached for the self-join via
+    _util.managed_cache — released when the next registered query
+    builds."""
     e = _with_norm(table(spark, sf_dir, "embeddings"))
     n_bits = _auto_n_bits(e.count())
-    bucketed = e.select("vec_id", _lsh_signature(n_bits).alias("bucket")).cache()
+    bucketed = managed_cache(e.select("vec_id", _lsh_signature(n_bits).alias("bucket")))
     return _cosine_top1(e, lsh_candidate_pairs(bucketed))
 
 
@@ -1173,7 +1174,7 @@ def llm_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann.py."""
     e = _with_norm(table(spark, sf_dir, "embeddings"))
     n_bits = _auto_n_bits(e.count())
-    bucketed = e.select("vec_id", _lsh_signature(n_bits).alias("bucket")).cache()
+    bucketed = managed_cache(e.select("vec_id", _lsh_signature(n_bits).alias("bucket")))
     return _cosine_top1(e, lsh_candidate_pairs(bucketed, n_probe_bits=n_bits))
 
 
@@ -1190,8 +1191,9 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ann.py against llm_knn_brute (~0.5 at nprobe=2 on this
     near-uniform corpus, ≈1.0 on planted near-duplicates, which is the
     distribution real dedup workloads have). Cache lifetime: the indexed
-    frame is cached for the probe+candidate joins; callers clear with
-    spark.catalog.clearCache() between queries (bench.py does)."""
+    frame is cached for the probe+candidate joins via
+    _util.managed_cache — released when the next registered query
+    builds."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -1199,9 +1201,9 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fvec", array_to_vector(F.col("embedding").cast("array<double>"))
     )
     model = KMeans(k=16, seed=42, featuresCol="fvec", predictionCol="cell").fit(e)
-    indexed = _with_norm(
+    indexed = managed_cache(_with_norm(
         model.transform(e).select("vec_id", "embedding", "cell")
-    ).cache()
+    ))
 
     centers = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],

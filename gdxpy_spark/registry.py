@@ -43,8 +43,21 @@ def register(name: str, oracle: Optional[str] = None, category: str = "") -> Cal
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query registration: {name}")
-        _REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, category=category, doc=fn.__doc__ or "")
-        return fn
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # bound cache lifetimes to the query cadence: building query
+            # N releases the managed caches query N-1 registered (see
+            # operators._util.managed_cache). Local import — operator
+            # modules import this module at load time.
+            from gdxpy_spark.operators._util import release_managed_caches
+
+            release_managed_caches()
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, category=category, doc=fn.__doc__ or "")
+        return wrapped
 
     return deco
 

@@ -23,7 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdxpy_spark.registry import register
-from gdxpy_spark.tables import configure, table
+from gdxpy_spark.tables import configure, events_ts_encoding, table
 
 _RAW_SCHEMA = (
     "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING,"
@@ -87,12 +87,17 @@ def _run_stream(spark: SparkSession, src_dir: str, build, name: str) -> DataFram
 
 
 def _raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts normalized to the replay-canonical LONG nanos."""
+    """events with ts normalized to the replay-canonical LONG nanos.
+    Encoding sniffing is delegated to tables.events_ts_encoding so an
+    unknown on-disk layout raises loudly here too instead of casting to
+    nulls (same three known encodings, different canonical target than
+    tables.table: ns LONG, because replay fixtures delta-shift raw
+    nanos)."""
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes)["ts"] != "bigint":
-        # TIMESTAMP(MICROS) file: µs → ns (exact; session pinned UTC so the
-        # NTZ→TIMESTAMP cast is wall-clock identity)
+    if events_ts_encoding(df) != "bigint":
+        # TIMESTAMP(MICROS) file (zoned or NTZ): µs → ns (exact; session
+        # pinned UTC so the NTZ→TIMESTAMP cast is wall-clock identity)
         df = df.withColumn(
             "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
         )

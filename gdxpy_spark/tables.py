@@ -47,12 +47,33 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def events_ts_encoding(df: DataFrame) -> str:
+    """Sniff which of the three known on-disk encodings `events.ts`
+    surfaced as: "bigint" (TIMESTAMP(NANOS) via nanosAsLong),
+    "timestamp" (µs, session-zoned) or "timestamp_ntz" (µs, naive).
+    Anything else raises immediately — a silent fall-through here turns
+    into null timestamps or oracle hash mismatches three operators
+    downstream, which is much harder to debug than this error. Shared by
+    :func:`table` (canonical target NTZ µs) and
+    streaming.replay._raw_events (canonical target LONG ns) so a fourth
+    encoding added by a future driver drop fails loudly in BOTH paths
+    until it is handled in one place."""
+    dt = dict(df.dtypes)["ts"]
+    if dt not in ("bigint", "timestamp", "timestamp_ntz"):
+        raise TypeError(
+            f"events.ts has unrecognized dtype {dt!r}; expected int64 "
+            "nanos (nanosAsLong), timestamp, or timestamp_ntz — teach "
+            "gdxpy_spark.tables.events_ts_encoding about the new layout"
+        )
+    return dt
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table; `events.ts` is normalized to TIMESTAMP_NTZ (µs)."""
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        dt = dict(df.dtypes)["ts"]
+        dt = events_ts_encoding(df)
         if dt == "bigint":
             # TIMESTAMP(NANOS) file read as int64 nanos (nanosAsLong):
             # nanos → µs (exact integer division) → NTZ timestamp.

@@ -225,3 +225,20 @@ def test_global_row_number_reuses_one_range_exchange(spark):
     assert "InMemoryTableScan" not in final and "Checkpoint" not in final, (
         "global_row_number must not materialize the table:\n" + final
     )
+
+
+def test_managed_caches_released_on_next_query_build(spark):
+    """Corpus-sized intermediate caches (blocked-Jaccard masks, LSH
+    buckets) must not outlive their query: building the NEXT registered
+    query releases them (_util.managed_cache ledger), so a sequential
+    runner holds at most one query's frames in executor storage."""
+    from gdxpy_spark.operators import _util
+
+    df = ALL["llm_ngram_jaccard"].fn(spark, SF_DIR)
+    df.count()  # materialize the managed caches
+    live = list(_util._live_caches)
+    assert live, "blocked-Jaccard should register managed caches"
+    assert all(d.is_cached for d in live)
+    ALL["llm_exact_dedup"].fn(spark, SF_DIR)  # build only — no action
+    assert not _util._live_caches
+    assert all(not d.is_cached for d in live)

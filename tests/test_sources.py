@@ -68,3 +68,23 @@ def test_approx_percentile_envelope(spark):
     for k in exact:
         for got, want in zip(approx[k], exact[k]):
             assert abs(got - want) <= 0.01 * abs(want), (k, got, want)
+
+
+def test_events_ts_unknown_encoding_raises(spark, tmp_path):
+    """An events.parquet whose ts column is neither int64-nanos nor a
+    timestamp type must fail loudly at load (tables.events_ts_encoding),
+    not cast to nulls — in BOTH consumers of the sniffer."""
+    import pytest
+
+    from gdxpy_spark.streaming.replay import _raw_events
+    from gdxpy_spark.tables import table as load_table
+
+    bad_dir = tmp_path / "sfbad"
+    bad_dir.mkdir()
+    spark.createDataFrame(
+        [("2024-01-01T00:00:00", 1)], "ts string, event_id bigint"
+    ).write.parquet(str(bad_dir / "events.parquet"))
+    with pytest.raises(TypeError, match="unrecognized dtype 'string'"):
+        load_table(spark, str(bad_dir), "events")
+    with pytest.raises(TypeError, match="unrecognized dtype 'string'"):
+        _raw_events(spark, str(bad_dir))
