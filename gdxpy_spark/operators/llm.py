@@ -359,14 +359,19 @@ def bitmask_jaccard_pairs(
     blocking bucket — so each distinct (bucket, token) gets a dense rank
     from a ``row_number`` window PARTITIONED BY bucket (one local sort
     per bucket, parallel across buckets, no single-partition
-    WindowExec). This both distributes the dictionary build AND shrinks
-    the masks: width is the LARGEST PER-BUCKET vocabulary (a one-row
-    max-aggregate collect — metadata, not data), not the corpus
-    vocabulary. At 100 TB the per-bucket vocab is bounded by the
-    blocking design (length buckets / MinHash bands), while corpus
-    vocab is unbounded — the per-bucket dictionary is what makes
-    fixed-width masks viable at all. Fallback for huge buckets: 64-bit
-    token hash into b-bit signatures (SimHash-style collision odds).
+    WindowExec). Mask width is PER BUCKET too — ⌈|vocab_b|/64⌉ longs,
+    carried in-plan as a metadata-sized (bucket, _nw) broadcast join, so
+    plan construction runs NO Spark job (r5: the old version collect()ed
+    a global max-vocab to bake the width in as a literal, which forced
+    blocked_jaccard_auto's callers to materialize the whole cached token
+    lineage at BUILD time even when this path's branch was empty —
+    ~3 s/query at sf0.1; zip_with pairs only meet within one bucket, so
+    equal widths were never needed ACROSS buckets in the first place).
+    At 100 TB the per-bucket vocab is bounded by the blocking design
+    (length buckets / MinHash bands), while corpus vocab is unbounded —
+    the per-bucket dictionary is what makes bitmasks viable at all.
+    Fallback for huge buckets: 64-bit token hash into b-bit signatures
+    (SimHash-style collision odds).
 
     The pair join also carries a SIZE PREFILTER: Jaccard ≤ min(n_a,n_b)
     / max(n_a,n_b), so pairs with min < t·max cannot reach the
@@ -380,21 +385,20 @@ def bitmask_jaccard_pairs(
     them — a sequential runner (driver loop, bench.py) holds at most one
     query's corpus-sized frames in executor storage at a time."""
     # the (doc, bucket, token) explode is the most expensive leaf of this
-    # plan (HOF shingling / tokenization) and three consumers need it
-    # (vocab-size collect, dictionary, id join) — cache it once; it is
-    # spill-able and released at the next registered-query build
+    # plan (HOF shingling / tokenization) and two consumers need it
+    # (dictionary, id join) — cache it once; it is spill-able and
+    # released at the next registered-query build
     items = managed_cache(items)
     vocab = items.select("bucket", "token").distinct()
-    row = vocab.groupBy("bucket").agg(F.count("*").alias("cnt")).agg(
-        F.max("cnt").alias("mx")
-    ).collect()  # one row — max per-bucket vocabulary, sizes the masks
-    max_vocab = int(row[0]["mx"] or 0)
-    n_words = max(1, (max_vocab + 63) // 64)
     dic = vocab.withColumn(
         "tid",
         (F.row_number().over(W.partitionBy("bucket").orderBy("token")) - 1).cast(
             "bigint"
         ),
+    )
+    # per-bucket mask width, in-plan (one row per bucket — metadata)
+    widths = vocab.groupBy("bucket").agg(
+        F.ceil(F.count("*") / 64).cast("int").alias("_nw")
     )
     # n_tok is the size of the collected *set*, not COUNT(*), so a caller
     # passing a non-distinct (doc_id, bucket, token) stream still gets
@@ -407,9 +411,10 @@ def bitmask_jaccard_pairs(
         .groupBy("doc_id", "bucket")
         .agg(F.collect_set("tid").alias("ids"), *extra)
         .withColumn("n_tok", F.size("ids"))
+        .join(F.broadcast(widths), "bucket")
     )
     mask = F.expr(
-        f"aggregate(ids, array_repeat(0L, {n_words}),"
+        "aggregate(ids, array_repeat(0L, _nw),"
         " (acc, id) -> transform(acc, (w, i) ->"
         "   CASE WHEN id div 64 = i THEN w | shiftleft(1L, CAST(id % 64 AS INT))"
         "        ELSE w END))"
@@ -538,18 +543,31 @@ def blocked_jaccard_pandas(
             codes, uniques = pd.factorize(pd.array([t for ts in toks for t in ts]))
         B = np.zeros((n, len(uniques)), dtype=np.float32)
         B[np.repeat(np.arange(n), lens), codes] = 1.0
-        sizes = lens.astype(np.float64)
+        sizes = lens.astype(np.float32)  # token counts < 2²⁴: exact in f32
+        # All 2-D threshold math stays float32: inter and union are small
+        # integer counts (< 2²⁴), hence EXACT in float32 — only the
+        # division is inexact, so the 2-D pass uses a loosened threshold
+        # (margin ≫ f32 division error) to pick CANDIDATE cells, and the
+        # exact float64 jaccard is computed on the gathered 1-D
+        # survivors. Near-duplicative corpora emit millions of pairs per
+        # group (sf0.1 words@0.2: ~1.5 M from one group); halving the
+        # bytes the dense pass touches was ~0.4 s/group of the kernel.
+        loose = np.float32(threshold) - np.float32(1e-4)
         if not has_side:
-            inter = (B @ B.T).astype(np.float64)
+            inter = B @ B.T
             union = sizes[:, None] + sizes[None, :] - inter
-            iu = np.triu_indices(n, 1)
-            jac = inter[iu] / np.maximum(union[iu], 1.0)
-            keep = jac >= threshold
+            keep = inter >= loose * union
+            keep &= np.triu(np.ones((n, n), dtype=bool), 1)
+            ka, kb = np.nonzero(keep)
+            jac = inter[ka, kb].astype(np.float64) / np.maximum(
+                union[ka, kb].astype(np.float64), 1.0
+            )
+            ex = jac >= threshold
             return pd.DataFrame(
                 {
-                    "doc_a": ids[iu[0][keep]],
-                    "doc_b": ids[iu[1][keep]],
-                    "jaccard_raw": jac[keep],
+                    "doc_a": ids[ka[ex]],
+                    "doc_b": ids[kb[ex]],
+                    "jaccard_raw": jac[ex],
                 }
             )
         side = pdf["side"].to_numpy(np.int64)[order]
@@ -558,19 +576,22 @@ def blocked_jaccard_pandas(
             return empty  # bottom boundary group: only side-1 docs
         # one gemm: rows = side-0 docs, cols = ALL docs in the group.
         # Triangle rule on side-0 columns, unconditional on side-1 ones.
-        inter = (B[i0] @ B.T).astype(np.float64)
+        inter = B[i0] @ B.T
         union = sizes[i0][:, None] + sizes[None, :] - inter
-        jac = inter / np.maximum(union, 1.0)
-        keep = jac >= threshold
+        keep = inter >= loose * union
         keep &= (side == 1)[None, :] | (ids[i0][:, None] < ids[None, :])
         ka, kb = np.nonzero(keep)
-        da, db = ids[i0][ka], ids[kb]
+        jac = inter[ka, kb].astype(np.float64) / np.maximum(
+            union[ka, kb].astype(np.float64), 1.0
+        )
+        ex = jac >= threshold
+        da, db = ids[i0][ka[ex]], ids[kb[ex]]
         return pd.DataFrame(
             {
                 # cross pairs join 0→1 regardless of id order; normalize
                 "doc_a": np.minimum(da, db),
                 "doc_b": np.maximum(da, db),
-                "jaccard_raw": jac[ka, kb],
+                "jaccard_raw": jac[ex],
             }
         )
 
@@ -620,15 +641,25 @@ def blocked_jaccard_auto(
     low-vocab corpora (sf0.1 trigrams: true vocab 377 vs Σtok ≈ 350k —
     every big bucket took the 3-shuffle bitmask path for nothing).
     max_cells = 2²⁸ ≈ 1 GiB of float32 — conservative for a worker with
-    a few GiB. Routing is in-plan (broadcast join on the per-group flag
-    — no driver collect, no action at plan time). Length-blocked bucket
+    a few GiB. Since r5 the routing DECISION is driver-side: the probe
+    collect()s ONE ROW PER BUCKET (metadata-sized — bucket counts are
+    bounded by the blocking design, not the corpus) and only the
+    branches with data are built. The r4 in-plan broadcast-flag join
+    looked purer but cost real time for nothing: the broadcast already
+    forced the probe to complete before the main stages (so driver-side
+    routing serializes NOTHING extra, at any scale), while the
+    usually-empty bitmask branch still executed its full 7-shuffle
+    cascade as ~1.3 s of empty-partition AQE stage latency per query at
+    sf0.1, plus a per-row flag join on the data path. When both
+    branches are live the split is a literal `isin` on the big-bucket
+    list (compact: big buckets are the exception). Length-blocked bucket
     populations grow linearly with the corpus, so at 100 TB the
     big-bucket branch is not an edge case — it is where the volume
     lands, and it degrades to the 3-shuffle bitmask plan rather than a
     task OOM.
 
-    Contract: threshold > 0 (docs whose group emits no token row can
-    never reach a positive Jaccard and are dropped by the flag join)."""
+    Contract: threshold > 0 (a doc with no tokens can never reach a
+    positive Jaccard; whichever branch sees it emits nothing for it)."""
     doc_tokens = managed_cache(doc_tokens)
     adjacent = "native" in doc_tokens.columns
     if adjacent:
@@ -681,18 +712,23 @@ def blocked_jaccard_auto(
                 (F.col("nv") + F.col("nv1")).alias("nv"),
             )
         )
-    flags = stats.select(
-        "bucket",
-        (
+    big_buckets = [
+        r["bucket"]
+        for r in stats.filter(
             (F.col("nd") * F.col("nv") > F.lit(max_cells))
             | (F.col("nd") * F.col("nd") > F.lit(max_cells))
-        ).alias("is_big"),
+        )
+        .select("bucket")
+        .collect()  # one row per BIG bucket — metadata-sized by design
+    ]
+    if not big_buckets:
+        # the common case: no routing join, no empty fallback branch
+        return blocked_jaccard_pandas(spark, replicated, threshold)
+    small = replicated.filter(~F.col("bucket").isin(big_buckets)).select(
+        "doc_id", "bucket", *side, "tokens"
     )
-    dt = replicated.join(F.broadcast(flags), "bucket")
-    small = dt.filter(~F.col("is_big")).select("doc_id", "bucket", *side, "tokens")
-    big = (
-        dt.filter(F.col("is_big"))
-        .select("doc_id", "bucket", *side, F.explode("tokens").alias("token"))
+    big = replicated.filter(F.col("bucket").isin(big_buckets)).select(
+        "doc_id", "bucket", *side, F.explode("tokens").alias("token")
     )
     return blocked_jaccard_pandas(spark, small, threshold).unionByName(
         bitmask_jaccard_pairs(spark, big, threshold)
