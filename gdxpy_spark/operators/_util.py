@@ -99,7 +99,19 @@ def release_managed_caches() -> None:
 _MID_LOCAL_MASK = (1 << 33) - 1
 
 
-def global_row_number(df: DataFrame, order_cols, out_col: str = "rn") -> DataFrame:
+def shuffle_partitions(spark) -> int:
+    """spark.sql.shuffle.partitions as an int, falling back to
+    defaultParallelism on platforms where the conf is non-numeric
+    (e.g. "auto" under Databricks auto-optimized shuffle)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
+def global_row_number(
+    df: DataFrame, order_cols, out_col: str = "rn", total_col: str | None = None
+) -> DataFrame:
     """Scalable global ROW_NUMBER() OVER (ORDER BY ...): the two-pass
     partition-offset rank, with no single-partition exchange anywhere.
 
@@ -141,7 +153,7 @@ def global_row_number(df: DataFrame, order_cols, out_col: str = "rn") -> DataFra
     cached or checkpointed. `order_cols` must be a total order (include
     a unique tiebreak column) for the rank to be deterministic.
     """
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = shuffle_partitions(df.sparkSession)
     part = (
         df.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
@@ -151,10 +163,19 @@ def global_row_number(df: DataFrame, order_cols, out_col: str = "rn") -> DataFra
     )
     counts = part.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     prior = counts.select(F.col("_pid").alias("_p2"), F.col("_cnt").alias("_c2"))
+    # cross join of two metadata-sized frames (≤ n_parts² rows): per pid,
+    # _off = rows in strictly-earlier partitions; optionally the grand
+    # total too — callers needing n (percent_rank, cume_dist, ntile) get
+    # it from this same aggregate instead of a second full-table scan.
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("_p2") < F.col("_pid"), F.col("_c2"))), F.lit(0)
+        ).alias("_off")
+    ]
+    if total_col is not None:
+        aggs.append(F.sum("_c2").alias(total_col))
     offsets = (
-        counts.join(F.broadcast(prior), F.col("_p2") < F.col("_pid"), "left")
-        .groupBy("_pid")
-        .agg(F.coalesce(F.sum("_c2"), F.lit(0)).alias("_off"))
+        counts.join(F.broadcast(prior), F.lit(True)).groupBy("_pid").agg(*aggs)
     )
     return (
         part.join(F.broadcast(offsets), "_pid")

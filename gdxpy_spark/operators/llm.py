@@ -543,7 +543,7 @@ def blocked_jaccard_pandas(
             codes, uniques = pd.factorize(pd.array([t for ts in toks for t in ts]))
         B = np.zeros((n, len(uniques)), dtype=np.float32)
         B[np.repeat(np.arange(n), lens), codes] = 1.0
-        sizes = lens.astype(np.float32)  # token counts < 2²⁴: exact in f32
+        sizes = lens.astype(np.float32)  # counts ≤ vocab ≤ 2²⁴ (routed): f32-exact
         # All 2-D threshold math stays float32: inter and union are small
         # integer counts (< 2²⁴), hence EXACT in float32 — only the
         # division is inexact, so the 2-D pass uses a loosened threshold
@@ -717,6 +717,13 @@ def blocked_jaccard_auto(
         for r in stats.filter(
             (F.col("nd") * F.col("nv") > F.lit(max_cells))
             | (F.col("nd") * F.col("nd") > F.lit(max_cells))
+            # f32-exactness guard: the matmul path's inter/union counts
+            # are exact in float32 only below 2^24, and for any pair in
+            # the bucket union(A,B) <= |bucket vocab| = nv. A small-nd
+            # bucket can still carry a huge vocab (nd*nv under max_cells
+            # with nd<=16), so bound nv explicitly — such buckets take
+            # the integer bitmask path, which is exact at any count.
+            | (F.col("nv") > F.lit(1 << 24))
         )
         .select("bucket")
         .collect()  # one row per BIG bucket — metadata-sized by design

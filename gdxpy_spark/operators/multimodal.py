@@ -229,15 +229,38 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the resampled-byte checksum from the source
     text, proving the byte gather really happened on the worker. At
     100 TB a map-only stage; resized payloads are fixed-size, which is
-    what makes the downstream training batch layout packable."""
+    what makes the downstream training batch layout packable.
+
+    r6 OPERATOR FUSION: the r1-r5 plan chained media_table's header-pack
+    mapInPandas into a second resize mapInPandas — two Arrow round-trips
+    of the full payload through two Python runners, and the resize's
+    first act was slicing the 16-byte header straight back off. The
+    driver bench showed 1.9 s, noisy 0.8-2.2 s warm (two python-runner
+    stages double the worker-scheduling variance). Fused here into ONE
+    mapInPandas over (doc_id, text): header bytes never influence the
+    output (the gather indexes payload only), so build+strip cancels and
+    the single pass does the identical byte gather over the identical
+    payload bytes. media_table stays the real input everywhere the
+    OUTPUT depends on the header (mm_image_meta, mm_frame_sample,
+    mm_feature_extract)."""
     import numpy as np
 
-    media = media_table(spark, sf_dir)
+    media = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Python-stage parallelism floor: the sf0.1 table is ONE parquet file
+    # → one input split → the whole Arrow/python stage serialized onto a
+    # single task (and a single worker's hiccup = the whole query; the
+    # 2-4 s spikes in r5's bench were exactly this). Repartition ONLY
+    # when splits < cores — the shuffle is one pass over a table that by
+    # definition fits in one split; at real scale the scan already has
+    # ≥ cores splits and this branch never fires.
+    cores = spark.sparkContext.defaultParallelism
+    if media.rdd.getNumPartitions() < cores:
+        media = media.repartition(cores)
 
     def resize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tgt = np.arange(_RESIZE_N, dtype=np.int64)
         for pdf in it:
-            blobs = [bytes(b)[16:] for b in pdf["media"]]  # strip header
+            blobs = [t.encode("utf-8") for t in pdf["text"]]  # == payload sans header
             lens = np.fromiter((len(b) for b in blobs), dtype=np.int64,
                                count=len(blobs))
             keep = lens > 0

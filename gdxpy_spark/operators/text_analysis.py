@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gdxpy_spark.operators._util import r4
+from gdxpy_spark.operators._util import r4, shuffle_partitions
 from gdxpy_spark.operators.llm import blocked_jaccard_auto
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
@@ -584,7 +584,7 @@ def llm_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     task (measured 3.6 s; 0.8 s with the spread). The repartition costs
     one linear shuffle of the streamed side, which the condition-bound
     probe amortizes at any scale."""
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = shuffle_partitions(spark)
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     a = c.repartition(n_parts).alias("a")
     b = c.alias("b")

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from gdxpy_spark.operators._util import dec
+from gdxpy_spark.operators._util import dec, global_row_number
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
 
@@ -79,17 +79,43 @@ WINDOW w AS (ORDER BY o_totalprice ASC, o_orderkey ASC)
     category="E",
 )
 def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile/percent_rank/cume_dist over a total order. Note: a global
-    (unpartitioned) window is the one window shape that does NOT scale —
-    acceptable for a ranking over an aggregated/bounded set, never over a
-    100 TB fact table."""
+    """Exact ntile/percent_rank/cume_dist over a total order — WITHOUT a
+    global window. A plain `Window.orderBy(...)` funnels the entire table
+    through one WindowExec task (the classic 100 TB killer); but because
+    the ORDER BY here is a total order (unique o_orderkey tiebreak, so no
+    peer groups), all three functions are closed forms of (rn, n) where
+    rn is the scalable two-pass rank (global_row_number):
+
+      percent_rank = (rn-1)/(n-1)          (rank == rn, no ties)
+      cume_dist    = rn/n                  (peers(row) == {row})
+      ntile(4)     = first n%4 buckets get ceil(n/4) rows, rest floor
+
+    Plan shape: one range shuffle (reused across the rank's two branches)
+    + a metadata-sized count broadcast. Zero single-partition exchanges —
+    this query used to be the engine's one documented exemption from
+    tests/test_plans.py::test_no_single_partition_window_anywhere; the
+    exemption is now removed. The sketch twin win_ntile_pct_sketch stays
+    as the cheaper approximate path (no global sort at all)."""
     od = table(spark, sf_dir, "orders")
-    w = W.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    return od.select(
+    ranked = global_row_number(
+        od,
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        out_col="rn",
+        total_col="_n",  # n rides the rank's own partition-counts agg: no 2nd scan
+    )
+    rn, n = F.col("rn"), F.col("_n")
+    big, r = F.floor(n / 4) + 1, n % 4
+    cutoff = r * big
+    quartile = F.when(rn <= cutoff, F.floor((rn - 1) / big) + 1).otherwise(
+        r + F.floor((rn - cutoff - 1) / F.greatest(F.floor(n / 4), F.lit(1))) + 1
+    )
+    return ranked.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        quartile.cast("int").alias("quartile"),
+        F.round(
+            F.when(n > 1, (rn - 1) / (n - 1)).otherwise(F.lit(0.0)), 4
+        ).alias("pct_rank"),
+        F.round(rn / n, 4).alias("cume"),
     )
 
 

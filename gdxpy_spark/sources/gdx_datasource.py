@@ -333,12 +333,6 @@ class GdxSymbolWriter(DataSourceWriter):
         self.layout = (options.get("layout", "gdxpy") or "gdxpy").lower()
         if self.layout not in ("gdxpy", "gams"):
             raise ValueError(f"gdx: unknown layout {self.layout!r}")
-        if self.layout == "gams" and self.compress:
-            raise ValueError(
-                "gdx: the GAMS layout writer does not support compression "
-                "(GAMS compresses at stream-page level; see gdx_gams.py) — "
-                "drop compress=true or use the default gdxpy layout"
-            )
         self.schema = schema
 
     def write(self, rows):
@@ -458,7 +452,7 @@ class GdxSymbolWriter(DataSourceWriter):
                     data.values.append(vals)
                     data.eps_mask.append(eps)
                     data.text.append(txt)
-                w = GamsGdxWriter(self.path)
+                w = GamsGdxWriter(self.path, compress=self.compress)
                 w.add_symbol(data)
                 w.close()
             else:
@@ -501,7 +495,22 @@ class GdxDataSource(DataSource):
         sym = self.options.get("symbol", "*")
         if sym == "*":
             return GdxCatalogReader(self._path())
-        if (self.options.get("pushdown", "") or "").lower() in ("true", "1"):
+        opt = (self.options.get("pushdown", "") or "").lower()
+        if opt in ("true", "1"):
+            return PushdownGdxSymbolReader(self._path(), sym)
+        if opt in ("false", "0"):
+            return GdxSymbolReader(self._path(), sym)
+        # Unset → version-gated default. Spark ≤ 4.1.x caches a filtered
+        # plan's pushed partition set on the relation and replays it for
+        # a later filter-less plan over the SAME DataFrame, silently
+        # dropping rows (repro pinned in tests/test_gdx_datasource.py::
+        # test_upstream_pushdown_cache_staleness) — so pruning stays
+        # opt-in there. On a future Spark where that is fixed, pushdown
+        # becomes the default; re-verify the pinned repro when bumping.
+        import pyspark
+
+        major, minor = (int(x) for x in pyspark.__version__.split(".")[:2])
+        if (major, minor) > (4, 1):
             return PushdownGdxSymbolReader(self._path(), sym)
         return GdxSymbolReader(self._path(), sym)
 

@@ -42,9 +42,16 @@ and cross-checks the reader independently of the writer):
   set text, acronyms, next-write, domains) immediately after the
   header, back-patched on close — this is what enables direct seeks
   (and our per-symbol partition pruning)
-- compression: GAMS compresses at stream-page level; this module
-  supports only uncompressed V7 files (the GAMS default) and raises a
-  clear error on the compressed flag
+- compression: GAMS compresses at stream-page level. This module
+  reads and writes zlib page streams (r6): when the header's
+  compression flag is set, everything after it is a sequence of
+  [u32 raw_len | u32 comp_len | zlib page] frames over 16 KiB logical
+  pages, and every seek position in the major index is a LOGICAL
+  offset into the decompressed image — so the reader reconstructs the
+  logical buffer once and all section seeks work unchanged. The page
+  framing is structural (real GAMS page headers are UNVERIFIED here,
+  like the rest of the layout — no GAMS install in this container);
+  the zlib payloads themselves are standard RFC 1950
 
 Scale: GDX symbols are model-sized by format contract (UEL < 2³¹,
 typically ≪10⁶ records) — a per-symbol partition is the right scan
@@ -56,6 +63,7 @@ from __future__ import annotations
 import io
 import math
 import struct
+import zlib
 
 from gdxpy_spark.sources.gdx_codec import (
     DT_ALIAS,
@@ -98,6 +106,46 @@ _VM_CONST = {
 }
 
 _END_OF_DATA = 255  # control byte terminating a symbol's record stream
+
+# stream-page compression framing (compression flag = 1): 16 KiB logical
+# pages, each stored as <u32 raw_len><u32 comp_len><zlib bytes>. The
+# header through the compression flag stays plain so sniffing and flag
+# dispatch never touch zlib.
+_PAGE_RAW = 1 << 14
+_HEADER_PLAIN_LEN = 1 + 1 + len(GDX_HEADER_ID) + 4 + 4  # nr|id|version|flag
+
+
+def _deflate_pages(raw: bytes) -> bytes:
+    out = io.BytesIO()
+    for i in range(0, len(raw), _PAGE_RAW):
+        page = raw[i : i + _PAGE_RAW]
+        comp = zlib.compress(page, 6)
+        out.write(struct.pack("<II", len(page), len(comp)))
+        out.write(comp)
+    return out.getvalue()
+
+
+def _inflate_pages(buf: bytes, pos: int, path: str) -> bytes:
+    out = bytearray()
+    n = len(buf)
+    while pos < n:
+        if pos + 8 > n:
+            raise GamsGdxError(f"{path}: truncated compression page header")
+        raw_len, comp_len = struct.unpack_from("<II", buf, pos)
+        pos += 8
+        if pos + comp_len > n:
+            raise GamsGdxError(f"{path}: truncated compression page body")
+        try:
+            page = zlib.decompress(buf[pos : pos + comp_len])
+        except zlib.error as exc:
+            raise GamsGdxError(f"{path}: bad zlib page: {exc}") from exc
+        if len(page) != raw_len:
+            raise GamsGdxError(
+                f"{path}: page inflated to {len(page)} bytes, header said {raw_len}"
+            )
+        out += page
+        pos += comp_len
+    return bytes(out)
 
 
 class GamsGdxError(ValueError):
@@ -234,13 +282,15 @@ def _decode_value(r: _Rd) -> tuple[float, bool]:
 
 
 class GamsGdxWriter:
-    """Write a V7-layout .gdx (uncompressed). Same add_symbol/close API
+    """Write a V7-layout .gdx (plain or zlib page-stream). Same add_symbol/close API
     as gdx_codec.GdxWriter so fixtures and the DataSource writer can
     target either container."""
 
-    def __init__(self, path: str, producer: str = "gdxpy_spark gams-layout"):
+    def __init__(self, path: str, producer: str = "gdxpy_spark gams-layout",
+                 compress: bool = False):
         self.path = path
         self.producer = producer
+        self.compress = compress
         self.symbols: list[SymbolData] = []
         self.uels: list[str] = []
         self._uel_code: dict[str, int] = {}
@@ -330,7 +380,7 @@ class GamsGdxWriter:
         _w_byte(out, GDX_HEADER_NR)
         out.write(bytes([len(GDX_HEADER_ID)]) + GDX_HEADER_ID)
         _w_int(out, GDX_VERSION)
-        _w_int(out, 0)  # compression flag: uncompressed only (GAMS default)
+        _w_int(out, int(self.compress))  # stream-page zlib when set
         _w_str(out, "GDX clean-room (gdxpy_spark)")  # FileSystemID/audit
         _w_str(out, self.producer)
 
@@ -391,8 +441,13 @@ class GamsGdxWriter:
             "<qqqqqq", buf, index_pos + 4,
             symb_pos, uel_pos, sett_pos, acro_pos, next_pos, doms_pos,
         )
+        blob = bytes(buf)
+        if self.compress:
+            # positions in the major index are logical offsets; only the
+            # on-disk byte stream after the flag is page-deflated
+            blob = blob[:_HEADER_PLAIN_LEN] + _deflate_pages(blob[_HEADER_PLAIN_LEN:])
         with open(self.path, "wb") as f:
-            f.write(bytes(buf))
+            f.write(blob)
 
 
 class GamsGdxFile:
@@ -414,11 +469,15 @@ class GamsGdxFile:
         if self.version > GDX_VERSION:
             raise GamsGdxError(f"{path}: unsupported GDX version {self.version}")
         compr = r.int32()
+        if compr not in (0, 1):
+            raise GamsGdxError(f"{path}: bad compression flag {compr}")
         if compr:
-            raise GamsGdxError(
-                f"{path}: compressed GDX not supported by the clean-room "
-                "reader (GAMS page-level compression; write uncompressed)"
-            )
+            # reconstruct the logical (decompressed) image: plain header
+            # prefix + inflated page stream. Major-index seek positions
+            # are logical offsets, so parsing continues unchanged.
+            r = _Rd(buf[: r.pos] + _inflate_pages(buf, r.pos, path))
+            r.pos = _HEADER_PLAIN_LEN
+        self.compressed = bool(compr)
         self.audit = r.string()
         self.producer = r.string()
         if r.int32() != MARK_BOI:

@@ -286,28 +286,93 @@ def test_domains_arity_rejected():
         SymbolMeta("d", 2, DT_PAR, domains=("i",))
 
 
-def test_gams_writer_rejects_compress_option(spark, tmp_path):
+def test_gams_writer_compress_option_roundtrips(spark, tmp_path):
+    """layout=gams + compress=true writes a zlib page-stream file the
+    reader (and the format("gdx") scan) round-trips exactly."""
     from gdxpy_spark.sources import gdx_datasource
 
     gdx_datasource.register(spark)
-    df = spark.createDataFrame([("a", 1.0, False)],
-                               "k1 STRING, value DOUBLE, is_eps BOOLEAN")
-    with pytest.raises(Exception, match="compression"):
-        (df.write.format("gdx").option("symbol", "p")
-           .option("symtype", "parameter").option("layout", "gams")
-           .option("compress", "true").mode("overwrite")
-           .save(str(tmp_path / "x.gdx")))
+    df = spark.createDataFrame(
+        [("a", 1.0, False), ("b", 0.0, True), ("c", 2.5, False)],
+        "k1 STRING, value DOUBLE, is_eps BOOLEAN")
+    path = str(tmp_path / "x.gdx")
+    (df.write.format("gdx").option("symbol", "p")
+       .option("symtype", "parameter").option("layout", "gams")
+       .option("compress", "true").mode("overwrite").save(path))
+    raw = open(path, "rb").read()
+    assert struct.unpack_from("<i", raw, 1 + 8 + 4)[0] == 1  # flag set
+    back = (spark.read.format("gdx").option("symbol", "p").load(path)
+            .orderBy("k1").collect())
+    assert [(r["k1"], r["value"], r["is_eps"]) for r in back] == [
+        ("a", 1.0, False), ("b", 0.0, True), ("c", 2.5, False)]
 
 
-def test_compressed_flag_rejected(tmp_path):
-    raw = bytearray(build_golden())
-    # flip the compression int (directly after 1-byte nr + 8-byte id + 4-byte version)
-    struct.pack_into("<i", raw, 1 + 8 + 4, 1)
+def zlib_wrap_golden(raw: bytes, page: int = 100) -> bytes:
+    """Hand-wrap golden bytes into the page framing — deliberately NOT
+    via gdx_gams._deflate_pages, and with a page size small enough that
+    sections straddle page boundaries."""
+    import zlib as _z
+
+    hdr_len = 1 + 8 + 4 + 4  # nr | shortstring id | version | flag
+    head = bytearray(raw[:hdr_len])
+    struct.pack_into("<i", head, 1 + 8 + 4, 1)  # set compression flag
+    body = raw[hdr_len:]
+    out = io.BytesIO()
+    out.write(bytes(head))
+    for i in range(0, len(body), page):
+        chunk = body[i : i + page]
+        comp = _z.compress(chunk, 6)
+        out.write(struct.pack("<II", len(chunk), len(comp)))
+        out.write(comp)
+    return out.getvalue()
+
+
+def test_compressed_golden_parses_identically(golden, tmp_path):
     p = str(tmp_path / "compr.gdx")
     with open(p, "wb") as f:
-        f.write(bytes(raw))
-    with pytest.raises(G.GamsGdxError, match="compressed"):
+        f.write(zlib_wrap_golden(build_golden()))
+    plain, compr = G.GamsGdxFile(golden), G.GamsGdxFile(p)
+    assert compr.compressed and not plain.compressed
+    assert [s.name for s in compr.symbols] == [s.name for s in plain.symbols]
+    assert compr.uels == plain.uels
+    for i in range(len(plain.symbols)):
+        a, b = plain.read_records(i), compr.read_records(i)
+        assert a.keys == b.keys and a.eps_mask == b.eps_mask
+        assert a.text == b.text
+        assert all(
+            (x == y or (x != x and y != y))
+            for va, vb in zip(a.values, b.values) for x, y in zip(va, vb)
+        )
+
+
+def test_corrupt_zlib_page_rejected(tmp_path):
+    wrapped = bytearray(zlib_wrap_golden(build_golden()))
+    wrapped[30] ^= 0xFF  # garble inside the first compressed page
+    p = str(tmp_path / "bad.gdx")
+    with open(p, "wb") as f:
+        f.write(bytes(wrapped))
+    with pytest.raises(G.GamsGdxError, match="zlib|page"):
         G.GamsGdxFile(p)
+
+
+def test_writer_compress_reader_roundtrip(tmp_path):
+    p_plain = str(tmp_path / "p.gdx")
+    p_comp = str(tmp_path / "c.gdx")
+    keys = [(f"u{i:04d}",) for i in range(2000)]
+    vals = [(float(i) * 0.5,) for i in range(2000)]
+    for path, comp in ((p_plain, False), (p_comp, True)):
+        w = G.GamsGdxWriter(path, compress=comp)
+        w.add_symbol(SymbolData(
+            meta=SymbolMeta("big", 1, DT_PAR, expl_text="2k records"),
+            keys=list(keys), values=list(vals),
+            eps_mask=[0] * 2000, text=[""] * 2000))
+        w.close()
+    import os
+
+    assert os.path.getsize(p_comp) < os.path.getsize(p_plain) / 2
+    a = G.GamsGdxFile(p_plain).read_records(0)
+    b = G.GamsGdxFile(p_comp).read_records(0)
+    assert a.keys == b.keys and a.values == b.values
 
 
 def test_facade_opens_gams_layout(spark, golden):

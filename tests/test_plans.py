@@ -128,15 +128,15 @@ def test_jaccard_plans_have_no_single_partition_exchange(spark):
 def test_no_single_partition_window_anywhere(spark):
     """No registered query may rank/order through an unpartitioned Window
     (Exchange SinglePartition → WindowExec: the whole table in one task).
-    sort_multi_nulls and gdx_uel_dictionary used to — both now use the
-    two-pass partition-offset rank (global_row_number). The only allowed
-    exception is win_ntile_pct, the documented bounded-input exact twin
-    of win_ntile_pct_sketch."""
+    sort_multi_nulls, gdx_uel_dictionary, and (as of r6) win_ntile_pct
+    all used to — each now uses the two-pass partition-offset rank
+    (global_row_number). NO exemptions remain: zero single-partition
+    exchanges anywhere in the engine."""
     from gdxpy_spark.plans.inspect import has_unpartitioned_window
 
     offenders = []
     for name, q in ALL.items():
-        if name == "win_ntile_pct" or name.startswith("stream_"):
+        if name.startswith("stream_"):
             continue
         try:
             df = q.fn(spark, SF_DIR)
