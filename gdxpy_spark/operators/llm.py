@@ -684,10 +684,44 @@ def blocked_jaccard_auto(
     else:
         replicated = doc_tokens
         side = []
-    # probe over the UNREPLICATED stream (half the explode volume in
-    # native mode); group g's stats are then assembled metadata-side as
-    # bucket-g + bucket-(g+1) sums — exact for nd, an upper bound for
-    # vocab (|Vg ∪ Vg+1| ≤ |Vg| + |Vg+1|), i.e. conservative routing
+    # TWO-PHASE PROBE (r6). Phase A is a no-explode aggregate over the
+    # doc-level frame — nd = docs per bucket, ub = Σ|tokens| (a hard
+    # upper bound on the bucket vocab). If EVERY group passes the
+    # routing predicate even at the vocab upper bound, no bucket can be
+    # big and the exploded-HLL probe never runs: at bench scale that is
+    # ~1 s/query of explode+sketch replaced by a metadata aggregate.
+    # Only when some group's BOUND trips does phase B (the HLL probe)
+    # run to route precisely — so r4's over-routing from the ub
+    # estimate cannot recur: ub only ever decides "provably small",
+    # never "big".
+    key = F.col("native" if adjacent else "bucket").alias("bucket")
+    pre = (
+        doc_tokens.select(key, F.size("tokens").alias("_len"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("nd"), F.sum("_len").alias("ub"))
+    )
+    if adjacent:
+        up0 = pre.select((F.col("bucket") - 1).alias("bucket"),
+                         F.col("nd").alias("nd1"), F.col("ub").alias("ub1"))
+        pre = (
+            pre.join(up0, "bucket", "full_outer")
+            .na.fill(0, ["nd", "ub", "nd1", "ub1"])
+            .select("bucket", (F.col("nd") + F.col("nd1")).alias("nd"),
+                    (F.col("ub") + F.col("ub1")).alias("ub"))
+        )
+    maybe_big = pre.filter(
+        (F.col("nd") * F.col("ub") > F.lit(max_cells))
+        | (F.col("nd") * F.col("nd") > F.lit(max_cells))
+        | (F.col("ub") > F.lit(1 << 24))
+    ).limit(1).count()  # metadata-sized aggregate, one cheap job
+    if not maybe_big:
+        return blocked_jaccard_pandas(spark, replicated, threshold)
+
+    # phase B: sketch the TRUE per-bucket vocab over the exploded
+    # stream (unreplicated: half the explode volume in native mode);
+    # group g's stats are then assembled metadata-side as bucket-g +
+    # bucket-(g+1) sums — exact for nd, an upper bound for vocab
+    # (|Vg ∪ Vg+1| ≤ |Vg| + |Vg+1|), i.e. conservative routing
     stats = (
         doc_tokens.select(
             "doc_id",

@@ -130,10 +130,12 @@ def build_fixture_gdx(sf_dir: str, compress: bool = True) -> str:
     return path
 
 
-def build_fixture_gdx_gams(sf_dir: str) -> str:
+def build_fixture_gdx_gams(sf_dir: str, compress: bool = False) -> str:
     """GAMS-V7-layout fixture (gdx_gams.GamsGdxWriter): the monthly_sales
-    parameter + a specials symbol, for the native-layout read query."""
-    key = f"gams:{sf_dir}"
+    parameter + a specials symbol, for the native-layout read query.
+    ``compress=True`` writes the zlib stream-page variant (SURVEY App B's
+    second real-world container form)."""
+    key = f"gams{'z' if compress else ''}:{sf_dir}"
     if key in _CACHE and os.path.exists(_CACHE[key]):
         return _CACHE[key]
     from gdxpy_spark.sources.gdx_gams import GamsGdxWriter
@@ -143,7 +145,7 @@ def build_fixture_gdx_gams(sf_dir: str) -> str:
         os.path.basename(sf_dir.rstrip("/")),
     )
     os.makedirs(out, exist_ok=True)
-    path = os.path.join(out, "fixture_gams.gdx")
+    path = os.path.join(out, f"fixture_gams{'_z' if compress else ''}.gdx")
 
     con = duckdb.connect()
     con.execute(
@@ -155,7 +157,8 @@ def build_fixture_gdx_gams(sf_dir: str) -> str:
         " FROM orders GROUP BY 1, 2 ORDER BY 1, 2"
     ).fetchall()
 
-    w = GamsGdxWriter(path, producer=f"gdxpy_spark gams fixtures {sf_dir}")
+    w = GamsGdxWriter(path, producer=f"gdxpy_spark gams fixtures {sf_dir}",
+                      compress=compress)
     w.add_symbol(
         SymbolData(
             meta=SymbolMeta("monthly_sales", 2, DT_PAR, expl_text="sales by status×month"),

@@ -52,10 +52,18 @@ def src_gdx_gams_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-1's GDXPY7-only src_gdx_read toward native-layout parity;
     byte-level conformance vs GAMS-produced files remains unverifiable
     in this container (no GAMS install — SURVEY §0), pinned instead by
-    the hand-built golden fixture in tests/test_gdx_gams.py."""
+    the hand-built golden fixture in tests/test_gdx_gams.py. Reads BOTH
+    container variants (plain + zlib stream-page, r6) and unions them
+    with a tag — the rows-only driver check then implicitly asserts the
+    two byte layouts decode to identical records."""
     gdx_datasource.register(spark)
-    path = build_fixture_gdx_gams(sf_dir)
-    return spark.read.format("gdx").option("symbol", "monthly_sales").load(path)
+    plain = build_fixture_gdx_gams(sf_dir)
+    compr = build_fixture_gdx_gams(sf_dir, compress=True)
+    a = (spark.read.format("gdx").option("symbol", "monthly_sales").load(plain)
+         .withColumn("container", F.lit("plain")))
+    b = (spark.read.format("gdx").option("symbol", "monthly_sales").load(compr)
+         .withColumn("container", F.lit("zlib")))
+    return a.unionByName(b)
 
 
 @register("src_gdx_write", oracle=None, category="A")  # weak: DuckDB can't read GDX

@@ -201,6 +201,45 @@ def test_minhash_candidates_subquadratic(spark):
     )
 
 
+def test_ntile_closed_form_matches_window_all_remainders(spark):
+    """win_ntile_pct's closed forms of (rn, n) must equal Spark's own
+    ntile/percent_rank/cume_dist window for every n mod 4 remainder —
+    including the uneven-bucket split (first n%4 quartiles get one extra
+    row) and the n=1 percent_rank=0 edge."""
+    from pyspark.sql import Window as W
+    from gdxpy_spark.operators._util import global_row_number
+
+    for n in (1, 2, 3, 4, 5, 7, 8, 9, 101, 102, 103, 104):
+        df = spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") * 37 % 1000).alias("v")
+        )
+        w = W.orderBy(F.col("v").asc(), F.col("k").asc())
+        want = {
+            r["k"]: (r["q"], round(r["pr"], 4), round(r["cd"], 4))
+            for r in df.select(
+                "k", F.ntile(4).over(w).alias("q"),
+                F.percent_rank().over(w).alias("pr"),
+                F.cume_dist().over(w).alias("cd")).collect()
+        }
+        ranked = global_row_number(
+            df, [F.col("v").asc(), F.col("k").asc()], out_col="rn", total_col="_n"
+        )
+        rn, nn = F.col("rn"), F.col("_n")
+        big, r_ = F.floor(nn / 4) + 1, nn % 4
+        cutoff = r_ * big
+        quartile = F.when(rn <= cutoff, F.floor((rn - 1) / big) + 1).otherwise(
+            r_ + F.floor((rn - cutoff - 1) / F.greatest(F.floor(nn / 4), F.lit(1))) + 1
+        )
+        got = {
+            r["k"]: (r["q"], round(r["pr"], 4), round(r["cd"], 4))
+            for r in ranked.select(
+                "k", quartile.cast("int").alias("q"),
+                F.when(nn > 1, (rn - 1) / (nn - 1)).otherwise(F.lit(0.0)).alias("pr"),
+                (rn / nn).alias("cd")).collect()
+        }
+        assert got == want, f"n={n}: closed form diverges from window"
+
+
 def test_ntile_sketch_envelope(spark):
     """The sketch-based quartile bucketing must agree with exact
     NTILE(4) on all but boundary-adjacent rows: same quartile for
