@@ -1585,3 +1585,105 @@ def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.filter(F.col("doc_id") != F.col("component_id")).select(
         F.col("doc_id").alias("dup_id"), F.col("component_id").alias("kept_id")
     )
+
+
+_DECONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS ngram
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 3)),
+tr AS (SELECT doc_id AS train_id, ngram FROM g WHERE doc_id % 50 <> 0),
+ev AS (SELECT doc_id AS eval_id, ngram FROM g WHERE doc_id % 50 = 0)
+SELECT train_id, eval_id, CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+FROM tr JOIN ev USING (ngram)
+GROUP BY train_id, eval_id
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("llm_decontaminate", oracle=_DECONTAM_ORACLE, category="K")
+def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set DECONTAMINATION: flag (train doc, eval doc) pairs sharing
+    ≥ 2 distinct word n-grams — the overlap check every serious
+    pretraining pipeline runs so benchmark text doesn't leak into
+    training data. Eval set = doc_id % 50 == 0 (a deterministic
+    synthetic held-out split); n = 3 here because the synthetic corpus
+    only yields measurable exact overlap at trigram length — production
+    runs use 8-13-gram shingles on the IDENTICAL plan.
+
+    Plan shape (the part that matters at 100 TB): per-doc DISTINCT
+    shingles are generated map-side with JVM higher-order functions
+    (transform over a sequence — no UDF, no explode-then-dedup shuffle
+    of duplicate grams), and the contamination join is a shuffle on the
+    ngram key where the EVAL side is benchmark-sized — AQE broadcasts
+    it, so the train corpus is never shuffled at all; per-pair counts
+    then aggregate partial-before-shuffle. At petabyte train scale you'd
+    additionally hash each shingle to 64 bits to cut shuffle/broadcast
+    bytes (xxhash64(ngram)); kept as raw strings here so the DuckDB
+    oracle can replay the join exactly."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.array_remove(F.split("text", " "), "")
+    grams = F.when(
+        F.size(t) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 2),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("ngram")
+    )
+    tr = g.filter(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("train_id"), "ngram"
+    )
+    ev = g.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "ngram"
+    )
+    return (
+        tr.join(ev, "ngram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= 2)
+    )
+
+
+_SPLIT_ORACLE = """
+SELECT doc_id,
+       substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) AS bucket,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cc'
+            THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6'
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+@register("llm_train_split", oracle=_SPLIT_ORACLE, category="K")
+def llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: split by the first two
+    hex chars of md5(doc_id || ':split') — ~80/10/10 via lexicographic
+    hex ranges ('00'-'cb' train = 204/256, 'cc'-'e5' val = 26/256, rest
+    test). Hash-based (not random()) so the split is REPRODUCIBLE across
+    runs, engines, and re-shards, and any new document routes without
+    global coordination — the property a 100 TB pipeline needs (a
+    random() split changes membership every execution and cannot be
+    hash-verified at all). md5 + hex-substring comparison is chosen over
+    engine-native hashes precisely because both Spark and DuckDB define
+    it identically. Map-only; fuses with the scan."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < "cc", "train")
+        .when(bucket < "e6", "val")
+        .otherwise("test")
+        .alias("split"),
+    )

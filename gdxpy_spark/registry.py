@@ -110,6 +110,8 @@ _ARTIFACT_PRIORITY = [
     "agg_salted_sum", "win_ntile_pct_sketch", "win_sessionize",
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark_late", "stream_dedup", "stream_stateful_running",
+    # new in r6 — no artifact row exists yet anywhere:
+    "llm_decontaminate", "llm_train_split",
 ]
 
 

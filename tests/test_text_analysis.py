@@ -426,3 +426,62 @@ def test_auto_router_sends_giant_bucket_to_bitmask(spark):
     )
     assert got == want and len(got) > 0
     spark.catalog.clearCache()
+
+
+@pytest.fixture(scope="module")
+def contam_dir(spark, tmp_path_factory):
+    """documents dir with PLANTED contamination: train doc 999901 gets
+    eval doc 0's exact text (every trigram shared), train doc 999902
+    gets an eval doc 50's first 5 tokens (a handful of shared
+    trigrams)."""
+    docs = table(spark, SF_DIR, "documents")
+    ev = {r["doc_id"]: r["text"] for r in docs.filter(
+        F.col("doc_id").isin(0, 50)).collect()}
+    extra = spark.createDataFrame(
+        [
+            (999901, ev[0], "en", len(ev[0])),
+            (999902, " ".join(ev[50].split()[:5]) + " zq wq xq", "en", 40),
+        ],
+        "doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT",
+    )
+    sample = docs.select("doc_id", "text", "lang", "n_chars")
+    out = str(tmp_path_factory.mktemp("contam"))
+    sample.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    return out
+
+
+def test_decontaminate_flags_planted_leak(spark, contam_dir):
+    """A train doc carrying an eval doc's exact text must be flagged
+    against that eval doc, with shared_ngrams == the eval doc's distinct
+    trigram count; the 5-token partial copy must also be flagged (3
+    distinct trigrams ≥ 2)."""
+    out = {
+        (r["train_id"], r["eval_id"]): r["shared_ngrams"]
+        for r in ALL["llm_decontaminate"].fn(spark, contam_dir).collect()
+    }
+    assert (999901, 0) in out, "full-copy contamination missed"
+    ev0_toks = [t for t in table(spark, contam_dir, "documents")
+                .filter(F.col("doc_id") == 0).collect()[0]["text"].split(" ") if t]
+    n_tri = len({" ".join(ev0_toks[i:i + 3]) for i in range(len(ev0_toks) - 2)})
+    assert out[(999901, 0)] == n_tri
+    assert (999902, 50) in out, "partial-copy contamination missed"
+    assert out[(999902, 50)] == 3
+
+
+def test_train_split_distribution_and_stability(spark):
+    """Hash split must be ~80/10/10 (binomial tolerance at n=500) and
+    bit-identical across two runs (the reproducibility contract)."""
+    rows1 = {r["doc_id"]: r["split"] for r in
+             ALL["llm_train_split"].fn(spark, SF_DIR).collect()}
+    rows2 = {r["doc_id"]: r["split"] for r in
+             ALL["llm_train_split"].fn(spark, SF_DIR).collect()}
+    assert rows1 == rows2
+    n = len(rows1)
+    from collections import Counter
+
+    c = Counter(rows1.values())
+    assert abs(c["train"] / n - 204 / 256) < 0.06
+    assert abs(c["val"] / n - 26 / 256) < 0.05
+    assert abs(c["test"] / n - 26 / 256) < 0.05
