@@ -1634,15 +1634,19 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = docs.select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("ngram")
-    )
-    tr = g.filter(F.col("doc_id") % 50 != 0).select(
-        F.col("doc_id").alias("train_id"), "ngram"
-    )
-    ev = g.filter(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("eval_id"), "ngram"
-    )
+
+    def shingled(side_filter, out_id):
+        # split filter BEFORE shingling: each branch scans and shingles
+        # only its own docs (the filter reaches the parquet scan), so
+        # the corpus is shingled once total — not twice, as a shared
+        # post-explode frame filtered two ways would be
+        return docs.filter(side_filter).select(
+            F.col("doc_id").alias(out_id),
+            F.explode(F.array_distinct(grams)).alias("ngram"),
+        )
+
+    tr = shingled(F.col("doc_id") % 50 != 0, "train_id")
+    ev = shingled(F.col("doc_id") % 50 == 0, "eval_id")
     return (
         tr.join(ev, "ngram")
         .groupBy("train_id", "eval_id")
