@@ -65,11 +65,20 @@ def _tmpdir(name: str) -> str:
     return tempfile.mkdtemp(dir=d)
 
 
-@register("src_csv_roundtrip", oracle=None, category="A")  # weak: sink+source
+_CSV_RT_ORACLE = """
+SELECT CAST(n_nationkey AS INT) AS n_nationkey, n_name,
+       CAST(n_regionkey AS INT) AS n_regionkey
+FROM nation
+"""
+
+
+@register("src_csv_roundtrip", oracle=_CSV_RT_ORACLE, category="A")
 def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation → CSV (header, overwrite) → read back with an explicit
-    schema (never inferSchema in production paths). Exact-equality is
-    asserted in tests; the driver sees the read-back frame."""
+    schema (never inferSchema in production paths). Oracle (r6 upgrade
+    from weak): the SOURCE query itself — the roundtrip must be
+    lossless, so the read-back frame hash-matches a direct scan of the
+    origin table."""
     nation = table(spark, sf_dir, "nation")
     out = _tmpdir("csv")
     nation.write.mode("overwrite").option("header", True).csv(out)
@@ -77,9 +86,18 @@ def src_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).option("header", True).csv(out)
 
 
-@register("src_json_roundtrip", oracle=None, category="A")  # weak: sink+source
+_JSON_RT_ORACLE = """
+SELECT s_suppkey, s_name, CAST(s_nationkey AS INT) AS s_nationkey, s_acctbal
+FROM supplier
+"""
+
+
+@register("src_json_roundtrip", oracle=_JSON_RT_ORACLE, category="A")
 def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """supplier → JSON lines → read back with explicit schema."""
+    """supplier → JSON lines → read back with explicit schema. Oracle =
+    the source scan: doubles survive the JSON text roundtrip bit-exactly
+    (Spark writes shortest-roundtrip decimal repr), so losslessness is
+    hash-checked, not just row-counted."""
     sup = table(spark, sf_dir, "supplier")
     out = _tmpdir("json")
     sup.write.mode("overwrite").json(out)
@@ -89,11 +107,14 @@ def src_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("src_orc_roundtrip", oracle=None, category="A")  # weak: sink+source
+_ORC_RT_ORACLE = "SELECT r_regionkey, r_name FROM region"
+
+
+@register("src_orc_roundtrip", oracle=_ORC_RT_ORACLE, category="A")
 def src_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """region → ORC → read back (Spark's second columnar native format;
     schema travels in the file, so no explicit schema needed — unlike
-    csv/json). Exact-equality asserted in tests."""
+    csv/json). Oracle = the source scan (r6 upgrade from weak)."""
     region = table(spark, sf_dir, "region")
     out = _tmpdir("orc")
     region.write.mode("overwrite").orc(out)

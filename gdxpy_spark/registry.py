@@ -112,6 +112,11 @@ _ARTIFACT_PRIORITY = [
     "stream_watermark_late", "stream_dedup", "stream_stateful_running",
     # new in r6 — no artifact row exists yet anywhere:
     "llm_decontaminate", "llm_train_split",
+    # weak→oracle upgrades in r6 — prior artifacts recorded them
+    # rows-only; surface the new hash checks in the driver's ledger:
+    "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip",
+    "src_gdx_read", "src_gdx_gams_read", "src_gdx_write",
+    "src_gdx_catalog",
 ]
 
 

@@ -16,7 +16,39 @@ from gdxpy_spark.sources.fixtures import build_fixture_gdx, build_fixture_gdx_ga
 from gdxpy_spark.tables import table
 
 
-@register("src_gdx_catalog", oracle=None, category="A")  # weak: DuckDB can't read GDX
+# Catalog metadata is constant by fixture construction except nrecs,
+# which DuckDB derives from the same source tables the fixture was built
+# from — so even the catalog scan is hash-checkable (r6 upgrade).
+_GDX_CATALOG_ORACLE = """
+SELECT * FROM (
+  SELECT 'region_set' AS name, 1 AS dim, 'set' AS type, 0 AS subtype,
+         (SELECT COUNT(*) FROM region) AS nrecs,
+         'regions' AS expl_text, '*' AS domains, '' AS alias_of
+  UNION ALL
+  SELECT 'nation_region', 2, 'set', 0, (SELECT COUNT(*) FROM nation),
+         'nation→region membership', '*,region_set', ''
+  UNION ALL
+  SELECT 'acctbal', 1, 'parameter', 0, (SELECT COUNT(*) FROM customer),
+         'customer balance', '*', ''
+  UNION ALL
+  SELECT 'monthly_sales', 2, 'parameter', 0,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderstatus,
+                                month(o_orderdate) FROM orders)),
+         'sales by status×month', '*,*', ''
+  UNION ALL
+  SELECT 'flow', 2, 'variable', 1,
+         (SELECT COUNT(*) FROM (SELECT DISTINCT o_orderstatus,
+                                o_orderpriority FROM orders)),
+         'order flow', '*,*', ''
+  UNION ALL
+  SELECT 'n_orders', 0, 'parameter', 0, 1, 'scalar: order count', '', ''
+  UNION ALL
+  SELECT 'specials', 1, 'parameter', 0, 5, 'GDX special values', '*', ''
+)
+"""
+
+
+@register("src_gdx_catalog", oracle=_GDX_CATALOG_ORACLE, category="A")
 def src_gdx_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symbol catalog of a .gdx (gdxpy R2: name/dim/type/nrecs/expl text)
     via the metadata scan of the custom DataSource. The DataSource exposes
@@ -33,7 +65,20 @@ def src_gdx_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("src_gdx_read", oracle=None, category="A")  # weak: DuckDB can't read GDX
+# The fixture's monthly_sales symbol is DERIVED from orders (fixtures.py
+# builds it with this exact aggregate), so although DuckDB cannot read
+# GDX bytes, it CAN recompute what a lossless write+read must return —
+# upgrading these IO queries from rows-only to full hash checks (r6).
+_GDX_MS_ORACLE = """
+SELECT o_orderstatus AS k1,
+       'm' || CAST(month(o_orderdate) AS VARCHAR) AS k2,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS value,
+       false AS is_eps
+FROM orders GROUP BY 1, 2
+"""
+
+
+@register("src_gdx_read", oracle=_GDX_MS_ORACLE, category="A")
 def src_gdx_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read one symbol (monthly_sales, dim 2 parameter) from a .gdx as a
     long DataFrame (gdxpy R5 — but a lazy Arrow-batched scan, not a
@@ -43,7 +88,17 @@ def src_gdx_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.format("gdx").option("symbol", "monthly_sales").load(path)
 
 
-@register("src_gdx_gams_read", oracle=None, category="A")  # weak: DuckDB can't read GDX
+_GDX_MS_BOTH_ORACLE = """
+SELECT o_orderstatus AS k1,
+       'm' || CAST(month(o_orderdate) AS VARCHAR) AS k2,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS value,
+       false AS is_eps, container
+FROM orders CROSS JOIN (VALUES ('plain'), ('zlib')) AS c(container)
+GROUP BY 1, 2, container
+"""
+
+
+@register("src_gdx_gams_read", oracle=_GDX_MS_BOTH_ORACLE, category="A")
 def src_gdx_gams_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read a symbol from a GAMS-V7-LAYOUT .gdx (gdx_gams.py — header
     byte 123 + "GAMSGDX", delta-encoded keys, GMS_SV_* sentinels)
@@ -66,7 +121,14 @@ def src_gdx_gams_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
-@register("src_gdx_write", oracle=None, category="A")  # weak: DuckDB can't read GDX
+_GDX_WRITE_ORACLE = """
+SELECT n_name AS k1, CAST(COUNT(*) AS DOUBLE) AS value, false AS is_eps
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+@register("src_gdx_write", oracle=_GDX_WRITE_ORACLE, category="A")
 def src_gdx_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame → .gdx symbol → read back (gdxpy R16 + round-trip): the
     per-nation customer count written as a dim-1 parameter."""
