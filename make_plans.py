@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: AQE-final executed physical plans of the
+headline queries at sf0.1, with per-query notes on what the plan must
+show. The machine-checked versions of these shapes live in
+tests/test_plans.py; this artifact is the human-readable evidence."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PICKS = [
+    ("agg_groupby_basic",
+     "TPC-H Q1 shape: pushdown + partial-before-shuffle aggregation"),
+    ("tpch_q5_shape",
+     "six-table join graph: broadcast dim chain + fact shuffles"),
+    ("win_ntile_pct",
+     "exact global ntile/percent_rank/cume_dist with ZERO single-partition "
+     "exchanges (two-pass rank, reused range exchange)"),
+    ("win_row_number_topk", "per-group top-k: window group-limit pushdown"),
+    ("sort_limit_topk", "global top-k: TakeOrderedAndProject, no global sort"),
+    ("llm_exact_dedup", "exact dedup: shuffles 32-byte hashes, never text"),
+    ("llm_decontaminate",
+     "decontamination: eval side broadcast, train corpus never shuffled"),
+    ("llm_knn_topk",
+     "label-blocked cosine kNN: per-group BLAS in applyInPandas"),
+    ("src_parquet_partitioned",
+     "partition pruning: status predicate in PartitionFilters"),
+]
+
+DETAIL_KEYS = ("PushedFilters", "PartitionFilters", "ReadSchema",
+               "Arguments: [n_name", "functions:")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from gdxpy_spark import registry
+
+    queries = registry.all_queries()
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    out = [
+        "# PLANS — executed physical plans of headline queries",
+        "",
+        '`df.explain("formatted")` equivalents captured from EXECUTED plans',
+        "(AQE-final) at sf0.1 on local[32], regenerated each round by",
+        "`python make_plans.py`. What to look for is noted per query;",
+        "plan-shape regressions are enforced by tests/test_plans.py, this",
+        "file is the human-readable evidence.",
+        "",
+    ]
+    for name, why in PICKS:
+        df = queries[name].fn(spark, sf)
+        df.write.format("noop").mode("overwrite").save()  # AQE-finalize
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        spark.catalog.clearCache()
+        lines = plan.splitlines()
+        tree_end = next(
+            (i for i, l in enumerate(lines) if not l.strip()), len(lines)
+        )
+        details = [
+            l for l in lines[tree_end:] if any(k in l for k in DETAIL_KEYS)
+        ]
+        out += [f"## {name}", f"_{why}_", "", "```", *lines[:tree_end]]
+        if details:
+            out += ["--- key details ---", *details[:12]]
+        out += ["```", ""]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    print(f"PLANS.md: {len(PICKS)} plans")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Scale probe: run the heavy pipeline operators at 1× (sf0.1) and 10×
+(a 50k-doc corpus derived from sf0.1: 10 copies, shifted ids, per-copy
+token perturbation, written as 32 parquet files so the scan has real
+splits — the shape production data actually has) and report the
+wall-clock ratio. The point is empirical evidence for SCALE.md's
+claims: map/agg ops should be ~flat (cores absorb 10×), blocked ops
+~linear, and `blocked_jaccard_auto` must ROUTE to the distributed
+bitmask plan once per-bucket doc counts trip the matmul memory model.
+
+Usage: python scale_probe.py   (builds the 10× corpus in /tmp on first run)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+S1 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+S10 = "/tmp/gdxpy_spark_scaleprobe/sfx10"
+
+
+def build_10x(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from gdxpy_spark.tables import table
+
+    if os.path.exists(S10 + "/documents.parquet"):
+        return
+    docs = table(spark, S1, "documents")
+    big = None
+    for i in range(10):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        if i:
+            c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" c{i}tok")))
+        big = c if big is None else big.unionByName(c)
+    big.repartition(32).write.mode("overwrite").parquet(S10 + "/documents.parquet")
+    emb = table(spark, S1, "embeddings")
+    big_e = None
+    for i in range(10):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+        big_e = c if big_e is None else big_e.unionByName(c)
+    big_e.repartition(8).write.mode("overwrite").parquet(S10 + "/embeddings.parquet")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession, functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from gdxpy_spark import registry
+    from gdxpy_spark.operators.llm import blocked_jaccard_auto
+    from gdxpy_spark.tables import table
+
+    build_10x(spark)
+    queries = registry.all_queries()
+    queries["udf_pandas_scalar"].fn(spark, S1).write.format("noop").mode(
+        "overwrite"
+    ).save()  # absorb python-worker-pool spawn
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return round(dt, 2)
+
+    def jac(sf, thr=0.95):
+        docs = table(spark, sf, "documents")
+        tok = docs.select(
+            "doc_id",
+            (F.col("n_chars") / 100).cast("bigint").alias("native"),
+            F.array_remove(F.array_distinct(F.split("text", " ")), "").alias(
+                "tokens"
+            ),
+        )
+        return blocked_jaccard_auto(spark, tok, thr)
+
+    # routing assertion: at 10x the per-bucket doc counts trip nd² >
+    # max_cells, so the executed plan MUST contain the bitmask fallback
+    plan = jac(S10)._jdf.queryExecution().executedPlan().toString()
+    routed = "bit_count" in plan
+    spark.catalog.clearCache()
+    print(f"bitmask routed at 10x: {routed}")
+    assert routed, "auto-router failed to degrade to the distributed plan"
+
+    rows = []
+    for name in ("llm_exact_dedup", "llm_train_split", "llm_tf",
+                 "llm_doc_quality", "llm_decontaminate", "llm_minhash_dedup",
+                 "llm_knn_brute", "llm_ann_lsh"):
+        a = timed(lambda: queries[name].fn(spark, S1))
+        b = timed(lambda: queries[name].fn(spark, S10))
+        rows.append((name, a, b))
+    a = timed(lambda: jac(S1))
+    b = timed(lambda: jac(S10))
+    rows.append(("blocked_jaccard@0.95", a, b))
+    print(f"{'op':25s} {'1x':>7s} {'10x':>7s} {'ratio':>6s}")
+    for name, a, b in rows:
+        print(f"{name:25s} {a:7.2f} {b:7.2f} {b / max(a, 1e-9):6.1f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
