@@ -395,19 +395,22 @@ def test_facade_opens_gams_layout(spark, golden):
 def test_roundtrip_property_gams():
     """Same hypothesis property as the GDXPY7 codec, against the GAMS
     layout: random symbols (dim 0-5, specials, EPS masks, set text)
-    write→read exactly."""
+    write→read exactly — through BOTH the plain and the zlib page-stream
+    container (r6)."""
     import math as _math
 
     from hypothesis import HealthCheck, given, settings
 
     from tests.test_gdx_codec import _eq_val, _tmp, symbol
 
+    import hypothesis.strategies as st
+
     @settings(max_examples=30, deadline=None,
               suppress_health_check=[HealthCheck.too_slow])
-    @given(sym=symbol())
-    def run(sym):
+    @given(sym=symbol(), compress=st.booleans())
+    def run(sym, compress):
         path = _tmp("prop_gams.gdx")
-        w = G.GamsGdxWriter(path)
+        w = G.GamsGdxWriter(path, compress=compress)
         w.add_symbol(sym)
         w.close()
         f = G.GamsGdxFile(path)
