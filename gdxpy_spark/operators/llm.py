@@ -1519,7 +1519,7 @@ def minhash_band_pairs(
         F.array_min(F.transform(F.col("tokens"), _perm_hash(a, b))).alias(f"sig{i}")
         for i, (a, b) in enumerate(_MINHASH_PERMS8[:n_perms])
     ]
-    sig_df = toks.select("doc_id", *sigs)
+    sig_df = managed_cache(toks.select("doc_id", *sigs))
     band_structs = [
         F.struct(
             F.lit(j).alias("band"),
