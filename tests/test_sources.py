@@ -88,3 +88,63 @@ def test_events_ts_unknown_encoding_raises(spark, tmp_path):
         load_table(spark, str(bad_dir), "events")
     with pytest.raises(TypeError, match="unrecognized dtype 'string'"):
         _raw_events(spark, str(bad_dir))
+
+
+def test_shuffle_partitions_fallback_on_non_numeric():
+    """Platforms where spark.sql.shuffle.partitions is non-numeric (e.g.
+    'auto' under Databricks AOS) must fall back to defaultParallelism
+    instead of raising ValueError at query-build time."""
+    from gdxpy_spark.operators._util import shuffle_partitions
+
+    class FakeCtx:
+        defaultParallelism = 7
+
+    class FakeConf:
+        def __init__(self, value):
+            self._v = value
+
+        def get(self, key):
+            return self._v
+
+    class FakeSpark:
+        def __init__(self, value):
+            self.conf = FakeConf(value)
+            self.sparkContext = FakeCtx()
+
+    assert shuffle_partitions(FakeSpark("32")) == 32
+    assert shuffle_partitions(FakeSpark("auto")) == 7
+    assert shuffle_partitions(FakeSpark(None)) == 7
+
+
+def test_gdx_pushdown_version_gate(spark, tmp_path):
+    """Unset pushdown option → plain reader on Spark <= 4.1 (the pinned
+    upstream relation-cache bug), pushdown reader on anything newer;
+    explicit true/false always wins. Checked by driving the datasource's
+    reader() selection directly with a monkeypatched version."""
+    from unittest import mock
+
+    from gdxpy_spark.sources import gdx_datasource as D
+    from gdxpy_spark.sources.fixtures import build_fixture_gdx
+
+    path = build_fixture_gdx(SF_DIR)
+
+    def reader_for(options, version):
+        src = D.GdxDataSource(dict(options, path=path))
+        with mock.patch.object(D.pyspark, "__version__", version) if hasattr(
+            D, "pyspark"
+        ) else mock.patch("pyspark.__version__", version):
+            return type(src.reader(src.schema())).__name__
+
+    assert reader_for({"symbol": "monthly_sales"}, "4.1.2") == "GdxSymbolReader"
+    assert (
+        reader_for({"symbol": "monthly_sales"}, "4.2.0")
+        == "PushdownGdxSymbolReader"
+    )
+    assert (
+        reader_for({"symbol": "monthly_sales", "pushdown": "true"}, "4.1.2")
+        == "PushdownGdxSymbolReader"
+    )
+    assert (
+        reader_for({"symbol": "monthly_sales", "pushdown": "false"}, "4.2.0")
+        == "GdxSymbolReader"
+    )
