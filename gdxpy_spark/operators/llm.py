@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from gdxpy_spark.operators._util import davg, managed_cache, r4, sql_davg
+from gdxpy_spark.operators._util import davg, global_row_number, managed_cache, r4, sql_davg
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
 
@@ -1690,4 +1690,59 @@ def llm_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < "e6", "val")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+_STRAT_ORACLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':sample')
+                            ) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+WHERE rn <= CAST(CEIL(0.1 * n) AS BIGINT)
+"""
+
+
+@register("llm_sample_stratified", oracle=_STRAT_ORACLE, category="K")
+def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic STRATIFIED sampling: exactly ceil(10%) of each
+    language stratum, selected by md5 rank within the stratum — the
+    eval-set construction primitive (per-language quotas, reproducible
+    across runs/engines, no random() so membership never churns).
+    Companion to llm_train_split: split gives hash-proportional
+    membership, this gives exact per-stratum counts when quotas must be
+    met.
+
+    Plan (the few-strata trap): a `Window.partitionBy(lang)` rank pushes
+    each stratum through ONE task — fine for thousands of strata,
+    a scale-killer for a 4-language petabyte corpus. Instead the
+    per-stratum rank is derived from the scalable two-pass GLOBAL rank
+    (global_row_number) over the total order (lang, md5, doc_id): ranks
+    are contiguous per stratum, so rank-in-stratum = rn − min(rn per
+    lang) + 1, with the per-lang min/count a metadata-sized broadcast.
+    One range shuffle, no WindowExec at all, any stratum spans many
+    tasks."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample"))).alias(
+            "_k"
+        ),
+    )
+    ranked = global_row_number(
+        docs,
+        [F.col("lang").asc(), F.col("_k").asc(), F.col("doc_id").asc()],
+        out_col="_rn",
+    )
+    stats = ranked.groupBy("lang").agg(
+        F.min("_rn").alias("_lo"), F.count("*").alias("_n")
+    )
+    return (
+        ranked.join(F.broadcast(stats), "lang")
+        .filter(
+            F.col("_rn") - F.col("_lo") + 1
+            <= F.ceil(0.1 * F.col("_n")).cast("bigint")
+        )
+        .select("doc_id", "lang")
     )

@@ -111,7 +111,7 @@ _ARTIFACT_PRIORITY = [
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark_late", "stream_dedup", "stream_stateful_running",
     # new in r6 — no artifact row exists yet anywhere:
-    "llm_decontaminate", "llm_train_split",
+    "llm_decontaminate", "llm_train_split", "llm_sample_stratified",
     # weak→oracle upgrades in r6 — prior artifacts recorded them
     # rows-only; surface the new hash checks in the driver's ledger:
     "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip",

@@ -485,3 +485,23 @@ def test_train_split_distribution_and_stability(spark):
     assert abs(c["train"] / n - 204 / 256) < 0.06
     assert abs(c["val"] / n - 26 / 256) < 0.05
     assert abs(c["test"] / n - 26 / 256) < 0.05
+
+
+def test_stratified_sample_quotas_and_stability(spark):
+    """Exactly ceil(10%) per language stratum, stable across runs, and a
+    subset of the corpus."""
+    import math
+
+    docs = table(spark, SF_DIR, "documents")
+    strata = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got1 = [(r["doc_id"], r["lang"]) for r in
+            ALL["llm_sample_stratified"].fn(spark, SF_DIR).collect()]
+    got2 = [(r["doc_id"], r["lang"]) for r in
+            ALL["llm_sample_stratified"].fn(spark, SF_DIR).collect()]
+    assert sorted(got1) == sorted(got2)
+    from collections import Counter
+
+    per = Counter(lang for _, lang in got1)
+    for lang, n in strata.items():
+        assert per[lang] == math.ceil(0.1 * n), (lang, per[lang], n)
