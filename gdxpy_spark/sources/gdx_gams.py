@@ -190,7 +190,12 @@ class _Rd:
 
     def string(self) -> str:
         n = self.byte()
-        s = self.buf[self.pos : self.pos + n].decode("utf-8")
+        try:
+            s = self.buf[self.pos : self.pos + n].decode("utf-8")
+        except UnicodeDecodeError as exc:
+            raise GamsGdxError(
+                f"corrupt ShortString at offset {self.pos}: {exc}"
+            ) from exc
         self.pos += n
         return s
 

@@ -481,3 +481,45 @@ def test_datasource_gams_layout_roundtrip(spark, tmp_path):
     back = spark.read.format("gdx").option("symbol", "tariff").load(out)
     rows = {r["k1"]: (r["value"], r["is_eps"]) for r in back.collect()}
     assert rows == {"de": (3.5, False), "fr": (0.0, True), "us": (7.25, False)}
+
+
+def test_malformed_inputs_fail_loudly(tmp_path):
+    """Every malformed-container branch must raise GamsGdxError with a
+    message naming the problem — never a silent wrong parse or a raw
+    struct.error/IndexError escaping to the caller."""
+    raw = build_golden()
+
+    def write(b, name):
+        p = str(tmp_path / name)
+        with open(p, "wb") as f:
+            f.write(bytes(b))
+        return p
+
+    # future version
+    bad = bytearray(raw)
+    struct.pack_into("<i", bad, 1 + 8, 99)
+    with pytest.raises(G.GamsGdxError, match="version"):
+        G.GamsGdxFile(write(bad, "ver.gdx"))
+
+    # bad compression flag value
+    bad = bytearray(raw)
+    struct.pack_into("<i", bad, 1 + 8 + 4, 7)
+    with pytest.raises(G.GamsGdxError, match="compression flag"):
+        G.GamsGdxFile(write(bad, "flag.gdx"))
+
+    # not a GDX at all / truncated header
+    with pytest.raises(G.GamsGdxError, match="not a GAMS-layout"):
+        G.GamsGdxFile(write(b"\x00\x01\x02", "junk.gdx"))
+
+    # garbled section marker: flip the first byte of "_UEL_"'s
+    # ShortString payload (located via the major index)
+    bad = bytearray(raw)
+    uel_pos = struct.unpack_from("<q", bad, raw.index(struct.pack("<i", 19510624)) + 4 + 8)[0]
+    bad[uel_pos + 1] ^= 0xFF
+    with pytest.raises(G.GamsGdxError, match="expected marker|corrupt ShortString"):
+        G.GamsGdxFile(write(bad, "marker.gdx"))
+
+    # truncated compressed page stream (header cut mid-frame)
+    z = zlib_wrap_golden(raw)
+    with pytest.raises(G.GamsGdxError, match="truncated"):
+        G.GamsGdxFile(write(z[: len(z) - 5], "trunc.gdx"))
