@@ -54,6 +54,7 @@ write-back round-trips losslessly (SURVEY §1.2).
 
 from __future__ import annotations
 
+import contextlib
 import io
 import math
 import os
@@ -527,6 +528,22 @@ class GdxWriter:
 
 # --- reader -----------------------------------------------------------------
 
+@contextlib.contextmanager
+def _corrupt_guard(path: str, where: str):
+    """Re-raise low-level decode failures (index/struct/overflow/unicode/
+    zlib) as ValueError naming the file and section — corrupt bytes must
+    fail loudly and typed, never leak a raw IndexError to the caller
+    (found by the r6 byte-fuzz sweep in tests/test_gdx_codec.py)."""
+    try:
+        yield
+    except (IndexError, struct.error, OverflowError, UnicodeDecodeError,
+            zlib.error, MemoryError) as exc:
+        raise ValueError(
+            f"{path}: corrupt GDXPY7 container ({where}): "
+            f"{type(exc).__name__}: {exc}"
+        ) from exc
+
+
 class GdxFile:
     """Random-access reader: catalog + UELs parsed eagerly (small), record
     blocks decoded on demand per symbol (and per chunk range — the unit a
@@ -553,6 +570,10 @@ class GdxFile:
                 f"{path}: not a gdxpy_spark GDX container — expected magic "
                 f"{MAGIC!r}, got {buf[:len(MAGIC)]!r}{hint}"
             )
+        with _corrupt_guard(path, "catalog"):
+            self._parse_catalog(buf)
+
+    def _parse_catalog(self, buf: bytes) -> None:
         off = len(MAGIC)
         self.version, flags = struct.unpack_from("<HB", buf, off)
         self.compressed = bool(flags & 1)
@@ -641,10 +662,14 @@ class GdxFile:
 
     def read_records(self, idx: int, chunk: int | None = None) -> SymbolData:
         """Decode one symbol's records (or one chunk of them)."""
+        with _corrupt_guard(self.path, f"records[{idx}]"):
+            return self._read_records(idx, chunk)
+
+    def _read_records(self, idx: int, chunk: int | None = None) -> SymbolData:
         m = self.symbols[idx]
         data = SymbolData(meta=m)
         if m.type == DT_ALIAS:
-            return self.read_records(self.find(m.alias_of), chunk)
+            return self._read_records(self.find(m.alias_of), chunk)
         block = self._block(idx)
         chunks = self._chunks[idx]
         if chunk is None:

@@ -152,6 +152,25 @@ class GamsGdxError(ValueError):
     pass
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _corrupt_guard(path: str, where: str):
+    """Re-raise low-level decode failures as GamsGdxError naming the file
+    and section — corrupt bytes must fail loudly and typed, never leak a
+    raw IndexError/struct.error (r6 byte-fuzz finding, mirrored from
+    gdx_codec)."""
+    try:
+        yield
+    except (IndexError, struct.error, OverflowError, UnicodeDecodeError,
+            zlib.error, MemoryError) as exc:
+        raise GamsGdxError(
+            f"{path}: corrupt GAMS-layout container ({where}): "
+            f"{type(exc).__name__}: {exc}"
+        ) from exc
+
+
 # --- Delphi-stream primitives (ShortString + little-endian ints) -----------
 
 def _w_byte(b: io.BytesIO, v: int) -> None:
@@ -466,6 +485,11 @@ class GamsGdxFile:
             buf = f.read()
         if not buf or buf[0] != GDX_HEADER_NR or buf[2:9] != GDX_HEADER_ID:
             raise GamsGdxError(f"{path}: not a GAMS-layout GDX file")
+        with _corrupt_guard(path, "catalog"):
+            self._parse(buf)
+
+    def _parse(self, buf: bytes) -> None:
+        path = self.path
         r = _Rd(buf)
         r.byte()
         if r.string() != GDX_HEADER_ID.decode():
@@ -552,9 +576,13 @@ class GamsGdxFile:
         return None  # no per-chunk key statistics in the GAMS layout
 
     def read_records(self, idx: int, chunk: int | None = None) -> SymbolData:
+        with _corrupt_guard(self.path, f"records[{idx}]"):
+            return self._read_records(idx, chunk)
+
+    def _read_records(self, idx: int, chunk: int | None = None) -> SymbolData:
         m = self.symbols[idx]
         if m.type == DT_ALIAS:
-            return self.read_records(self.find(m.alias_of))
+            return self._read_records(self.find(m.alias_of))
         r = _Rd(self._r.buf)
         r.pos = self._data_pos[idx]
         r.expect_marker(MARK_DATA, m.name)

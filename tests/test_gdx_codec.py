@@ -288,3 +288,67 @@ def test_streaming_writer_chunked_and_constant_memory():
     stats = f.chunk_stats(idx)
     assert len(stats) == 6
     assert stats[0][0] == ("a00", "a01") and stats[0][1] == ("b0000", "b0099")
+
+
+def test_corrupt_bytes_never_leak_raw_exceptions():
+    """Byte-fuzz both container readers (flip / truncate / garbage, fixed
+    seed): every failure must surface as the reader's typed error
+    (ValueError family), never a raw IndexError/struct.error/
+    OverflowError/UnicodeDecodeError — the r6 hardening contract."""
+    import random
+
+    from gdxpy_spark.sources import gdx_gams as G
+    from gdxpy_spark.sources.gdx_codec import GdxFile, GdxWriter
+
+    def fuzz(write_fixture, open_file, n=120):
+        path = _tmp("fuzz.gdx")
+        write_fixture(path)
+        raw = open(path, "rb").read()
+        rng = random.Random(7)
+        leaked = {}
+        bad_path = _tmp("fuzz_bad.gdx")
+        for trial in range(n):
+            b = bytearray(raw)
+            mode = trial % 3
+            if mode == 0:
+                i = rng.randrange(len(b))
+                b[i] ^= rng.randrange(1, 256)
+            elif mode == 1:
+                b = b[: rng.randrange(1, len(b))]
+            else:
+                i = rng.randrange(len(b))
+                b[i : i + 4] = bytes(rng.randrange(256) for _ in range(4))
+            with open(bad_path, "wb") as f:
+                f.write(bytes(b))
+            try:
+                r = open_file(bad_path)
+                for i in range(len(r.symbols)):
+                    r.read_records(i)
+            except ValueError:
+                pass  # typed (GamsGdxError subclasses ValueError too)
+            except KeyError:
+                pass  # alias resolution on a corrupt catalog
+            except Exception as exc:  # noqa: BLE001 — the property under test
+                leaked.setdefault(type(exc).__name__, 0)
+                leaked[type(exc).__name__] += 1
+        assert not leaked, f"raw exceptions escaped: {leaked}"
+
+    def small(meta_cls=SymbolMeta):
+        return SymbolData(
+            meta=SymbolMeta("x", 1, DT_PAR),
+            keys=[("a",), ("b",)], values=[(1.0,), (2.0,)],
+            eps_mask=[0, 0], text=["", ""],
+        )
+
+    def w_codec(path):
+        w = GdxWriter(path)
+        w.add_symbol(small())
+        w.close()
+
+    def w_gams(path):
+        w = G.GamsGdxWriter(path, compress=True)
+        w.add_symbol(small())
+        w.close()
+
+    fuzz(w_codec, GdxFile)
+    fuzz(w_gams, G.GamsGdxFile)
