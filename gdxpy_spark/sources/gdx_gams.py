@@ -60,6 +60,7 @@ unit; the DataSource layer handles that (gdx_datasource).
 
 from __future__ import annotations
 
+import contextlib
 import io
 import math
 import struct
@@ -150,9 +151,6 @@ def _inflate_pages(buf: bytes, pos: int, path: str) -> bytes:
 
 class GamsGdxError(ValueError):
     pass
-
-
-import contextlib
 
 
 @contextlib.contextmanager
