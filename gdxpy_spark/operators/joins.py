@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
+from gdxpy_spark.operators._util import dsum
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
 
@@ -289,4 +290,60 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return carried.filter(F.col("is_signup") == 0).select(
         F.col("sid").alias("purchase_id"), "user_id", "signup_id"
+    )
+
+
+_SKEW_ORACLE = """
+SELECT s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38, 10))
+                      * CAST((1 - l_discount) AS DECIMAL(38, 10)))
+                  AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
+@register("join_skew_salted", oracle=_SKEW_ORACLE, category="C")
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED shuffle join — the explicit hot-key treatment for skewed
+    fact→dim joins (the other half of the skew toolbox next to AQE's
+    runtime skew split, which only reacts AFTER a straggler partition
+    materializes). The fact side gets a deterministic salt in [0, 8);
+    the dim side is replicated once per salt value; the join keys on
+    (suppkey, salt), so a key holding 10% of a 100 TB fact table spreads
+    over 8 reducers instead of one. Results are exactly the plain join's
+    (every fact row meets its dim row under its own salt — replication
+    guarantees presence, the equi-key guarantees uniqueness), which the
+    un-salted oracle SQL hash-checks.
+
+    shuffle_hash hint: salting only matters when the join SHUFFLES — a
+    broadcast of the dim side would make the salt dead weight, so the
+    plan pins the shuffle-hash strategy the technique is for. The final
+    per-name rollup re-aggregates the 8 salt shards with a partial-agg
+    shuffle of |dim| rows. Salt fan-out (8) trades dim-replication bytes
+    for reducer parallelism; production tunes it to the observed key
+    histogram."""
+    n_salt = 8
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.col("l_orderkey"), F.lit(n_salt)).alias("_salt"),
+    )
+    sup = (
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name")
+        .withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        .withColumn("_salt", F.col("_salt").cast(dict(li.dtypes)["_salt"]))
+    )
+    joined = li.hint("shuffle_hash").join(
+        sup,
+        (li.l_suppkey == sup.s_suppkey) & (li._salt == sup._salt),
+    )
+    return joined.groupBy("s_name").agg(
+        F.count("*").alias("n_items"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
     )

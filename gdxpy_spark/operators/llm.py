@@ -1746,3 +1746,176 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang")
     )
+
+
+_SUBSTR_K = 6  # span length in words; production pipelines use 50 tokens
+
+_SUBSTR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + {_SUBSTR_K - 1}],
+                         ' ') AS gram
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - {_SUBSTR_K - 2})) AS i
+        FROM toks WHERE len(ts) >= {_SUBSTR_K})),
+pg AS (SELECT doc_id, gram, COUNT(*) AS m FROM g GROUP BY doc_id, gram),
+tot AS (SELECT gram, SUM(m) AS t FROM pg GROUP BY gram)
+SELECT doc_id,
+       CAST(SUM(m) AS BIGINT) AS n_spans,
+       CAST(COALESCE(SUM(m) FILTER (t >= 2), 0) AS BIGINT) AS dup_spans,
+       ROUND(1.0 * COALESCE(SUM(m) FILTER (t >= 2), 0) / SUM(m), 4)
+         AS dup_ratio
+FROM pg JOIN tot USING (gram)
+GROUP BY doc_id
+"""
+
+
+@register("llm_substring_dedup", oracle=_SUBSTR_ORACLE, category="K")
+def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN statistics (the substring-dedup pass of Lee
+    et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): for every document, how many of its 6-word spans occur
+    ≥ 2 times corpus-wide (within OR across documents) — the per-doc
+    coverage number a pipeline thresholds on before cutting duplicated
+    spans out of training text. k = 6 words here (the synthetic corpus's
+    planted near-dups share spans at that length); production uses
+    ~50-token spans on the IDENTICAL plan.
+
+    Plan shape at 100 TB: spans are generated map-side with JVM
+    higher-order functions (transform over a sequence — no UDF), then
+    collapsed to (doc, span, multiplicity) by one partial-agg shuffle so
+    the corpus-wide total per span is summed over pre-aggregated rows,
+    not raw positions. The join back to per-doc rows is span-keyed and
+    reuses the totals' partitioning. At petabyte scale you'd shuffle
+    xxhash64(span) instead of span text to cut bytes (collision-safe for
+    counting at 64 bits); raw strings kept here so the DuckDB oracle can
+    replay the plan exactly."""
+    k = _SUBSTR_K
+    docs = table(spark, sf_dir, "documents")
+    t = F.array_remove(F.split("text", " "), "")
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
+    )
+    g = (
+        docs.filter(F.size(t) >= k)
+        .select("doc_id", F.explode(spans).alias("gram"))
+    )
+    pg = g.groupBy("doc_id", "gram").agg(F.count("*").alias("m"))
+    tot = pg.groupBy("gram").agg(F.sum("m").alias("t"))
+    dup_m = F.sum(F.when(F.col("t") >= 2, F.col("m")).otherwise(F.lit(0)))
+    return (
+        pg.join(tot, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_spans"),
+            dup_m.alias("dup_spans"),
+            F.round(dup_m / F.sum("m"), 4).alias("dup_ratio"),
+        )
+    )
+
+
+_REP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS gram
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        FROM toks WHERE len(ts) >= 2)),
+pg AS (SELECT doc_id, gram, COUNT(*) AS m FROM g GROUP BY doc_id, gram)
+SELECT doc_id,
+       CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       ROUND(1.0 * COALESCE(SUM(m) FILTER (m >= 2), 0) / SUM(m), 4)
+         AS dup_bigram_frac,
+       ROUND(1.0 * MAX(m) / SUM(m), 4) AS top_bigram_frac,
+       (1.0 * COALESCE(SUM(m) FILTER (m >= 2), 0) / SUM(m)) <= 0.2 AS keep
+FROM pg
+GROUP BY doc_id
+"""
+
+
+@register("llm_repetition_filter", oracle=_REP_ORACLE, category="K")
+def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document REPETITION filter (the Gopher/MassiveText rules,
+    Rae et al. 2021 table A1): per doc, the fraction of bigram positions
+    whose bigram repeats within that same doc, and the share of the
+    single most frequent bigram; keep = duplicate-bigram fraction ≤ 0.2
+    (Gopher's threshold band). Catches boilerplate/spam docs that
+    corpus-level dedup never sees because the repetition is internal.
+
+    Plan: explode to (doc, bigram) → ONE partial-agg shuffle to
+    (doc, bigram, count) → per-doc rollup. Both aggregations key on
+    doc_id prefixes, and the second input is vocabulary-collapsed, so
+    the whole filter is ~one shuffle of per-doc bigram sets — map-mostly
+    and embarrassingly scalable (no corpus-wide state at all; at 100 TB
+    this is the cheap pre-filter that runs before any dedup join). The
+    keep flag compares the RAW fraction (exact bigint division, bitwise
+    identical across engines), not the rounded display value."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.array_remove(F.split("text", " "), "")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+    )
+    pg = (
+        docs.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("m"))
+    )
+    dup_m = F.sum(F.when(F.col("m") >= 2, F.col("m")).otherwise(F.lit(0)))
+    frac = dup_m / F.sum("m")
+    return pg.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.round(frac, 4).alias("dup_bigram_frac"),
+        F.round(F.max("m") / F.sum("m"), 4).alias("top_bigram_frac"),
+        (frac <= 0.2).alias("keep"),
+    )
+
+
+_PII_ORACLE = """
+SELECT c_custkey,
+       regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS name_redacted,
+       CAST(length(c_name)
+            - length(regexp_replace(c_name, '[0-9]', '', 'g'))
+            AS INT) AS digits_masked,
+       CAST(FLOOR(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_band
+FROM customer
+"""
+
+
+@register("llm_pii_redact", oracle=_PII_ORACLE, category="K")
+def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION + GENERALIZATION: the scrub pass a training-data
+    pipeline runs before text enters a corpus — numeric identifiers
+    replaced with a typed placeholder, an audit count of masked
+    characters (pipelines log redaction volume per shard to catch scrub
+    regressions), and a k-anonymity-style generalization of the
+    quasi-identifier (exact account balance → 1000-wide band).
+    Demonstrated on the customer table's identifier-shaped fields
+    ('Customer#000000001'); production adds email/phone/SSN/IP patterns
+    to the same map-only plan.
+
+    Scale: pure per-row regexp_replace/length/floor — fuses into the
+    scan inside WholeStageCodegen, no shuffle, no UDF; the 100 TB cost
+    is one pass over the bytes. The patterns are deliberately RE2-simple
+    (character classes only) so every engine compiles them identically —
+    the DuckDB oracle hash-checks the scrub byte-for-byte."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]+", "<ID>").alias("name_redacted"),
+        (
+            F.length("c_name")
+            - F.length(F.regexp_replace("c_name", "[0-9]", ""))
+        )
+        .cast("int")
+        .alias("digits_masked"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("bigint")
+        .alias("acctbal_band"),
+    )

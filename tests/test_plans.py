@@ -242,3 +242,41 @@ def test_managed_caches_released_on_next_query_build(spark):
     ALL["llm_exact_dedup"].fn(spark, SF_DIR)  # build only — no action
     assert not _util._live_caches
     assert all(not d.is_cached for d in live)
+
+
+def test_pii_redact_is_shuffle_free(spark):
+    """llm_pii_redact is a pure per-row scrub: the plan must contain no
+    Exchange at all — it fuses into the parquet scan, and the 100 TB
+    cost is exactly one pass over the bytes."""
+    plan = formatted_plan(_df(spark, "llm_pii_redact"))
+    assert "Exchange" not in plan, "map-only scrub grew a shuffle:\n" + plan
+
+
+def test_repetition_filter_partial_agg_no_window(spark):
+    """The Gopher repetition filter must stay one partial-agg shuffle
+    chain: partial+final HashAggregate pairs, no Window operator, and
+    no join (it has no corpus-wide state to join against)."""
+    plan = formatted_plan(_df(spark, "llm_repetition_filter"))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_substring_dedup_preaggregates_before_totals(spark):
+    """llm_substring_dedup's span totals must be summed over the
+    pre-aggregated (doc, span, multiplicity) rows — i.e. partial
+    aggregation collapses raw positions map-side before any shuffle —
+    and the totals join back by span hash/merge, never nested-loop."""
+    plan = formatted_plan(_df(spark, "llm_substring_dedup"))
+    assert plan.count("HashAggregate") >= 4, plan  # 2 agg stages × (partial+final)
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_skew_salted_join_shuffles_not_broadcasts(spark):
+    """join_skew_salted only demonstrates anything if the join SHUFFLES:
+    the plan must contain a ShuffledHashJoin (the salt is dead weight
+    under a broadcast), and the final rollup keeps partial aggregation."""
+    plan = formatted_plan(_df(spark, "join_skew_salted"))
+    assert "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
