@@ -11,7 +11,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from gdxpy_spark.operators._util import davg, global_row_number, managed_cache, r4, sql_davg
+from gdxpy_spark.operators._util import (
+    davg,
+    global_row_number,
+    managed_cache,
+    r4,
+    sql_davg,
+    word_shingles,
+)
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
 
@@ -1627,13 +1634,9 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle can replay the join exactly."""
     docs = table(spark, sf_dir, "documents")
     t = F.array_remove(F.split("text", " "), "")
-    grams = F.when(
-        F.size(t) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 2),
-            lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.when(F.size(t) >= 3, word_shingles(t, 3)).otherwise(
+        F.array().cast("array<string>")
+    )
 
     def shingled(side_filter, out_id):
         # split filter BEFORE shingling: each branch scans and shingles
@@ -1795,13 +1798,9 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = _SUBSTR_K
     docs = table(spark, sf_dir, "documents")
     t = F.array_remove(F.split("text", " "), "")
-    spans = F.transform(
-        F.sequence(F.lit(1), F.size(t) - (k - 1)),
-        lambda i: F.concat_ws(" ", F.slice(t, i, k)),
-    )
     g = (
         docs.filter(F.size(t) >= k)
-        .select("doc_id", F.explode(spans).alias("gram"))
+        .select("doc_id", F.explode(word_shingles(t, k)).alias("gram"))
     )
     pg = g.groupBy("doc_id", "gram").agg(F.count("*").alias("m"))
     tot = pg.groupBy("gram").agg(F.sum("m").alias("t"))
@@ -1857,13 +1856,9 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical across engines), not the rounded display value."""
     docs = table(spark, sf_dir, "documents")
     t = F.array_remove(F.split("text", " "), "")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(t) - 1),
-        lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
-    )
     pg = (
         docs.filter(F.size(t) >= 2)
-        .select("doc_id", F.explode(bigrams).alias("gram"))
+        .select("doc_id", F.explode(word_shingles(t, 2)).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count("*").alias("m"))
     )

@@ -330,13 +330,18 @@ def llm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.array_remove(F.split("text", " "), "").alias("ts")
     ).filter(F.size("ts") >= 2)  # sequence(1, 0) would DESCEND in Spark
+    # zip_with over two whole-array slices beats the per-position
+    # transform/element_at HOF ~2× (see _util.word_shingles; this site
+    # needs (w1, w2) structs rather than joined strings, so it inlines
+    # the same two-slice trick)
+    m = F.size("ts") - 1
     bi = toks.select(
         "doc_id",
         F.explode(
-            F.expr(
-                "transform(sequence(1, size(ts) - 1),"
-                " i -> struct(element_at(ts, i) AS w1,"
-                "             element_at(ts, i + 1) AS w2))"
+            F.zip_with(
+                F.slice("ts", 1, m),
+                F.slice("ts", 2, m),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
             )
         ).alias("b"),
     ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
