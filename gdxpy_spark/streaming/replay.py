@@ -62,20 +62,22 @@ def _write_batch_files(dfs: list[DataFrame], out: str) -> None:
         os.utime(os.path.join(out, f"{i:03d}.parquet"), (1e9 + i, 1e9 + i))
 
 
-def _run_stream(spark: SparkSession, src_dir: str, build, name: str) -> DataFrame:
-    """readStream(src_dir) → build(stream_df) → memory sink, AvailableNow
-    with one file per micro-batch; returns the sink contents."""
-    configure(spark)
-    stream = (
+def _read_stream(spark: SparkSession, src_dir: str):
+    """One micro-batch per fixture file, ts rebuilt as TIMESTAMP."""
+    return (
         spark.readStream.schema(_RAW_SCHEMA)
         .option("maxFilesPerTrigger", "1")
         .parquet(src_dir)
         .withColumn("ts", _ts_col())
     )
+
+
+def _drain_to_memory(spark: SparkSession, out: DataFrame, name: str) -> DataFrame:
+    """streaming df → memory sink under Trigger.AvailableNow; returns the
+    sink contents once the replay has drained."""
     sink = f"gdxps_sink_{name}_{uuid.uuid4().hex[:8]}"
     q = (
-        build(stream)
-        .writeStream.outputMode("append")
+        out.writeStream.outputMode("append")
         .format("memory")
         .queryName(sink)
         .trigger(availableNow=True)
@@ -84,6 +86,13 @@ def _run_stream(spark: SparkSession, src_dir: str, build, name: str) -> DataFram
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def _run_stream(spark: SparkSession, src_dir: str, build, name: str) -> DataFrame:
+    """readStream(src_dir) → build(stream_df) → memory sink, AvailableNow
+    with one file per micro-batch; returns the sink contents."""
+    configure(spark)
+    return _drain_to_memory(spark, build(_read_stream(spark, src_dir)), name)
 
 
 def _raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,6 +236,77 @@ def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     # accumulate in the sink
     out = spark.table(sink)
     return out.groupBy("user_id").agg(F.max("running_count").alias("running_count"))
+
+
+_SSJ_ORACLE = """
+WITH ev AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+  FROM events)
+SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+       p.user_id AS user_id
+FROM ev p JOIN ev s
+  ON p.user_id = s.user_id
+ AND p.event_type = 'purchase' AND s.event_type = 'signup'
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("stream_stream_join", oracle=_SSJ_ORACLE, category="H")
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM watermarked interval join, genuinely executed by the
+    streaming engine (the streaming twin of join_range_interval):
+    purchases join signups of the same user within 1 hour, both sides
+    file-replayed one micro-batch at a time with 2-hour watermarks.
+
+    This is the one replay query with a full DuckDB hash oracle, because
+    the equality is provable: fixture files are TS-ORDERED slices, so
+    every event arrives in order; Spark evicts a signup's join state
+    only once the watermark passes s.ts + 1h + delay, i.e. only when
+    some already-seen event has ts > s.ts + 3h — and in-order arrival
+    means every FUTURE purchase is later still, hence > s.ts + 1h and
+    outside the join window anyway. No match can be lost, and an inner
+    join emits eagerly with no watermark dependence on the output — the
+    drained sink is exactly the batch join. At scale the same watermark
+    bounds the join state to the disorder horizon (here: the interval +
+    delay), the property that makes stream-stream joins runnable forever
+    on unbounded inputs."""
+    raw = _raw_events(spark, sf_dir)
+    lo, hi = raw.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) // 4 + 1
+    src = _replay_dir("ssjoin")
+    _write_batch_files(
+        [
+            raw.filter(
+                F.floor((F.col("ts") - F.lit(lo)) / F.lit(span)) == i
+            )
+            for i in range(4)
+        ],
+        src,
+    )
+    configure(spark)
+    p = (
+        _read_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .alias("p")
+    )
+    s = (
+        _read_stream(spark, src)
+        .filter(F.col("event_type") == "signup")
+        .withWatermark("ts", "2 hours")
+        .alias("s")
+    )
+    joined = p.join(
+        s,
+        (F.col("p.user_id") == F.col("s.user_id"))
+        & (F.col("p.ts") >= F.col("s.ts"))
+        & (F.col("p.ts") <= F.col("s.ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("s.event_id").alias("signup_id"),
+        F.col("p.user_id").alias("user_id"),
+    )
+    return _drain_to_memory(spark, joined, "ssjoin")
 
 
 def stream_events_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
