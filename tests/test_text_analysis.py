@@ -505,3 +505,35 @@ def test_stratified_sample_quotas_and_stability(spark):
     per = Counter(lang for _, lang in got1)
     for lang, n in strata.items():
         assert per[lang] == math.ceil(0.1 * n), (lang, per[lang], n)
+
+
+def test_word_shingles_matches_transform_formulation(spark):
+    """_util.word_shingles (k column-slices zipped per document) must be
+    byte-identical to the canonical per-position formulation
+    transform(sequence(1, n-k+1), i -> concat_ws(' ', slice(t, i, k)))
+    it replaced for speed — over random token arrays at every k used by
+    the engine (2, 3, 6) including the size == k edge."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gdxpy_spark.operators._util import word_shingles
+
+    rng = random.Random(6)
+    rows = []
+    for k in (2, 3, 6):
+        rows.append((k, ["w%d" % rng.randrange(9) for _ in range(k)]))  # n == k
+        for _ in range(20):
+            n = rng.randrange(k, 40)
+            rows.append((k, ["w%d" % rng.randrange(9) for _ in range(n)]))
+    df = spark.createDataFrame(rows, "k INT, toks ARRAY<STRING>")
+    for k in (2, 3, 6):
+        sub = df.filter(F.col("k") == k)
+        ref = F.transform(
+            F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice("toks", i, k)),
+        )
+        bad = sub.filter(
+            ~(word_shingles(F.col("toks"), k) == ref)
+        ).count()
+        assert bad == 0, f"k={k}: {bad} rows diverge from the transform form"
