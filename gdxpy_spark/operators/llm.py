@@ -1751,6 +1751,62 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TAU_ORACLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':tau')
+                            ) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+WHERE rn <= LEAST(n, CAST(CEIL(8 * sqrt(n)) AS BIGINT))
+"""
+
+
+@register("llm_temperature_sample", oracle=_TAU_ORACLE, category="K")
+def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-based language rebalancing — the multilingual
+    pretraining resampler (XLM-R's exponential smoothing, τ = 0.5):
+    per-language quota ∝ n^τ instead of n, so head languages are
+    down-weighted and tail languages keep coverage (here en's share
+    drops from ~44 % of the corpus to ~31 % of the sample). Quota =
+    least(n, ceil(8·√n)) with a FIXED multiplier rather than the
+    Σ-normalized form: sqrt and ×8 are correctly-rounded/exact IEEE ops,
+    so the quota is bit-identical on every engine, whereas normalizing
+    by Σₗ √nₗ sums floats in engine-specific order and a last-ulp
+    difference could flip a ceil — the classic cross-engine
+    reproducibility trap in sampling code. Selection within a language
+    is by md5 rank: deterministic, re-runnable, shard-stable.
+
+    Plan: same no-WindowExec shape as llm_sample_stratified — the
+    per-language rank derives from ONE two-pass global rank over
+    (lang, md5, doc_id) plus a metadata-sized broadcast of per-language
+    (min-rank, count), so a 4-language petabyte corpus never funnels a
+    stratum through a single task."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":tau"))).alias(
+            "_k"
+        ),
+    )
+    ranked = global_row_number(
+        docs,
+        [F.col("lang").asc(), F.col("_k").asc(), F.col("doc_id").asc()],
+        out_col="_rn",
+    )
+    stats = ranked.groupBy("lang").agg(
+        F.min("_rn").alias("_lo"), F.count("*").alias("_n")
+    )
+    quota = F.least(
+        F.col("_n"), F.ceil(8 * F.sqrt(F.col("_n"))).cast("bigint")
+    )
+    return (
+        ranked.join(F.broadcast(stats), "lang")
+        .filter(F.col("_rn") - F.col("_lo") + 1 <= quota)
+        .select("doc_id", "lang")
+    )
+
+
 _SUBSTR_K = 6  # span length in words; production pipelines use 50 tokens
 
 _SUBSTR_ORACLE = f"""
@@ -1913,4 +1969,133 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("c_acctbal") / 1000) * 1000)
         .cast("bigint")
         .alias("acctbal_band"),
+    )
+
+
+_E2E_ORACLE = """
+WITH q AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(string_split(text, ' ')) BETWEEN 20 AND 1000
+    AND 1.0 * len(list_distinct(string_split(text, ' ')))
+        / len(string_split(text, ' ')) >= 0.2),
+d2 AS (
+  SELECT doc_id, text FROM q
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM q GROUP BY sha256(text))),
+toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM d2),
+g AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + 2], ' ') AS ngram
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 1)) AS i
+        FROM toks WHERE len(ts) >= 3)),
+contam AS (
+  SELECT tr_id FROM (
+    SELECT tr.doc_id AS tr_id, ev.doc_id AS ev_id
+    FROM (SELECT doc_id, ngram FROM g WHERE doc_id % 50 <> 0) tr
+    JOIN (SELECT doc_id, ngram FROM g WHERE doc_id % 50 = 0) ev
+      USING (ngram)
+    GROUP BY tr.doc_id, ev.doc_id
+    HAVING COUNT(*) >= 2)),
+d3 AS (
+  SELECT doc_id FROM d2
+  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT tr_id FROM contam)),
+sp AS (
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2)
+                   < 'cc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2)
+                   < 'e6' THEN 'val'
+              ELSE 'test' END AS split
+  FROM d3)
+SELECT 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL SELECT 'quality', CAST(COUNT(*) AS BIGINT) FROM q
+UNION ALL SELECT 'exact_dedup', CAST(COUNT(*) AS BIGINT) FROM d2
+UNION ALL SELECT 'decontaminated', CAST(COUNT(*) AS BIGINT) FROM d3
+UNION ALL SELECT 'split_' || split, CAST(COUNT(*) AS BIGINT) FROM sp
+          GROUP BY split
+"""
+
+
+@register("llm_e2e_pipeline", oracle=_E2E_ORACLE, category="K")
+def llm_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pretraining-data pipeline: the composite every other
+    category-K operator exists to serve, chained on one corpus — quality
+    filter → exact dedup (keep min doc_id per content hash) → eval-set
+    decontamination (drop train docs sharing ≥ 2 distinct trigrams with
+    any surviving eval doc; eval = doc_id % 50 == 0) → deterministic
+    md5 train/val/test split — emitting the per-stage survivor funnel
+    (stage, n_docs) a pipeline logs for data accounting.
+
+    Plan shape: the quality predicate fuses into the scan, so every
+    later stage sees the reduced corpus; dedup shuffles 32-byte hashes;
+    decontamination joins map-side-shingled trigrams against the
+    benchmark-sized eval side; the split is a scan-fused md5 map. The
+    deduped frame is managed_cache'd because three stages fan out from
+    it — at 100 TB that cache is a checkpointed parquet handoff between
+    pipeline stages, the same DAG with durability."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    q = docs.select("doc_id", "text").filter(
+        F.size(toks).cast("bigint").between(20, 1000)
+        & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= 0.2)
+    )
+    keep = q.groupBy(F.sha2("text", 256).alias("_h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    d2 = managed_cache(
+        q.join(keep.select("doc_id"), "doc_id", "left_semi")
+    )
+    t = F.array_remove(F.split("text", " "), "")
+    grams = F.when(F.size(t) >= 3, word_shingles(t, 3)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+    def shingled(side_filter, out_id):
+        return d2.filter(side_filter).select(
+            F.col("doc_id").alias(out_id),
+            F.explode(F.array_distinct(grams)).alias("ngram"),
+        )
+
+    contam = (
+        shingled(F.col("doc_id") % 50 != 0, "tr_id")
+        .join(shingled(F.col("doc_id") % 50 == 0, "ev_id"), "ngram")
+        .groupBy("tr_id", "ev_id")
+        .agg(F.count("*").alias("_shared"))
+        .filter(F.col("_shared") >= 2)
+        .select(F.col("tr_id").alias("doc_id"))
+        .distinct()
+    )
+    d3 = managed_cache(
+        d2.filter(F.col("doc_id") % 50 != 0)
+        .join(contam, "doc_id", "left_anti")
+        .select("doc_id")
+    )
+    bucket = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":split"))), 1, 2
+    )
+    splits = (
+        d3.select(
+            F.when(bucket < "cc", "train")
+            .when(bucket < "e6", "val")
+            .otherwise("test")
+            .alias("_split")
+        )
+        .groupBy("_split")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .select(
+            F.concat(F.lit("split_"), F.col("_split")).alias("stage"), "n_docs"
+        )
+    )
+
+    def cnt(df, stage):
+        return df.agg(F.count("*").cast("bigint").alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+
+    return (
+        cnt(docs, "raw")
+        .unionByName(cnt(q, "quality"))
+        .unionByName(cnt(d2, "exact_dedup"))
+        .unionByName(cnt(d3, "decontaminated"))
+        .unionByName(splits)
     )
