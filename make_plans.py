@@ -28,6 +28,12 @@ PICKS = [
      "label-blocked cosine kNN: per-group BLAS in applyInPandas"),
     ("src_parquet_partitioned",
      "partition pruning: status predicate in PartitionFilters"),
+    ("join_skew_salted",
+     "salted skew join: ShuffledHashJoin on (key, salt), dim replicated "
+     "per salt — result hash-identical to the plain join"),
+    ("llm_substring_dedup",
+     "substring-span dedup: positions collapsed map-side before the "
+     "span-total shuffle; totals join back hash-keyed"),
 ]
 
 DETAIL_KEYS = ("PushedFilters", "PartitionFilters", "ReadSchema",

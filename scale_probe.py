@@ -97,7 +97,10 @@ def main() -> None:
     rows = []
     for name in ("llm_exact_dedup", "llm_train_split", "llm_tf",
                  "llm_doc_quality", "llm_decontaminate", "llm_minhash_dedup",
-                 "llm_knn_brute", "llm_ann_lsh"):
+                 "llm_knn_brute", "llm_ann_lsh",
+                 # r6 additions over the documents corpus
+                 "llm_substring_dedup", "llm_repetition_filter",
+                 "llm_temperature_sample", "llm_e2e_pipeline"):
         a = timed(lambda: queries[name].fn(spark, S1))
         b = timed(lambda: queries[name].fn(spark, S10))
         rows.append((name, a, b))
