@@ -189,3 +189,121 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+_FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM ev
+  WHERE event_type = 'view' GROUP BY user_id),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM ev e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_buy
+  FROM ev e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id)
+SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+UNION ALL
+SELECT 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
+UNION ALL
+SELECT 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM p
+"""
+
+
+@register("win_funnel_stages", oracle=_FUNNEL_ORACLE, category="H")
+def win_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED event funnel — the product-analytics staple: how many
+    users viewed, then clicked strictly AFTER their first view, then
+    purchased strictly after that first qualifying click. Order matters
+    (a purchase before the first view does not count), which is what
+    separates a funnel from three independent counts.
+
+    Plan: three stage aggregates, every one keyed on user_id — the
+    first-view frame joins back to the event stream to gate the click
+    stage, that result gates the purchase stage. All shuffles share the
+    user_id key, so at 100 TB this is one partitioning reused across
+    the chain (AQE reuses the exchange), each stage's frame shrinking
+    monotonically — never a self-cross-join over event pairs, which is
+    the naive funnel formulation that dies at scale."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+
+    def cnt(df, stage):
+        return df.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit(stage).alias("stage"), "n_users"
+        )
+
+    return (
+        cnt(v, "view")
+        .unionByName(cnt(c, "view>click"))
+        .unionByName(cnt(p, "view>click>purchase"))
+    )
+
+
+_RETENTION_ORACLE = """
+WITH ev AS (
+  SELECT user_id,
+         CAST((CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '2024-01-01')
+              AS BIGINT) // 7 AS week
+  FROM events),
+cohort AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id)
+SELECT cohort_week,
+       week - cohort_week AS week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM ev JOIN cohort USING (user_id)
+GROUP BY cohort_week, week - cohort_week
+"""
+
+
+@register("agg_cohort_retention", oracle=_RETENTION_ORACLE, category="H")
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION triangle — the other product-analytics staple:
+    users grouped by their first-activity week (the cohort), counted
+    distinct in every later week as an offset from that cohort week.
+    Weeks are integer days-since-epoch-anchor // 7 (UTC-pinned session,
+    so Spark's date cast and DuckDB's agree exactly).
+
+    Plan: one user-keyed aggregate for the cohort assignment, joined
+    back to the (user, week) activity stream, then a distinct-count per
+    (cohort, offset) cell — the join and both aggregates key on
+    user_id-prefixed groups, and the output is a triangle of
+    O(weeks²) rows regardless of corpus size: the classic
+    shrink-early-aggregate-late shape."""
+    anchor = F.lit("2024-01-01").cast("date")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(
+            F.datediff(F.col("ts").cast("date"), anchor) / 7
+        ).alias("week"),
+    )
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        ev.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
