@@ -10,9 +10,9 @@ running counts) live in gdxpy_spark.streaming.replay and are weak-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
-from gdxpy_spark.operators._util import dsum, sql_dsum
+from gdxpy_spark.operators._util import davg, dsum, sql_davg, sql_dsum
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
 
@@ -306,4 +306,77 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    )
+
+
+_GAPFILL_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, value
+  FROM events),
+hourly AS (
+  SELECT user_id, hour, COUNT(*) AS n, {sql_davg('value', 'avg_v')}
+  FROM ev GROUP BY user_id, hour),
+bounds AS (SELECT user_id, MIN(hour) AS mn, MAX(hour) AS mx
+           FROM ev GROUP BY user_id),
+spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+  FROM bounds)
+SELECT s.user_id, strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+       last_value(h.avg_v IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS value_ffill
+FROM spine s
+LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour
+"""
+
+
+@register("ts_gap_fill", oracle=_GAPFILL_ORACLE, category="H")
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series RESAMPLE + GAP FILL: each user's event stream becomes
+    a dense hourly series between their first and last activity — empty
+    hours materialized with n_events = 0 and the hourly mean
+    forward-filled from the last observed hour (leading gaps stay NULL).
+    The regularization step every downstream time-series consumer
+    (forecasting, anomaly detection, hypertable-style rollups) assumes
+    has already happened.
+
+    Plan: per-user bounds are one aggregate; the spine is a map-side
+    `sequence(min_hour, max_hour, 1 hour)` explode off that frame — the
+    fan-out is bounded by the TIME RANGE, not the event volume, so a
+    100 TB corpus with a fixed horizon generates the same spine rows per
+    user. Spine ⋈ hourly is user+hour keyed; the forward fill is ONE
+    window pass partitioned by user (never a global window). The hourly
+    mean is rounded (DECIMAL-routed) BEFORE the fill so both engines
+    forward-propagate identical values."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("hour"), "value"
+    )
+    hourly = ev.groupBy("user_id", "hour").agg(
+        F.count("*").alias("n"), davg("value", "avg_v")
+    )
+    spine = (
+        ev.groupBy("user_id")
+        .agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "hour"], "left")
+        .select(
+            "user_id",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("avg_v", ignorenulls=True).over(w).alias("value_ffill"),
+        )
     )
