@@ -380,3 +380,63 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("avg_v", ignorenulls=True).over(w).alias("value_ffill"),
         )
     )
+
+
+_OHLC_ORACLE = """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         value, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                            ORDER BY ts ASC, event_id ASC) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, hour
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM ev)
+SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM r
+GROUP BY event_type, hour
+"""
+
+
+@register("ts_ohlc_hourly", oracle=_OHLC_ORACLE, category="H")
+def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC DOWNSAMPLE (the financial-tick resample): per (event_type,
+    hour) bucket, the first value (open), max (high), min (low), and
+    last value (close), tiebroken on (ts, event_id) so same-microsecond
+    events pick deterministically on every engine.
+
+    Physical shape is the point: open/close come from min_by/max_by
+    over a STRUCT ordering key inside ONE partial-aggregable
+    hash aggregate — not the textbook two-ROW_NUMBER window rewrite the
+    oracle uses, which shuffles and sorts every raw tick twice. The agg
+    form carries (hour, type) group state map-side, so a 100 TB tick
+    stream reduces before the shuffle; values are selections (no
+    arithmetic), hence hash-exact with no rounding discipline needed."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value", "ts", "event_id",
+    )
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy("event_type", "hour")
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", okey).alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hour", _FMT).alias("hour"),
+            "open", "high", "low", "close", "n_events",
+        )
+    )
