@@ -1413,13 +1413,55 @@ def connected_components(
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 
-@register("llm_dedup_clusters", oracle=None, category="K")  # weak: iterative algorithm
+_CLUSTERS_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT DISTINCT doc_id, n_chars // 100 AS bucket,
+         unnest(list_distinct(string_split(text, ' '))) AS token
+  FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM tok a JOIN tok b
+    ON abs(a.bucket - b.bucket) <= 1 AND a.token = b.token
+       AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+edges AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.2
+),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM edges
+  UNION ALL SELECT doc_b, doc_a FROM edges
+),
+reach(doc_id, r) AS (
+  SELECT DISTINCT a, a FROM sym
+  UNION
+  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.doc_id
+),
+comp AS (SELECT doc_id, MIN(r) AS comp FROM reach GROUP BY doc_id)
+SELECT doc_id AS dup_id, comp AS kept_id FROM comp WHERE doc_id <> comp
+"""
+
+
+@register("llm_dedup_clusters", oracle=_CLUSTERS_ORACLE, category="K")
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the
     llm_length_blocking candidate graph (A~B and B~C put A,C in one
     cluster even when A≁C directly — the correct dedup semantics; the
     pairwise survivor rule under-merges chains). Output: every clustered
-    doc with its component id (= kept doc); singletons omitted."""
+    doc with its component id (= kept doc); singletons omitted.
+
+    Hash-oracled (r6 upgrade from rows-only): the candidate graph comes
+    from the fully-deterministic exact-Jaccard blocking (not LSH), so
+    the components are engine-independent — the oracle replays the edge
+    set in SQL and closes it with a recursive min-label reachability CTE
+    (closure rows = Σ cluster², fine at oracle scale; the engine's
+    log-round label propagation is the distributed formulation of the
+    same fixpoint)."""
     pairs = llm_length_blocking(spark, sf_dir).select("doc_a", "doc_b")
     cc = connected_components(spark, pairs)
     return cc.filter(F.col("doc_id") != F.col("component_id")).select(

@@ -153,13 +153,25 @@ def src_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("src_stream_events", oracle=None, category="A")  # weak: streaming source
+@register(
+    "src_stream_events",
+    oracle="""
+SELECT event_type, COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+""",
+    category="A",
+)
 def src_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file stream (Trigger.AvailableNow) → per-type counts.
 
     The same parquet directory is replayed through the streaming engine;
     the memory sink holds the complete-mode aggregate. At scale this is
-    the pattern for backfill-through-the-streaming-path."""
+    the pattern for backfill-through-the-streaming-path. Hash-oracled
+    (r6 upgrade from rows-only): a complete-mode aggregate over a fully
+    drained AvailableNow replay is exactly the batch GROUP BY — nothing
+    is late and nothing is windowed, so the streaming result is
+    deterministic and the oracle can assert it byte-for-byte."""
     from gdxpy_spark.streaming.replay import stream_events_counts
 
     return stream_events_counts(spark, sf_dir)

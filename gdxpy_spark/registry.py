@@ -118,6 +118,7 @@ _ARTIFACT_PRIORITY = [
     "ts_gap_fill", "ts_ohlc_hourly",
     # weak→oracle upgrades in r6 — prior artifacts recorded them
     # rows-only; surface the new hash checks in the driver's ledger:
+    "src_stream_events", "llm_dedup_clusters",
     "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip",
     "src_gdx_read", "src_gdx_gams_read", "src_gdx_write",
     "src_gdx_catalog",

@@ -155,13 +155,39 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, src, build, "late")
 
 
-@register("stream_dedup", oracle=None, category="H")  # weak: stateful streaming
+_DEDUP_ORACLE = """
+WITH ev AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+mx AS (SELECT MAX(ts) AS mt FROM ev)
+SELECT strftime(time_bucket(INTERVAL '24 hours', ts),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM ev, mx
+WHERE time_bucket(INTERVAL '24 hours', ts) + INTERVAL '24 hours'
+      <= mt - INTERVAL '24 hours'
+GROUP BY 1, 2
+"""
+
+
+@register("stream_dedup", oracle=_DEDUP_ORACLE, category="H")
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark(event_id) under replay-with-duplicates:
     batch 2 re-delivers a sample of batch-1 events (an at-least-once
     source); the stateful dedup must emit each event_id once. Output is
     per-type counts of the deduplicated stream (append via watermarked
-    window to make the memory sink deterministic)."""
+    window to make the memory sink deterministic).
+
+    Hash-oracled (r6 upgrade from rows-only) — the replay outcome is
+    fully determined: batch 1 carries ALL events, so the post-batch-1
+    watermark is final (max ts − 24 h) and every batch-2 re-delivery is
+    either caught by live dedup state (ts ≥ watermark ⇒ state retained)
+    or discarded as late (ts < watermark) — no duplicate can reach the
+    aggregate either way. Append mode emits exactly the epoch-aligned
+    24 h windows whose END ≤ that final watermark, which the oracle
+    reproduces with a max(ts) subquery; the trailing unemitted windows
+    are the point (they are still open when the replay drains). Window
+    boundaries are midnights and max(ts) carries random microseconds,
+    so the ≤ comparison has no cross-engine boundary ambiguity."""
     raw = _raw_events(spark, sf_dir)
     dupes = raw.filter(F.col("event_id") % 53 == 0)
     src = _replay_dir("dedup")
@@ -183,13 +209,25 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_stream(spark, src, build, "dedup")
 
 
-@register("stream_stateful_running", oracle=None, category="H")  # weak: arbitrary state
+@register(
+    "stream_stateful_running",
+    oracle="""
+SELECT user_id, COUNT(*) AS running_count
+FROM events
+GROUP BY user_id
+""",
+    category="H",
+)
 def stream_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator: running per-user event count across
     micro-batches via applyInPandasWithState (state = one long per user,
     update mode; each batch emits the user's cumulative count so far).
-    The final row per user equals the batch groupBy count — asserted in
-    tests; the driver records rows-only."""
+
+    Hash-oracled (r6 upgrade from rows-only): the replay delivers every
+    event exactly once across the two batches and the per-user counter
+    is monotone, so max-over-emissions (the registered output) is the
+    user's final cumulative count — i.e. exactly the batch GROUP BY the
+    oracle runs, regardless of which batch each user last appeared in."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
