@@ -151,7 +151,28 @@ def _raw_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-@register("stream_watermark_late", oracle=None, category="H")  # weak: stateful streaming
+_LATE_ORACLE = """
+WITH ev0 AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+mn AS (SELECT MIN(ts) AS m0 FROM ev0),
+late AS (
+  SELECT event_id FROM ev0, mn
+  WHERE event_id % 97 = 0 AND ts < m0 + INTERVAL '6 hours'),
+on_time AS (
+  SELECT * FROM ev0
+  WHERE event_id NOT IN (SELECT event_id FROM late)),
+mx AS (SELECT MAX(ts) AS mt FROM ev0)
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM on_time, mx
+WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+      <= mt - INTERVAL '2 hours'
+GROUP BY 1, 2
+"""
+
+
+@register("stream_watermark_late", oracle=_LATE_ORACLE, category="H")
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window aggregate under a 2-hour watermark with replayed
     late data: batch 1 = everything except a sample of early-day events,
@@ -162,7 +183,17 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     at the end of batch N-1 — a row exactly one batch late is still
     accepted (observed empirically); two batches of full-time-span data
     guarantee the filter watermark has advanced before the late file.
-    Tests assert the drop happened."""
+    Tests assert the drop happened.
+
+    Hash-oracled (r6 upgrade from rows-only): the replay outcome is
+    fully determined by the fixed batch boundaries — on-time rows are
+    all accepted (the filter's one-batch lag covers batch 2), the late
+    sample is entirely below the final watermark (its rows sit in the
+    first 6 h, the watermark at batch 3 is max(ts) − 2 h), and append
+    mode emits exactly the hourly windows ending ≤ that watermark. The
+    oracle reproduces the late-sample definition and the window cutoff
+    verbatim. Event timestamps are µs-aligned on disk, so the oracle's
+    µs-truncated 6-hour boundary compare equals the engine's raw-ns one."""
     def build_dfs():
         raw = _raw_events(spark, sf_dir)
         late = raw.filter((F.col("event_id") % 97 == 0)).filter(
