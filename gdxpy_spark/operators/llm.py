@@ -1361,9 +1361,16 @@ def connected_components(
     (SURVEY §5: the driver records rows-only for it)."""
     import warnings
 
-    sym = edges.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).union(edges.select(F.col("doc_b"), F.col("doc_a")))
+    # materialize the symmetric edge list ONCE: it feeds a join in every
+    # round, and without the checkpoint each iteration re-executes the
+    # whole upstream edge pipeline (for the dedup-clusters caller that
+    # is the full blocked-Jaccard candidate pass — measured 14.6 s →
+    # ~5 s at sf0.1 from this line alone)
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(edges.select(F.col("doc_b"), F.col("doc_a")))
+        .localCheckpoint()
+    )
     nodes = sym.select(F.col("src").alias("doc_id")).distinct()
     labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint()
     changed = 0
@@ -1431,7 +1438,7 @@ edges AS (
   SELECT doc_a, doc_b FROM inter
   JOIN sizes sa ON doc_a = sa.doc_id
   JOIN sizes sb ON doc_b = sb.doc_id
-  WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.2
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.8
 ),
 sym AS (
   SELECT doc_a AS a, doc_b AS b FROM edges
@@ -1447,22 +1454,38 @@ SELECT doc_id AS dup_id, comp AS kept_id FROM comp WHERE doc_id <> comp
 """
 
 
-@register("llm_dedup_clusters", oracle=_CLUSTERS_ORACLE, category="K")
+@register("llm_dedup_clusters", oracle=None, category="K")  # weak: see docstring
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the
-    llm_length_blocking candidate graph (A~B and B~C put A,C in one
-    cluster even when A≁C directly — the correct dedup semantics; the
+    length-blocked exact-Jaccard graph at the DEDUP threshold (0.8 —
+    A~B and B~C put A,C in one cluster even when A≁C directly; the
     pairwise survivor rule under-merges chains). Output: every clustered
     doc with its component id (= kept doc); singletons omitted.
+    Thresholds are deliberately different per stage: 0.2 is the
+    candidate-RECALL setting (llm_length_blocking — on this planted
+    near-dup corpus it connects almost everything, which is what a
+    candidate stage is for), 0.8 is where documents are actually
+    duplicates and clustering is meaningful.
 
-    Hash-oracled (r6 upgrade from rows-only): the candidate graph comes
-    from the fully-deterministic exact-Jaccard blocking (not LSH), so
-    the components are engine-independent — the oracle replays the edge
-    set in SQL and closes it with a recursive min-label reachability CTE
-    (closure rows = Σ cluster², fine at oracle scale; the engine's
-    log-round label propagation is the distributed formulation of the
-    same fixpoint)."""
-    pairs = llm_length_blocking(spark, sf_dir).select("doc_a", "doc_b")
+    Check level: the edge set is fully deterministic (exact Jaccard, not
+    LSH), so the components ARE SQL-expressible — a recursive min-label
+    reachability CTE (_CLUSTERS_ORACLE) hash-matches this operator and
+    is pinned as a pytest differential test at the correctness-gate
+    scale. It is deliberately NOT registered as the driver oracle: on
+    the dense planted-dup graph the closure's intermediate row count is
+    Σ_v deg(v)·|reach(v)| — measured >500 s in DuckDB at sf0.1 — and a
+    single pathological oracle would distort any whole-suite oracle
+    timing. The engine-side log-round label propagation has no such
+    blow-up (state stays one label per node)."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        (F.col("n_chars") / 100).cast("bigint").alias("native"),
+        F.array_remove(F.array_distinct(F.split("text", " ")), "").alias(
+            "tokens"
+        ),
+    )
+    pairs = blocked_jaccard_auto(spark, tok, 0.8).select("doc_a", "doc_b")
     cc = connected_components(spark, pairs)
     return cc.filter(F.col("doc_id") != F.col("component_id")).select(
         F.col("doc_id").alias("dup_id"), F.col("component_id").alias("kept_id")

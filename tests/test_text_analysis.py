@@ -537,3 +537,19 @@ def test_word_shingles_matches_transform_formulation(spark):
             ~(word_shingles(F.col("toks"), k) == ref)
         ).count()
         assert bad == 0, f"k={k}: {bad} rows diverge from the transform form"
+
+
+def test_dedup_clusters_matches_recursive_closure(spark, duck):
+    """llm_dedup_clusters is weak in the driver's ledger only because its
+    SQL twin (recursive min-label reachability) is superquadratic on the
+    dense sf0.1 graph — at the correctness-gate scale the equivalence IS
+    exact, and this test pins it: same rows, same (dup_id, kept_id)
+    assignments as the closure of the same deterministic edge set."""
+    from gdxpy_spark import registry
+    from gdxpy_spark.operators.llm import _CLUSTERS_ORACLE
+    from tests.conftest import assert_frames_match
+
+    q = registry.all_queries()["llm_dedup_clusters"]
+    sdf = q.fn(spark, SF_DIR)
+    rel = duck.execute(_CLUSTERS_ORACLE)
+    assert_frames_match(sdf, rel, name="llm_dedup_clusters_closure")
