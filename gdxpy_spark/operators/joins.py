@@ -296,9 +296,8 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SKEW_ORACLE = """
 SELECT s_name,
        CAST(COUNT(*) AS BIGINT) AS n_items,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38, 10))
-                      * CAST((1 - l_discount) AS DECIMAL(38, 10)))
-                  AS DOUBLE), 4) AS revenue
+       ROUND(CAST(SUM(CAST((l_extendedprice * (1 - l_discount))
+                           AS DECIMAL(18, 6))) AS DOUBLE), 4) AS revenue
 FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY s_name
 """
