@@ -474,3 +474,37 @@ def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.map_keys(m), 1).alias("first_key"),
         F.element_at(m, "k").cast("int").alias("k_val"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | 15 AS with_low_bits,
+       xor(o_orderkey, o_custkey) AS key_xor,
+       o_orderkey << 2 AS shl2,
+       o_orderkey >> 3 AS shr3,
+       CAST(bit_count(o_orderkey) AS INT) AS popcount
+FROM orders
+""",
+    category="G",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise integer surface: AND/OR/XOR, shifts, popcount — the
+    primitives behind bitmask set-Jaccard (operators/llm.py), Morton
+    z-ordering (plans/layout.py), and SimHash banding, exposed as a
+    query so the cross-engine semantics (64-bit two's-complement, shift
+    widths, popcount of non-negative keys) are hash-pinned. All
+    codegen'd JVM expressions; map-only, fuses with the scan."""
+    od = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return od.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).alias("with_low_bits"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("key_xor"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).cast("int").alias("popcount"),
+    )
