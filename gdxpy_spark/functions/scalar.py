@@ -508,3 +508,44 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 3).alias("shr3"),
         F.bit_count(k).cast("int").alias("popcount"),
     )
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_linenumber - 1 = 0 THEN NULL
+            ELSE ROUND(l_extendedprice / (l_linenumber - 1), 4) END
+         AS unit_price,
+       CASE WHEN l_orderkey > 7 THEN NULL
+            ELSE 9223372036854775800 + l_orderkey END AS near_max,
+       TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int
+FROM lineitem
+""",
+    category="G",
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-SAFE arithmetic (the ANSI-mode escape hatches): Spark 4
+    runs with ANSI SQL semantics by default, where division by zero and
+    bigint overflow are runtime ERRORS that kill the job — try_divide /
+    try_add / try_cast return NULL instead, which is what a 100 TB
+    pipeline wants (one malformed row must not abort a million-task
+    job; the NULLs are then counted/quarantined downstream). Exercised
+    on real error rows: l_linenumber−1 is zero for every first line
+    item, the bigint literal overflows for every orderkey > 7, and a
+    flag letter never parses as an integer. The oracle expresses the
+    identical null-on-error semantics with guards/TRY_CAST."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide("l_extendedprice", F.col("l_linenumber") - 1), 4
+        ).alias("unit_price"),
+        F.try_add(F.lit(9223372036854775800), F.col("l_orderkey")).alias(
+            "near_max"
+        ),
+        F.try_to_number("l_returnflag", F.lit("9")).cast("int").alias(
+            "flag_as_int"
+        ),
+    )

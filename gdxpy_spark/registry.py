@@ -115,7 +115,7 @@ _ARTIFACT_PRIORITY = [
     "llm_substring_dedup", "llm_repetition_filter", "llm_pii_redact",
     "join_skew_salted", "stream_stream_join", "llm_temperature_sample",
     "llm_e2e_pipeline", "win_funnel_stages", "agg_cohort_retention",
-    "ts_gap_fill", "ts_ohlc_hourly", "fn_bitwise",
+    "ts_gap_fill", "ts_ohlc_hourly", "fn_bitwise", "fn_try_arith",
     # weak→oracle upgrades in r6 — prior artifacts recorded them
     # rows-only; surface the new hash checks in the driver's ledger:
     "src_stream_events", "llm_dedup_clusters",
