@@ -92,6 +92,49 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Box-identity + calibration block (r6 lesson: a mid-round VM rebuild
+    # made BENCH totals incomparable across rounds — SCALE.md documents
+    # ±35% contention windows). Three FIXED trivial probes, best-of-3,
+    # measured AFTER the warmers so they see the same steady-state the
+    # queries do: cpu = codegen hash-agg over an in-memory range (pure
+    # JVM throughput), scan = full lineitem parquet scan+count (IO +
+    # decode), bcast = broadcast-join machinery. To normalize a
+    # cross-boot comparison, scale a round's per-query times by the
+    # ratio of calibration values; same boot_id ⇒ directly comparable.
+    def _cal_probe(df):
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best or 1e9, time.perf_counter() - t0)
+        return round(best, 4)
+
+    cal = {
+        "cpu": _cal_probe(
+            spark.range(5_000_000).groupBy((_F.col("id") % 101).alias("g"))
+            .agg(_F.sum("id"), _F.avg("id"), _F.count("*"))
+        ),
+        "scan": _cal_probe(
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .groupBy().count()
+        ),
+        "bcast": _cal_probe(
+            spark.range(1_000_000).join(
+                _F.broadcast(spark.range(1_000)), "id"
+            )
+        ),
+    }
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot_id = f.read().strip()
+    except OSError:
+        boot_id = "unknown"
+    try:
+        with open("/proc/uptime") as f:
+            uptime_s = round(float(f.read().split()[0]), 0)
+    except OSError:
+        uptime_s = -1.0
+
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
     if "--trials" in sys.argv:
         trials = int(sys.argv[sys.argv.index("--trials") + 1])
@@ -138,6 +181,9 @@ def main() -> None:
         "trials": trials,
         "sf": _sf_of(sf_dir),
         "queries": times,
+        "calibration": cal,
+        "boot_id": boot_id,
+        "uptime_s": uptime_s,
     }
     if ratio is not None:
         detail["duckdb_ratio"] = ratio
@@ -159,6 +205,9 @@ def main() -> None:
         "trials": trials,
         "queries": headline,
         "sf": _sf_of(sf_dir),
+        "calibration": cal,
+        "boot_id": boot_id[:8],
+        "uptime_s": uptime_s,
     }
     if ratio is not None:
         line["duckdb_ratio"] = ratio

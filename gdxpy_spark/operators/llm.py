@@ -1492,6 +1492,67 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHUNK_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents),
+st AS (
+  SELECT doc_id, ts, unnest(range(0, len(ts), 24)) AS i
+  FROM toks WHERE len(ts) > 0)
+SELECT doc_id,
+       CAST(i // 24 AS INT) AS chunk_idx,
+       CAST(i AS INT) AS chunk_start,
+       array_to_string(ts[CAST(i AS INT) + 1 : CAST(i AS INT) + 32], ' ')
+         AS chunk_text,
+       CAST(len(ts[CAST(i AS INT) + 1 : CAST(i AS INT) + 32]) AS INT)
+         AS n_tok
+FROM st
+"""
+
+
+@register("llm_chunk_overlap", oracle=_CHUNK_ORACLE, category="K")
+def llm_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING-WINDOW document chunking — the step that turns a cleaned
+    corpus into model-ready training examples: window W=32 tokens,
+    stride S=24, so consecutive chunks share a W−S=8-token overlap (the
+    standard trick so no span is ever seen only at a context boundary;
+    same shape RAG indexers use for passage windows). Emits chunk index,
+    token offset, the chunk text, and its true token count (tail chunks
+    run short rather than being padded — packing is llm_pack_sequences'
+    job downstream).
+
+    Scale: chunk STARTS are generated with sequence() and exploded —
+    ~n_tokens/S rows per doc, each carrying one array slice; the whole
+    plan is scan → generate → project with NO shuffle and no Python, so
+    it streams at 100 TB (output ~(W/S)× input bytes — that fan-out is
+    inherent to overlap, not a plan artifact). Rows parallelize by input
+    split; a skewed mega-doc costs only its own chunk count. The guard
+    filter (size > 0) keeps Spark's sequence() off the empty-array
+    illegal-bounds path; DuckDB's range(0,0) is empty by definition —
+    both drop token-less docs."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    chunk = F.slice(F.col("ts"), F.col("i") + 1, 32)
+    return (
+        d.select("doc_id", toks.alias("ts"))
+        .filter(F.size("ts") > 0)
+        .select(
+            "doc_id",
+            "ts",
+            F.explode(
+                F.sequence(F.lit(0), F.size("ts") - 1, F.lit(24))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            (F.col("i") / 24).cast("int").alias("chunk_idx"),
+            F.col("i").cast("int").alias("chunk_start"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+            F.size(chunk).cast("int").alias("n_tok"),
+        )
+    )
+
+
 _PACK_ORACLE = """
 WITH t AS (
   SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
@@ -1624,8 +1685,19 @@ def minhash_band_pairs(
         (F.col("bsize") > max_bucket) & (F.col("doc_id") != F.col("rep"))
     ).select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     cand = all_pairs.unionByName(star_pairs).distinct()
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tokens").alias("tok_a"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokens").alias("tok_b"))
+    # Verify stage shuffles 64-bit TOKEN-HASH sets, not raw token-string
+    # arrays (r7): Jaccard is invariant under any injection of the token
+    # vocabulary, and xxhash64 is injective on it w.h.p. (a collision
+    # needs ~2^32 distinct tokens per doc pair; sets here are ~10^2, and
+    # even then it only perturbs one candidate's score). At 10× data the
+    # verify join's shuffle carried ~100× candidate rows × whole token
+    # arrays — 8 bytes/token beats avg-word-length strings and compares
+    # long-vs-long instead of string-vs-string in array_intersect.
+    tokh = toks.select(
+        "doc_id", F.transform("tokens", lambda t: F.xxhash64(t)).alias("tokh")
+    )
+    ta = tokh.select(F.col("doc_id").alias("doc_a"), F.col("tokh").alias("tok_a"))
+    tb = tokh.select(F.col("doc_id").alias("doc_b"), F.col("tokh").alias("tok_b"))
     verified = (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
@@ -1725,10 +1797,10 @@ def llm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SPLIT_ORACLE = """
 SELECT doc_id,
-       substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) AS bucket,
-       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'cc'
+       substr(md5(CAST(doc_id AS STRING) || ':split'), 1, 2) AS bucket,
+       CASE WHEN substr(md5(CAST(doc_id AS STRING) || ':split'), 1, 2) < 'cc'
             THEN 'train'
-            WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2) < 'e6'
+            WHEN substr(md5(CAST(doc_id AS STRING) || ':split'), 1, 2) < 'e6'
             THEN 'val'
             ELSE 'test' END AS split
 FROM documents
@@ -1765,7 +1837,7 @@ _STRAT_ORACLE = """
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          ROW_NUMBER() OVER (PARTITION BY lang
-                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':sample')
+                            ORDER BY md5(CAST(doc_id AS STRING) || ':sample')
                             ) AS rn,
          COUNT(*) OVER (PARTITION BY lang) AS n
   FROM documents)
@@ -1820,7 +1892,7 @@ _TAU_ORACLE = """
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
          ROW_NUMBER() OVER (PARTITION BY lang
-                            ORDER BY md5(CAST(doc_id AS VARCHAR) || ':tau')
+                            ORDER BY md5(CAST(doc_id AS STRING) || ':tau')
                             ) AS rn,
          COUNT(*) OVER (PARTITION BY lang) AS n
   FROM documents)
@@ -2037,6 +2109,88 @@ def llm_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The four production PII classes, RE2-simple (char classes + bounded
+# repetition + \b only — no lookaround/backrefs) so Java regex (Spark)
+# and RE2 (DuckDB) compile them identically. Replacement ORDER matters
+# and is part of the contract: EMAIL first (its local part may contain
+# digit runs that other patterns could nibble), then SSN before PHONE
+# (3-2-4 vs 3-3-4 groupings are disjoint, but fixing the order makes
+# the scrub deterministic by construction), IP last.
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b", "<PHONE>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+]
+
+# Deterministic PII planting: the synthetic documents corpus is word
+# soup with no contact strings, so the fixture CONSTRUCTS one of each
+# class per doc from doc_id — in BOTH engines, so the regexes are
+# exercised on genuine matches and the oracle hash-checks the scrub
+# byte-for-byte (a corpus with zero matches would hash-match on a
+# no-op). SQL fragment shared verbatim between the Spark side (F.expr)
+# and the DuckDB oracle.
+_PII_PLANT = (
+    "substr(text, 1, 120)"
+    " || ' reach u' || CAST(doc_id AS STRING)"
+    " || '@ex' || CAST(doc_id % 10 AS STRING) || '.org'"
+    " || ' or 415-555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+    " || ' ssn 078-05-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS STRING)"
+    " || '.42.' || CAST((doc_id * 7) % 256 AS STRING)"
+)
+
+
+def _pii_text_oracle() -> str:
+    red = "raw_text"
+    for _, pat, tag in _PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        red = f"regexp_replace({red}, '{esc}', '{tag}', 'g')"
+    counts = ",\n       ".join(
+        f"CAST(len(regexp_extract_all(raw_text, '{pat}')) AS INT) AS n_{cls}"
+        for cls, pat, _ in _PII_PATTERNS
+    )
+    return f"""
+WITH raw AS (SELECT doc_id, {_PII_PLANT} AS raw_text FROM documents)
+SELECT doc_id,
+       {red} AS redacted,
+       {counts}
+FROM raw
+"""
+
+
+@register("llm_pii_text", oracle=_pii_text_oracle(), category="K")
+def llm_pii_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION-pattern PII scrub over free text — the four classes a
+    real pretraining pipeline redacts before corpus admission (email,
+    SSN, US phone, IPv4), each with a typed placeholder plus a per-doc
+    audit count per class (pipelines log redaction volume per shard to
+    catch scrub regressions; a sudden zero means the regex broke, a
+    spike means a leaky source). Sibling of llm_pii_redact, which
+    covers the structured-field generalization half of the scrub.
+
+    Scale: pure per-row regexp_replace/regexp_count chains — fuse into
+    the parquet scan inside WholeStageCodegen, no shuffle, no UDF, no
+    Python; the 100 TB cost is one pass over the bytes, embarrassingly
+    parallel over input splits. Pattern order is fixed and the classes
+    are RE2-simple so every engine compiles them identically (see
+    _PII_PATTERNS); counts are taken on the PRE-redaction text so the
+    audit is independent of replacement order."""
+    d = table(spark, sf_dir, "documents")
+    full = F.expr(_PII_PLANT)
+    red = full
+    for _, pat, tag in _PII_PATTERNS:
+        red = F.regexp_replace(red, pat, tag)
+    return d.select(
+        "doc_id",
+        red.alias("redacted"),
+        *[
+            F.regexp_count(full, F.lit(pat)).cast("int").alias(f"n_{cls}")
+            for cls, pat, _ in _PII_PATTERNS
+        ],
+    )
+
+
 _E2E_ORACLE = """
 WITH q AS (
   SELECT doc_id, text FROM documents
@@ -2066,9 +2220,9 @@ d3 AS (
   SELECT doc_id FROM d2
   WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT tr_id FROM contam)),
 sp AS (
-  SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2)
+  SELECT CASE WHEN substr(md5(CAST(doc_id AS STRING) || ':split'), 1, 2)
                    < 'cc' THEN 'train'
-              WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 2)
+              WHEN substr(md5(CAST(doc_id AS STRING) || ':split'), 1, 2)
                    < 'e6' THEN 'val'
               ELSE 'test' END AS split
   FROM d3)

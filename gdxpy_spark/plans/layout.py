@@ -80,9 +80,17 @@ def write_zordered(
     top = (1 << bits) - 1
 
     def scaled(c, lo, hi):
+        # Subtract in BIGINT (exact — both operands sit inside the key
+        # span), then scale in DOUBLE: (col - lo) * top in bigint
+        # overflows once the span exceeds 2^63/top — true for e.g.
+        # nanosecond timestamps (the docstring's time×tenant case) — as
+        # an ANSI runtime error (wrapped garbage Z-values pre-ANSI).
+        # Doubles can't overflow here, and their ≤2^-52 relative
+        # rounding is absorbed by the `bits`-bit quantization.
         span = max(int(hi) - int(lo), 1)
         return (
-            (F.col(c).cast("bigint") - F.lit(int(lo))) * top / F.lit(span)
+            (F.col(c).cast("bigint") - F.lit(int(lo))).cast("double")
+            * top / F.lit(float(span))
         ).cast("bigint")
 
     z = zorder_value(scaled(key1, lo1, hi1), scaled(key2, lo2, hi2), bits)

@@ -95,11 +95,23 @@ def load_all() -> None:
 
 
 # Driver artifacts (CORRECTNESS_r*.json) cap at ~50 entries, truncating in
-# queries() iteration order. Rounds 2-5 sampled the same window, so these
-# IDs — green under tests/test_oracle_parity.py every round — never got a
-# driver-recorded row. Rotate them to the front so round 6's window records
-# them; the already-recorded remainder follows in registration order.
+# queries() iteration order. Rounds 2-6 rotated never-recorded IDs into the
+# window; after r6 exactly 7 oracle IDs (the r6 weak→hash upgrades at
+# rotation positions 51-58) still lack a driver-recorded hash row. Round 7
+# front-loads those 7 so the driver ledger closes over all oracle IDs, plus
+# every query whose ORACLE CHANGED this round (a stale r06 hash row proves
+# nothing about the new fixture), plus queries NEW in r7. The
+# already-recorded remainder follows in registration order.
 _ARTIFACT_PRIORITY = [
+    # final 7 ledger gaps (hash-upgraded r6, never driver-recorded):
+    "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip",
+    "src_gdx_read", "src_gdx_gams_read", "src_gdx_write",
+    "src_gdx_catalog",
+    # oracle changed in r7 (error-density refit) — re-record:
+    "fn_try_arith",
+    # new in r7 — no artifact row exists yet anywhere:
+    "llm_pii_text", "fn_url_parse", "llm_chunk_overlap",
+    # r6 window follows (already recorded r06; keeps the window full):
     "fn_string_basic", "fn_string_regex", "fn_date_parts", "fn_date_arith",
     "fn_timestamp_unix", "fn_math", "fn_conditional", "fn_cast",
     "fn_special_values", "fn_array_basic", "fn_array_explode",
@@ -110,18 +122,12 @@ _ARTIFACT_PRIORITY = [
     "agg_salted_sum", "win_ntile_pct_sketch", "win_sessionize",
     "stream_tumbling", "stream_sliding", "stream_session",
     "stream_watermark_late", "stream_dedup", "stream_stateful_running",
-    # new in r6 — no artifact row exists yet anywhere:
     "llm_decontaminate", "llm_train_split", "llm_sample_stratified",
     "llm_substring_dedup", "llm_repetition_filter", "llm_pii_redact",
     "join_skew_salted", "stream_stream_join", "llm_temperature_sample",
     "llm_e2e_pipeline", "win_funnel_stages", "agg_cohort_retention",
-    "ts_gap_fill", "ts_ohlc_hourly", "fn_bitwise", "fn_try_arith",
-    # weak→oracle upgrades in r6 — prior artifacts recorded them
-    # rows-only; surface the new hash checks in the driver's ledger:
+    "ts_gap_fill", "ts_ohlc_hourly", "fn_bitwise",
     "src_stream_events", "llm_dedup_clusters",
-    "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip",
-    "src_gdx_read", "src_gdx_gams_read", "src_gdx_write",
-    "src_gdx_catalog",
 ]
 
 

@@ -100,7 +100,9 @@ def main() -> None:
                  "llm_knn_brute", "llm_ann_lsh",
                  # r6 additions over the documents corpus
                  "llm_substring_dedup", "llm_repetition_filter",
-                 "llm_temperature_sample", "llm_e2e_pipeline"):
+                 "llm_temperature_sample", "llm_e2e_pipeline",
+                 # r7 additions over the documents corpus
+                 "llm_pii_text", "llm_chunk_overlap"):
         a = timed(lambda: queries[name].fn(spark, S1))
         b = timed(lambda: queries[name].fn(spark, S10))
         rows.append((name, a, b))
