@@ -17,7 +17,7 @@ at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Decimal wide enough for sf0.1 sums with headroom; Long-backed (<=18 digits).
 _DEC = "decimal(18,6)"
@@ -215,4 +215,62 @@ def sql_davg(expr: str, alias: str) -> str:
     return (
         f"ROUND(CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
         f" / COUNT({expr}), 4) AS {alias}"
+    )
+
+
+def global_running_sum(
+    df: DataFrame, order_cols, value_col: str, out_col: str = "cum"
+) -> DataFrame:
+    """Scalable global SUM(value) OVER (ORDER BY ...) — the distributed
+    PREFIX SUM, built on the same two-pass partition-offset machinery
+    as global_row_number (a plain unpartitioned running-sum window
+    would funnel the whole table through ONE WindowExec task):
+
+    1. one range shuffle on the sort key → globally ordered partitions,
+       partition ids assigned from monotonically_increasing_id's bit
+       layout exactly as in global_row_number (same exchange-reuse
+       guarantee: the offsets branch and the output branch consume the
+       IDENTICAL range-exchange subtree, so partition ids agree by
+       identity);
+    2. per-partition LOCAL running sums via a window PARTITIONED BY the
+       partition id — parallel across partitions (this costs one hash
+       exchange on _pid: Catalyst cannot see that rows are already
+       pid-clustered after step 1; an accepted single extra shuffle,
+       nothing single-task);
+    3. per-partition value totals (metadata-sized) → exclusive prefix
+       offsets via the same broadcast self-join → local + offset.
+
+    `order_cols` must be a total order for a deterministic result.
+    `value_col` must be integral or decimal if the caller needs
+    cross-engine exactness (float prefix sums are order-dependent)."""
+    n_parts = shuffle_partitions(df.sparkSession)
+    part = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
+        .withColumn("_local", F.col("_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK)))
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("_local")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("_lcum", F.sum(value_col).over(w))
+    totals = part.groupBy("_pid").agg(F.sum(value_col).alias("_vtot"))
+    prior = totals.select(F.col("_pid").alias("_p2"), F.col("_vtot").alias("_v2"))
+    offsets = (
+        totals.join(F.broadcast(prior), F.lit(True))
+        .groupBy("_pid")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_p2") < F.col("_pid"), F.col("_v2"))),
+                F.lit(0),
+            ).alias("_voff")
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_lcum") + F.col("_voff")).cast("bigint"))
+        .drop("_mid", "_pid", "_local", "_lcum", "_voff")
     )

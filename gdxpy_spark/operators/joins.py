@@ -346,3 +346,113 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
     )
+
+
+_BUCKETED_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def _bucket_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the two fact files backing the bucketed
+    tables, so a regenerated dataset can never be served stale buckets
+    (same discipline as the streaming replay fixture cache)."""
+    import hashlib
+    import os
+
+    h = hashlib.sha256(os.path.abspath(sf_dir).encode())
+    for t in ("orders", "lineitem"):
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        st = os.stat(p)
+        h.update(f"|{t}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
+@register("join_bucketed_colocated", oracle=_BUCKETED_ORACLE, category="C")
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CO-LOCATED bucketed join — the layout move that deletes the
+    shuffle from a repeated fact-fact join: orders and lineitem are
+    persisted ONCE as catalog tables bucketed (and sorted) by the join
+    key with the same bucket count, after which every join on that key
+    is a SortMergeJoin with NO Exchange on either side — each task
+    reads bucket i of both tables and joins locally. At 100 TB this is
+    the difference between re-shuffling petabytes on every pipeline run
+    and never shuffling them again; the write cost is paid once at
+    ingest. (tests/test_r7_ops.py asserts the exchange-free plan; the
+    one-time build is content-fingerprinted per dataset and reused
+    across calls, mirroring how a production catalog owns the layout.)
+
+    The aggregate keeps the money column exact by summing 100-scaled
+    BIGINT cents — partial-aggregable and bit-identical cross-engine."""
+    from gdxpy_spark.plans.layout import write_bucketed
+
+    # v-tag: bump when the bucketed PROJECTION changes (the fingerprint
+    # only tracks source data), so stale layouts can't be reused
+    fp = "v2_" + _bucket_fingerprint(sf_dir)
+    ob, lb = f"orders_bkt_{fp}", f"lineitem_bkt_{fp}"
+
+    def _ensure(name: str, ddl_cols: str, build_df) -> None:
+        """Bucketed layouts outlive the session (files in the warehouse
+        dir) but bucket METADATA lives in the session catalog — a fresh
+        session must re-ATTACH the existing files as an external
+        bucketed table (the catalog-owns-layout pattern; bucket file
+        layout is deterministic for a fixed spec, so attaching another
+        session's output is sound) instead of rewriting, and only
+        build when no layout exists at all."""
+        import os
+
+        if spark.catalog.tableExists(name):
+            return
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        loc = os.path.join(wh, name)
+        if os.path.exists(loc):
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl_cols}) USING PARQUET"
+                f" CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey)"
+                f" INTO 8 BUCKETS LOCATION '{loc}'"
+            )
+        else:
+            write_bucketed(build_df(), name, "o_orderkey")
+
+    _ensure(
+        ob,
+        "o_orderkey BIGINT, o_orderpriority STRING",
+        lambda: table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        ),
+    )
+    _ensure(
+        lb,
+        "o_orderkey BIGINT, p100 BIGINT",
+        lambda: table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("p100"),
+        )
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+    )
+    # hint("merge"): at test SF the orders side fits the broadcast
+    # threshold and Catalyst would pick BroadcastHashJoin — fine there,
+    # but the query exists to pin the BOTH-SIDES-FACT-SIZED plan (the
+    # 100 TB case, where broadcast is off the table); the hint forces
+    # the sort-merge path so the bucket co-location (zero Exchange) is
+    # what actually executes and what the plan test asserts
+    o = spark.table(ob).hint("merge")
+    li = spark.table(lb)
+    return (
+        o.join(li, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_orderkey").cast("bigint").alias("n_orders"),
+            (F.sum("p100").cast("double") / 100.0).alias("revenue"),
+        )
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 from gdxpy_spark.operators._util import (
     davg,
     global_row_number,
+    global_running_sum,
     managed_cache,
     r4,
     sql_davg,
@@ -2188,6 +2189,129 @@ def llm_pii_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_count(full, F.lit(pat)).cast("int").alias(f"n_{cls}")
             for cls, pat, _ in _PII_PATTERNS
         ],
+    )
+
+
+_BUDGET = 20_000  # tokens — cuts mid-corpus at every test SF ≥ 0.01
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS ntok
+  FROM documents),
+c AS (
+  SELECT doc_id, ntok,
+         SUM(ntok) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM t)
+SELECT doc_id, ntok, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM c WHERE cum_tokens <= {_BUDGET}
+"""
+
+
+@register("llm_token_budget", oracle=_TOKEN_BUDGET_ORACLE, category="K")
+def llm_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-BUDGET corpus cut: admit documents in deterministic order
+    (doc_id — in production: a curriculum/quality ordering) until the
+    cumulative token count reaches the training budget, emitting each
+    kept doc with its running total — how a finite compute budget is
+    turned into a reproducible corpus slice ("the first N-token prefix
+    of the ranked corpus"), and the exact-cut sibling of probabilistic
+    downsampling (llm_temperature_sample).
+
+    The operator underneath is a GLOBAL PREFIX SUM, and the scale story
+    is the whole point: SUM() OVER (ORDER BY …) with no partition key —
+    the oracle's form — executes as a single-task window over the
+    entire corpus. _util.global_running_sum instead range-partitions on
+    the order key once, runs per-partition running sums in parallel
+    (window partitioned by the partition id), and adds exclusive
+    per-partition offsets from a metadata-sized broadcast — the same
+    exchange-reuse-pinned machinery as the two-pass global rank
+    (global_row_number), extended from counts to values. Token counts
+    are integers, so the prefix sum is exact on both engines at any
+    parallelism — no float order-dependence."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("bigint")
+        .alias("ntok"),
+    )
+    c = global_running_sum(t, ["doc_id"], "ntok", out_col="cum_tokens")
+    return c.filter(F.col("cum_tokens") <= _BUDGET).select(
+        "doc_id", "ntok", "cum_tokens"
+    )
+
+
+# HTML wrapping shared VERBATIM between the Spark query and the DuckDB
+# oracle: the synthetic corpus is plain text, so the fixture dresses
+# each doc in the markup a crawler actually delivers (nested tags,
+# attributes, self-closing tags, HTML entities) and the query must get
+# the text back out.
+_HTML_WRAP = (
+    "'<div class=\"doc\" id=\"d' || CAST(doc_id AS STRING) || '\">"
+    "<h1>Doc ' || CAST(doc_id AS STRING) || '</h1><p>' "
+    "|| substr(text, 1, 150) || "
+    "' &amp; entities &lt;kept&gt; &quot;safe&quot;</p><br/></div>'"
+)
+
+_HTMLSTRIP_ORACLE = f"""
+WITH h AS (SELECT doc_id, {_HTML_WRAP} AS html FROM documents),
+s AS (
+  SELECT doc_id, html,
+         trim(regexp_replace(
+           replace(replace(replace(replace(
+             regexp_replace(html, '<[^>]*>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&amp;', '&'),
+           ' +', ' ', 'g')) AS clean_text
+  FROM h)
+SELECT doc_id, clean_text,
+       CAST(len(regexp_extract_all(html, '<[^>]*>')) AS INT) AS n_tags,
+       CAST(length(clean_text) AS INT) AS n_chars_clean
+FROM s
+"""
+
+
+@register("llm_html_strip", oracle=_HTMLSTRIP_ORACLE, category="K")
+def llm_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → TEXT extraction — the very first transform a web-crawl
+    corpus passes through before any quality/dedup stage sees it: strip
+    tags (replaced by a space so adjacent words don't fuse), decode the
+    core entities (&amp; &lt; &gt; &quot; — with &amp; LAST, the
+    standard order so '&amp;lt;' decodes to the literal '&lt;' and not
+    a phantom '<'), collapse runs of whitespace, trim. Emits a per-doc
+    tag count too — pipelines track markup density as a boilerplate
+    signal. A production pipeline swaps in a real DOM parser for edge
+    cases (comments, CDATA, script bodies); the regex form is the
+    map-only plan both engines can hash-verify.
+
+    Scale: scan-fused chain of regexp_replace/replace — one
+    WholeStageCodegen pass over the bytes, no shuffle, no UDF; the same
+    embarrassingly-parallel shape as llm_pii_text one stage later."""
+    d = table(spark, sf_dir, "documents")
+    html = F.expr(_HTML_WRAP)
+    untag = F.regexp_replace(html, r"<[^>]*>", " ")
+    decoded = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(untag, F.lit("&lt;"), F.lit("<")),
+                F.lit("&gt;"),
+                F.lit(">"),
+            ),
+            F.lit("&quot;"),
+            F.lit('"'),
+        ),
+        F.lit("&amp;"),
+        F.lit("&"),
+    )
+    clean = F.trim(F.regexp_replace(decoded, " +", " "))
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.regexp_count(html, F.lit(r"<[^>]*>")).cast("int").alias("n_tags"),
+        F.length(clean).cast("int").alias("n_chars_clean"),
     )
 
 

@@ -175,3 +175,42 @@ def src_stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gdxpy_spark.streaming.replay import stream_events_counts
 
     return stream_events_counts(spark, sf_dir)
+
+
+_MERGE_SCHEMA_ORACLE = """
+SELECT doc_id, n_chars,
+       CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+FROM documents
+"""
+
+
+@register("src_parquet_merge_schema", oracle=_MERGE_SCHEMA_ORACLE, category="A")
+def src_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION read — the source situation every long-lived
+    100 TB dataset reaches: files written before a column existed sit
+    next to files written after. Fixture: even docs land in parquet
+    files with (doc_id, n_chars), odd docs in files that ALSO carry
+    lang; the read uses mergeSchema=true, which unions footer schemas
+    across files and surfaces pre-evolution rows with NULL for the
+    late-added column. Oracle = the equivalent projection over the
+    source table, so the NULL-backfill semantics are hash-checked, not
+    assumed.
+
+    Scale note: mergeSchema costs a distributed footer-read over the
+    file listing at planning time (Spark runs it as a Spark job for
+    large listings) — the production pattern is to pay it once and pin
+    the merged schema in a table catalog; per-query mergeSchema on a
+    million-file dataset is an anti-pattern. Column pruning and filter
+    pushdown still work on the merged schema: files lacking a selected
+    column serve NULLs without reading anything extra."""
+    docs = table(spark, sf_dir, "documents")
+    out = _tmpdir("mergeschema")
+    docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "n_chars").write.mode(
+        "append"
+    ).parquet(out)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "n_chars", "lang"
+    ).write.mode("append").parquet(out)
+    return spark.read.option("mergeSchema", "true").parquet(out).select(
+        "doc_id", "n_chars", "lang"
+    )

@@ -301,3 +301,54 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(w).alias("last_order"),
     )
+
+
+_STREAKS_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events),
+r AS (
+  SELECT user_id, day,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d),
+g AS (
+  SELECT user_id, day - CAST(rn AS INT) AS grp FROM r),
+s AS (
+  SELECT user_id, grp, COUNT(*) AS streak
+  FROM g GROUP BY user_id, grp)
+SELECT user_id,
+       CAST(MAX(streak) AS BIGINT) AS longest_streak,
+       CAST(SUM(streak) AS BIGINT) AS n_active_days
+FROM s GROUP BY user_id
+"""
+
+
+@register("win_streaks", oracle=_STREAKS_ORACLE, category="E")
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS: longest run of CONSECUTIVE active days per
+    user — the canonical streak/retention window pattern (login
+    streaks, SLA uptime runs, sensor liveness). The trick is the
+    classic one: for a sorted sequence of distinct days, day −
+    row_number() is CONSTANT exactly within a consecutive run, so a
+    groupBy on that anchor date splits the islands without any
+    self-join or iterative logic.
+
+    Plan: distinct (user, day) first — the raw event stream collapses
+    to at most users × days rows before anything else, so the window
+    input is bounded by the calendar, not event volume. Then ONE
+    row_number window partitioned by user (no global window), one
+    island aggregate, one per-user rollup; all three stages reuse the
+    user-keyed partitioning. At 100 TB this is: dedup-shrink map-side,
+    shuffle once by user, everything after is metadata-sized."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    g = d.select(
+        "user_id",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("grp"),
+    )
+    s = g.groupBy("user_id", "grp").agg(F.count("*").alias("streak"))
+    return s.groupBy("user_id").agg(
+        F.max("streak").cast("bigint").alias("longest_streak"),
+        F.sum("streak").cast("bigint").alias("n_active_days"),
+    )

@@ -112,6 +112,8 @@ _ARTIFACT_PRIORITY = [
     # new in r7 — no artifact row exists yet anywhere:
     "llm_pii_text", "fn_url_parse", "llm_chunk_overlap",
     "ts_interpolate", "ts_zscore_anomaly", "llm_url_normalize",
+    "win_streaks", "llm_html_strip", "src_parquet_merge_schema",
+    "join_bucketed_colocated", "llm_token_budget",
     # r6 window follows (already recorded r06; keeps the window full):
     "fn_string_basic", "fn_string_regex", "fn_date_parts", "fn_date_arith",
     "fn_timestamp_unix", "fn_math", "fn_conditional", "fn_cast",

@@ -236,3 +236,111 @@ def test_zscore_aggregates_before_window(spark):
     # lower node id = executes earlier: the rollup runs below the window
     assert max(agg_ids) < min(win_ids)
     assert "partial_sum" in plan  # map-side combine before the exchange
+
+
+# ------------------------------------------------------------ r7 batch 2
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # co-located bucketed join: SortMergeJoin with NO shuffle on either
+    # side — the layout's whole point. (First call builds the bucketed
+    # catalog tables; the plan is inspected on the reused layout.)
+    df = ALL["join_bucketed_colocated"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    join_pos = plan.find("SortMergeJoin")
+    assert join_pos != -1, plan[:500]
+    # no Exchange may feed the join: every Exchange in the plan must sit
+    # ABOVE the join (the final agg shuffles 5 rows; that one is fine)
+    tree = plan[: plan.index("(1) ")] if "(1) " in plan else plan
+    join_line = next(
+        ln for ln in tree.splitlines() if "SortMergeJoin" in ln
+    )
+    join_indent = len(join_line) - len(join_line.lstrip(" +-"))
+    below = tree.splitlines()[tree.splitlines().index(join_line) + 1 :]
+    for ln in below:
+        indent = len(ln) - len(ln.lstrip(" +-"))
+        if indent <= join_indent and ln.strip():
+            break  # left the join's subtree
+        assert "Exchange" not in ln, f"shuffle under the bucketed join: {ln}"
+
+
+def test_html_strip_decodes_entities_in_standard_order(spark):
+    rows = ALL["llm_html_strip"].fn(spark, SF_DIR).limit(20).collect()
+    assert rows
+    for r in rows:
+        t = r["clean_text"]
+        assert "<" not in t or "<kept>" in t  # tags gone, decoded entity kept
+        assert "&amp;" not in t and "&lt;" not in t and "&quot;" not in t
+        assert '"safe"' in t and "& entities" in t and "<kept>" in t
+        assert "  " not in t and t == t.strip()
+        assert r["n_tags"] == 7  # div h1 /h1 p /p br/ /div — fixed wrap
+        assert r["n_chars_clean"] == len(t)
+
+
+def test_merge_schema_nulls_only_pre_evolution_rows(spark):
+    rows = ALL["src_parquet_merge_schema"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["doc_id"] % 2 == 0:
+            assert r["lang"] is None
+        else:
+            assert r["lang"] is not None
+
+
+def test_streaks_match_python_recompute(spark):
+    from datetime import timedelta
+
+    from gdxpy_spark.tables import table
+
+    days = (
+        table(spark, SF_DIR, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .collect()
+    )
+    by_user: dict[int, set] = {}
+    for r in days:
+        by_user.setdefault(r["user_id"], set()).add(r["day"])
+    out = {
+        r["user_id"]: (r["longest_streak"], r["n_active_days"])
+        for r in ALL["win_streaks"].fn(spark, SF_DIR).collect()
+    }
+    assert set(out) == set(by_user)
+    for uid, ds in by_user.items():
+        best = cur = 0
+        prev = None
+        for d in sorted(ds):
+            cur = cur + 1 if prev is not None and d - prev == timedelta(days=1) else 1
+            best = max(best, cur)
+            prev = d
+        assert out[uid] == (best, len(ds)), uid
+
+
+def test_token_budget_exact_prefix_cut(spark):
+    from gdxpy_spark.tables import table
+
+    out = {
+        r["doc_id"]: (r["ntok"], r["cum_tokens"])
+        for r in ALL["llm_token_budget"].fn(spark, SF_DIR).collect()
+    }
+    toks = sorted(
+        (r["doc_id"], r["n"])
+        for r in table(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            F.size(F.filter(F.split("text", " "), lambda t: t != "")).alias(
+                "n"
+            ),
+        )
+        .collect()
+    )
+    # python recompute of the prefix cut must match exactly
+    cum, want = 0, {}
+    for doc_id, n in toks:
+        cum += n
+        if cum > 20_000:
+            break
+        want[doc_id] = (n, cum)
+    assert out == want
+    assert want, "budget did not admit any docs"
+    assert len(want) < len(toks), "budget did not cut (raise corpus SF?)"
