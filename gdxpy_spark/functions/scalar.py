@@ -627,3 +627,41 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
             "              ELSE CAST(l_suppkey AS STRING) END AS int)"
         ).alias("flag_as_int"),
     )
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+SELECT event_id,
+       CAST(props->>'k' AS INTEGER) AS k_int,
+       CAST(props->>'k' AS VARCHAR) AS k_str,
+       CAST(props->>'missing' AS INTEGER) AS absent,
+       (props->>'k') IS NOT NULL AS has_k
+FROM events
+""",
+    category="G",
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion — the engine's native answer to
+    schemaless JSON columns: parse_json turns the props string into an
+    open VariantType value ONCE (a binary encoding that keeps field
+    access O(field) instead of re-parsing text per extraction — the
+    reason variant beats repeated get_json_object at 100 TB), then
+    variant_get pulls typed fields with cast-on-read semantics and
+    missing paths surface as NULL rather than errors. The oracle
+    expresses identical semantics with DuckDB's JSON operators (->> +
+    CAST), so typed extraction, string extraction, absent-path NULL,
+    and existence all hash-check.
+
+    Scale: map-only, scan-fused; one parse per row feeding all four
+    extractions (Catalyst keeps the common parse_json subexpression),
+    no UDF, no shuffle."""
+    ev = table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "int").alias("absent"),
+        F.variant_get(v, "$.k", "string").isNotNull().alias("has_k"),
+    )

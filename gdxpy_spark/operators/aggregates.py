@@ -362,3 +362,76 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
     )
+
+
+_HISTOGRAM_ORACLE = """
+SELECT event_type,
+       CAST(FLOOR(value / 5) AS BIGINT) AS bucket,
+       CAST(FLOOR(value / 5) AS BIGINT) * 5.0 AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("agg_histogram", oracle=_HISTOGRAM_ORACLE, category="D")
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH HISTOGRAM per event_type (bucket width 5): the
+    one-pass distribution profile every monitoring/EDA layer computes —
+    and the scale-correct alternative to exact percentiles when only
+    the shape is needed. Bucketing by floor(value/width) keys the
+    aggregate on a DERIVED column, so the histogram is one
+    partial-aggregable hash agg: counts combine map-side and only
+    O(types × buckets) rows cross the shuffle regardless of event
+    volume — contrast agg_percentile, whose exact form must sort data.
+    bucket_lo is emitted so consumers get real axis edges, and both
+    engines derive it from the same floor (no float bin-edge drift —
+    the bucket id is integer on both sides)."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 5).cast("bigint")
+    return ev.groupBy(
+        "event_type",
+        bucket.alias("bucket"),
+        (bucket * 5.0).alias("bucket_lo"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+
+
+_MODE_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value) AS BIGINT) AS v,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type, v, n, MAX(n) OVER (PARTITION BY event_type) AS mx
+  FROM c)
+SELECT event_type, MIN(v) AS mode_value, CAST(MAX(mx) AS BIGINT) AS mode_count
+FROM m WHERE n = mx GROUP BY event_type
+"""
+
+
+@register("agg_mode_tiebreak", oracle=_MODE_ORACLE, category="D")
+def agg_mode_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC MODE: the most frequent (floored) value per
+    event_type, with the tie broken to the SMALLEST value — engines'
+    built-in mode()/F.mode pick an arbitrary element on ties, which
+    can never be hash-verified cross-engine; making the tiebreak part
+    of the contract makes mode a real, testable operator.
+
+    Physical form: value-count rollup (partial-aggregable), then ONE
+    more hash agg using min_by over the composite ordering key
+    struct(-n, v) — lexicographic struct comparison yields max-count-
+    then-min-value in a single agg with map-side combine, no window,
+    no join-back. The oracle takes the window route (max-over-
+    partition + filter) to prove the semantics equal. At 100 TB the
+    windowed stage here sees only O(types × distinct values) rows
+    either way."""
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type", F.floor("value").cast("bigint").alias("v")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    return c.groupBy("event_type").agg(
+        F.min_by("v", F.struct((-F.col("n")).alias("nn"), F.col("v"))).alias(
+            "mode_value"
+        ),
+        F.max("n").alias("mode_count"),
+    )

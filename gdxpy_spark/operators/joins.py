@@ -456,3 +456,78 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("p100").cast("double") / 100.0).alias("revenue"),
         )
     )
+
+
+_SCD2_ORACLE = """
+WITH dim AS (
+  SELECT c_custkey, 1 AS version,
+         DATE '1900-01-01' AS valid_from,
+         DATE '1994-01-01' + CAST(c_custkey % 1000 AS INT) AS valid_to,
+         c_mktsegment AS segment
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 2,
+         DATE '1994-01-01' + CAST(c_custkey % 1000 AS INT),
+         DATE '9999-12-31', c_mktsegment || '*'
+  FROM customer)
+SELECT o_orderkey, o_custkey,
+       CAST(d.version AS INT) AS version, d.segment
+FROM orders o
+JOIN dim d ON o.o_custkey = d.c_custkey
+          AND o.o_orderdate >= d.valid_from
+          AND o.o_orderdate <  d.valid_to
+"""
+
+
+@register("join_scd2_asof", oracle=_SCD2_ORACLE, category="C")
+def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE-2 dimension join — the warehouse pattern for "what was
+    this customer's segment AT ORDER TIME": the dimension keeps one row
+    per attribute VERSION with [valid_from, valid_to) ranges
+    (half-open, so versions tile time with no gap/overlap), and each
+    fact row joins the single version whose range covers its event
+    date. Fixture: every customer has two versions split at a
+    key-derived date, the later one carrying a changed segment — so
+    both versions are exercised and each order matches EXACTLY one row
+    (a property the hash oracle enforces: any gap or overlap would
+    change the row count).
+
+    Plan shape: equi-join on the customer key carries the work; the
+    range predicate is a post-join filter on the (at most a few)
+    versions per key — so unlike a pure interval join there is no
+    candidate blow-up: cost is O(fact × versions-per-key). The
+    dimension side is version-expanded but still dimension-sized →
+    broadcast; the fact table never shuffles. At 100 TB this is the
+    canonical broadcast-dim pattern with time-travel semantics."""
+    c = table(spark, sf_dir, "customer")
+    split = F.expr("DATE'1994-01-01' + CAST(c_custkey % 1000 AS INT)")
+    v1 = c.select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        F.lit("1900-01-01").cast("date").alias("valid_from"),
+        split.alias("valid_to"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        split.alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+        F.concat("c_mktsegment", F.lit("*")).alias("segment"),
+    )
+    dim = v1.unionByName(v2)
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(dim),
+            (o.o_custkey == dim.c_custkey)
+            & (o.o_orderdate >= dim.valid_from)
+            & (o.o_orderdate < dim.valid_to),
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("version").cast("int").alias("version"),
+            "segment",
+        )
+    )

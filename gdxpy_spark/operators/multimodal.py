@@ -350,3 +350,83 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("l1_checksum"),
     )
+
+
+_AUDIO_ORACLE = """
+WITH a AS (
+  SELECT doc_id, n_chars,
+         (CAST(doc_id % 30 + 1 AS INT) * 16 + 64) AS rate,
+         (CAST(doc_id % 30 + 1 AS INT) * 16 + 64) // 2 AS win
+  FROM documents WHERE n_chars > 0),
+w AS (
+  SELECT doc_id, n_chars, rate, win,
+         unnest(range(0, (n_chars + win - 1) // win)) AS wi
+  FROM a)
+SELECT w.doc_id,
+       CAST(wi AS INT) AS win_idx,
+       CAST(rate AS INT) AS sample_rate,
+       CAST(wi * win AS INT) AS start_sample,
+       CAST(LEAST(win, w.n_chars - wi * win) AS INT) AS n_samps,
+       CAST(list_aggregate(
+         list_transform(
+           generate_series(1, CAST(LEAST(8, w.n_chars - wi * win) AS INT)),
+           i -> ascii(substr(d.text, CAST(wi * win + i AS INT), 1))),
+         'sum') AS BIGINT) AS head_checksum
+FROM w JOIN documents d USING (doc_id)
+"""
+
+
+@register("mm_audio_window", oracle=_AUDIO_ORACLE, category="MM")
+def mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO FRAMING: an opaque 8-bit-PCM payload is cut into
+    half-second analysis windows from its header's sample rate — the
+    shape of every audio featurizer front-end (VAD, fbank, whisper-
+    style chunking): per window, its index, start offset, true sample
+    count (the tail window runs short), and a checksum over the first
+    8 samples PROVING the window's bytes were actually decoded from
+    the shipped binary, not just arithmetic on metadata (the checksum
+    is the audio sibling of mm_resize's resampled-byte checksum).
+    decode_real (multimodal.py:36) remains the swap-in point for a
+    real codec; the fixture's sample rate derives from the header fps
+    field (rate = fps·16 + 64) so the oracle can recompute the framing
+    from source columns.
+
+    Scale: one Arrow pass over the binary column; per-row fan-out is
+    n_samples/window — bounded by payload size, embarrassingly
+    parallel, binary never shuffled (only the small typed window rows
+    leave the stage). Same mapInPandas contract as the image/video
+    ops: pandas bytes in, typed DataFrame out."""
+    import numpy as np
+
+    media = media_table(spark, sf_dir)
+
+    def frames(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("doc_id", "win_idx", "sample_rate", "start_sample",
+                    "n_samps", "head_checksum")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                fps = blob[13]  # header: magic4 | fmt1 | w4 | h4 | fps1
+                payload = np.frombuffer(blob, dtype=np.uint8, offset=16)
+                n = len(payload)
+                if n == 0:
+                    continue
+                rate = fps * 16 + 64
+                win = rate // 2
+                n_win = (n + win - 1) // win
+                for wi in range(n_win):
+                    s = wi * win
+                    head = payload[s : s + min(8, n - s)]
+                    out["doc_id"].append(int(doc_id))
+                    out["win_idx"].append(wi)
+                    out["sample_rate"].append(rate)
+                    out["start_sample"].append(s)
+                    out["n_samps"].append(min(win, n - s))
+                    out["head_checksum"].append(int(head.sum()))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        frames,
+        schema="doc_id BIGINT, win_idx INT, sample_rate INT,"
+        " start_sample INT, n_samps INT, head_checksum BIGINT",
+    )

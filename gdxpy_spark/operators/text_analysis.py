@@ -619,3 +619,119 @@ def llm_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("edit_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — the MOSS
+# local fingerprinting algorithm): portable modular arithmetic end to
+# end, so unlike most fingerprint schemes it is exact-oracle-checkable
+# ---------------------------------------------------------------------------
+_WINNOW_K = 4   # words per gram
+_WINNOW_W = 5   # gram-hash window per selected fingerprint
+_WINNOW_B = 131  # gram combine base
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents),
+wh AS (
+  SELECT doc_id,
+         list_transform(ts, w ->
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, length(w)),
+                 i -> CAST(ascii(substr(w, CAST(i AS INT), 1)) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % {_FP_MOD})) AS hs
+  FROM toks WHERE len(ts) >= {_WINNOW_K}),
+grams AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         (((hs[CAST(i AS INT)] * {_WINNOW_B}
+            + hs[CAST(i AS INT) + 1]) % {_FP_MOD} * {_WINNOW_B}
+            + hs[CAST(i AS INT) + 2]) % {_FP_MOD} * {_WINNOW_B}
+            + hs[CAST(i AS INT) + 3]) % {_FP_MOD} AS g
+  FROM (SELECT doc_id, hs, unnest(range(1, len(hs) - {_WINNOW_K - 2})) AS i
+        FROM wh)),
+win AS (
+  SELECT doc_id, i,
+         MIN(g) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+           AS fp
+  FROM grams)
+SELECT DISTINCT doc_id, fp
+FROM win WHERE i >= {_WINNOW_W}
+"""
+
+
+@register("llm_winnowing", oracle=_WINNOW_ORACLE, category="K")
+def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+    algorithm): hash every k=4-word gram, slide a w=5-gram window, keep
+    each window's MINIMUM hash — the selected set is a position-robust
+    document sketch with two guarantees the paper proves: any shared
+    run of ≥ w+k−1 words between two documents yields at least one
+    SHARED fingerprint (detection), and at most 2/(w+1) of gram hashes
+    are kept (density). It is the local-fingerprint complement to
+    MinHash: MinHash answers "how similar are two docs overall",
+    winnowing answers "which docs share a SPAN with this one" — the
+    plagiarism/attribution primitive.
+
+    All arithmetic is the portable (·31, mod 2³¹−1) fold of
+    llm_fingerprint composed per word then per gram (base 131), so the
+    selected VALUES are engine-independent and the oracle hash-checks
+    them; emitting values (not positions) also makes window-tie
+    handling irrelevant to the result.
+
+    Physical strategy: word hashes, gram combination, and the sliding
+    window-min all run VECTORIZED inside one Arrow batch (numpy
+    reduceat for per-word folds — the HOF fold doesn't codegen, see
+    llm_fingerprint — and a stride-view min for the windows); each doc
+    is one independent row, so the whole sketch stage is map-only and
+    embarrassingly parallel. The only shuffle is the final DISTINCT on
+    (doc_id, fp) — two longs, the same reduce-before-shuffle shape as
+    every dedup stage here. 100 TB: linear scan, sketch output ~2/(w+1)
+    of gram count."""
+    import numpy as np
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    P, K, W, B = _FP_MOD, _WINNOW_K, _WINNOW_W, _WINNOW_B
+
+    def winnow(it):
+        for pdf in it:
+            out_doc: list[int] = []
+            out_fp: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in (text or "").split(" ") if w]
+                if len(words) < K:
+                    continue
+                # per-word portable fold, vectorized: one concatenated
+                # codepoint array, reduceat at word starts
+                lens = np.fromiter(
+                    (len(w) for w in words), dtype=np.int64, count=len(words)
+                )
+                cat = np.frombuffer(
+                    "".join(words).encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                ends = np.cumsum(lens)
+                exps = np.repeat(ends, lens) - 1 - np.arange(len(cat))
+                pow31 = np.empty(int(lens.max()), dtype=np.int64)
+                pow31[0] = 1
+                for j in range(1, len(pow31)):
+                    pow31[j] = (pow31[j - 1] * 31) % P
+                terms = (cat % P) * pow31[exps] % P
+                hs = np.add.reduceat(terms, ends - lens) % P
+                n_g = len(hs) - K + 1
+                if n_g < W:
+                    continue
+                g = hs[:n_g].copy()
+                for j in range(1, K):
+                    g = (g * B + hs[j : j + n_g]) % P
+                mins = np.lib.stride_tricks.sliding_window_view(g, W).min(
+                    axis=1
+                )
+                fps = np.unique(mins)
+                out_doc.extend([int(doc_id)] * len(fps))
+                out_fp.extend(fps.tolist())
+            yield pd.DataFrame({"doc_id": out_doc, "fp": out_fp})
+
+    return docs.mapInPandas(winnow, schema="doc_id BIGINT, fp BIGINT").distinct()

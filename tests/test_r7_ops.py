@@ -344,3 +344,118 @@ def test_token_budget_exact_prefix_cut(spark):
     assert out == want
     assert want, "budget did not admit any docs"
     assert len(want) < len(toks), "budget did not cut (raise corpus SF?)"
+
+
+def test_winnowing_shared_span_yields_shared_fingerprint(spark):
+    """The paper's detection guarantee: two docs sharing a run of at
+    least w+k-1 = 8 words must share at least one fingerprint."""
+    rows = [
+        (1, "aa bb cc dd ee ff gg hh unique1 tail1 xx1 yy1 zz1"),
+        (2, "lead2 other2 aa bb cc dd ee ff gg hh qq2 rr2 ss2"),
+        (3, "totally different words with no overlap at all here ok"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+    from gdxpy_spark.operators.text_analysis import llm_winnowing  # noqa: F401
+
+    out = registry.all_queries()["llm_winnowing"]
+    import gdxpy_spark.tables as T
+
+    # run the mapInPandas body directly on a temp view of the fixture
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    fps = {}
+    for r in out.fn(spark, d).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[1] & fps[2], "8-word shared span produced no shared fingerprint"
+    assert not (fps[1] & fps.get(3, set()))
+    assert not (fps[2] & fps.get(3, set()))
+
+
+def test_histogram_buckets_cover_all_events(spark):
+    from gdxpy_spark.tables import table
+
+    out = ALL["agg_histogram"].fn(spark, SF_DIR).collect()
+    total = sum(r["n"] for r in out)
+    assert total == table(spark, SF_DIR, "events").count()
+    for r in out:
+        assert abs(r["bucket_lo"] - r["bucket"] * 5.0) < 1e-12
+
+
+def test_scd2_every_order_matches_exactly_one_version(spark):
+    from gdxpy_spark.tables import table
+
+    out = ALL["join_scd2_asof"].fn(spark, SF_DIR)
+    n_orders = table(spark, SF_DIR, "orders").count()
+    assert out.count() == n_orders  # ranges tile time: no gap, no overlap
+    assert out.select("o_orderkey").distinct().count() == n_orders
+    # version semantics: post-split orders carry the changed segment
+    marked = out.filter(F.col("version") == 2)
+    assert marked.count() > 0
+    assert marked.filter(~F.col("segment").endswith("*")).count() == 0
+
+
+def test_scd2_plan_broadcasts_dimension(spark):
+    plan = formatted_plan(ALL["join_scd2_asof"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastHashJoin" in plan  # equi key carries the join
+
+
+def test_mode_tiebreak_matches_python_recompute(spark):
+    import collections
+
+    from gdxpy_spark.tables import table
+
+    rows = table(spark, SF_DIR, "events").select(
+        "event_type", F.floor("value").cast("bigint").alias("v")
+    ).collect()
+    counts: dict[str, collections.Counter] = {}
+    for r in rows:
+        counts.setdefault(r["event_type"], collections.Counter())[r["v"]] += 1
+    want = {}
+    for et, c in counts.items():
+        mx = max(c.values())
+        want[et] = (min(v for v, n in c.items() if n == mx), mx)
+    got = {
+        r["event_type"]: (r["mode_value"], r["mode_count"])
+        for r in ALL["agg_mode_tiebreak"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_variant_absent_path_is_null_not_error(spark):
+    rows = ALL["fn_variant_json"].fn(spark, SF_DIR).limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r["absent"] is None
+        assert r["has_k"] and r["k_int"] is not None
+        assert r["k_str"] == str(r["k_int"])
+
+
+def test_audio_windows_tile_payload_and_checksum_real_bytes(spark):
+    from gdxpy_spark.tables import table
+
+    rows = ALL["mm_audio_window"].fn(spark, SF_DIR).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_DIR, "documents").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert by_doc
+    for doc_id, ws in by_doc.items():
+        ws.sort(key=lambda r: r["win_idx"])
+        payload = texts[doc_id].encode("utf-8")
+        rate = (doc_id % 30 + 1) * 16 + 64
+        win = rate // 2
+        # windows tile the payload exactly: starts stride by win, the
+        # sample counts sum to the payload length
+        assert [w["start_sample"] for w in ws] == [
+            i * win for i in range(len(ws))
+        ]
+        assert sum(w["n_samps"] for w in ws) == len(payload)
+        for w in ws:
+            assert w["sample_rate"] == rate
+            s = w["start_sample"]
+            assert w["head_checksum"] == sum(payload[s : s + 8][: w["n_samps"]])
