@@ -665,3 +665,56 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.missing", "int").alias("absent"),
         F.variant_get(v, "$.k", "string").isNotNull().alias("has_k"),
     )
+
+
+# XML fragment shared VERBATIM between the Spark query and the oracle:
+# attribute + nested elements + an optional element (absent on every
+# 3rd row) — the missing-element NULL contract is part of the check.
+_XML_EXPR = (
+    "'<item id=\"' || CAST(p_partkey AS STRING) || '\">"
+    "<size>' || CAST(p_size AS STRING) || '</size>"
+    "<brand>' || p_brand || '</brand>' ||"
+    " CASE WHEN p_partkey % 3 = 0 THEN ''"
+    "      ELSE '<container>' || p_type || '</container>' END"
+    " || '</item>'"
+)
+
+
+@register(
+    "fn_xml_extract",
+    oracle=f"""
+WITH x AS (SELECT p_partkey, {_XML_EXPR} AS xml FROM part)
+SELECT p_partkey,
+       CAST(regexp_extract(xml, 'id="([0-9]+)"', 1) AS BIGINT) AS id_attr,
+       CAST(regexp_extract(xml, '<size>([0-9]+)</size>', 1) AS INT) AS size,
+       regexp_extract(xml, '<brand>([^<]*)</brand>', 1) AS brand,
+       NULLIF(regexp_extract(xml, '<container>([^<]*)</container>', 1), '')
+         AS container
+FROM x
+""",
+    category="G",
+)
+def fn_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion — the third wire format next to JSON/CSV: from_xml
+    parses each row's fragment against a declared struct schema (Spark
+    4 built-in; attributes surface as `_name` fields, missing elements
+    as NULL — exercised on every 3rd row, which omits <container>).
+    The oracle reconstructs the same extraction with anchored regex
+    captures + NULLIF (DuckDB has no XML reader), so typed attribute,
+    nested-element, and absent-element semantics all hash-check.
+
+    Scale: map-only single-pass parse fused into the scan — the same
+    stay-JVM-side argument as parse_url/parse_json; at 100 TB a
+    row-at-a-time Python ElementTree UDF here is the classic
+    regression."""
+    p = table(spark, sf_dir, "part")
+    xml = F.expr(_XML_EXPR)
+    schema = "_id BIGINT, size INT, brand STRING, container STRING"
+    v = F.from_xml(xml, schema)
+    return p.select(
+        "p_partkey",
+        v.getField("_id").alias("id_attr"),
+        v.getField("size").alias("size"),
+        v.getField("brand").alias("brand"),
+        v.getField("container").alias("container"),
+    )

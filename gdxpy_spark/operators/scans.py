@@ -214,3 +214,46 @@ def src_parquet_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.option("mergeSchema", "true").parquet(out).select(
         "doc_id", "n_chars", "lang"
     )
+
+
+_MALFORMED_ORACLE = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+FROM documents WHERE doc_id % 10 <> 0
+"""
+
+
+@register("src_csv_malformed", oracle=_MALFORMED_ORACLE, category="A")
+def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MALFORMED-RECORD handling — the ingestion reality every 100 TB
+    CSV feed has: some rows don't parse (wrong arity, type garbage),
+    and the job must drop/quarantine them rather than die. Fixture:
+    every 10th doc's line carries text garbage in the numeric column;
+    the read uses mode=DROPMALFORMED with an explicit schema, so rows
+    whose n_chars fails the INT parse are dropped AT SCAN TIME —
+    hash-checked against the survivors-only projection of the source
+    table (the oracle knows exactly which rows were corrupted, so the
+    check proves both that bad rows die and that good rows survive
+    unmangled).
+
+    Production notes the docstring owes: PERMISSIVE +
+    columnNameOfCorruptRecord is the quarantine variant (keep the raw
+    line in a side column for a dead-letter sink); DROPMALFORMED is
+    the filter variant used here because its result is exactly
+    SQL-expressible. Scale: per-line parse, embarrassingly parallel,
+    no shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    line = F.concat_ws(
+        ",",
+        F.col("doc_id").cast("string"),
+        "lang",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("NOT_A_NUMBER")).otherwise(
+            F.col("n_chars").cast("string")
+        ),
+    )
+    out = _tmpdir("csvmalformed")
+    docs.select(line.alias("value")).write.mode("overwrite").text(out)
+    return (
+        spark.read.schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+        .option("mode", "DROPMALFORMED")
+        .csv(out)
+    )

@@ -459,3 +459,27 @@ def test_audio_windows_tile_payload_and_checksum_real_bytes(spark):
             assert w["sample_rate"] == rate
             s = w["start_sample"]
             assert w["head_checksum"] == sum(payload[s : s + 8][: w["n_samps"]])
+
+
+def test_csv_malformed_drops_exactly_the_corrupt_rows(spark):
+    rows = ALL["src_csv_malformed"].fn(spark, SF_DIR).collect()
+    ids = {r["doc_id"] for r in rows}
+    assert ids and all(i % 10 != 0 for i in ids)
+    from gdxpy_spark.tables import table
+
+    src = table(spark, SF_DIR, "documents")
+    want = {
+        r["doc_id"] for r in src.collect() if r["doc_id"] % 10 != 0
+    }
+    assert ids == want  # only the planted-corrupt rows died
+
+
+def test_xml_missing_element_is_null(spark):
+    rows = ALL["fn_xml_extract"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["id_attr"] == r["p_partkey"]
+        if r["p_partkey"] % 3 == 0:
+            assert r["container"] is None
+        else:
+            assert r["container"]
