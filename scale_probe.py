@@ -69,11 +69,18 @@ def main() -> None:
     ).save()  # absorb python-worker-pool spawn
 
     def timed(fn):
-        t0 = time.perf_counter()
-        fn().write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        spark.catalog.clearCache()
-        return round(dt, 2)
+        # best-of-2: single-shot rows proved too noisy to compare (r7:
+        # two same-code runs disagreed 4x on the heavy ops — first-run
+        # codegen/broadcast warmup plus box variance); the SECOND run's
+        # time is the steady-state plan cost, min() guards against a
+        # contention spike landing on it
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best or 1e9, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        return round(best, 2)
 
     def jac(sf, thr=0.95):
         docs = table(spark, sf, "documents")
