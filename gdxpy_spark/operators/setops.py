@@ -161,3 +161,36 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _year_slice(spark, sf_dir, 1995).select("o_orderstatus")
     b = _year_slice(spark, sf_dir, 1996).select("o_orderstatus")
     return a.exceptAll(b)
+
+
+_UNION_BY_NAME_ORACLE = """
+SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(NULL AS VARCHAR) AS source
+FROM documents WHERE doc_id % 2 = 0
+UNION ALL
+SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars, source
+FROM documents WHERE doc_id % 2 = 1
+"""
+
+
+@register("set_union_by_name", oracle=_UNION_BY_NAME_ORACLE, category="F")
+def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-EVOLVING UNION — unionByName(allowMissingColumns=True),
+    the DataFrame-API sibling of the mergeSchema read
+    (src_parquet_merge_schema): two frames whose column sets differ
+    (and whose shared columns sit in DIFFERENT positions) combine BY
+    NAME with NULL fill for each side's missing columns. This is the
+    union a pipeline actually needs when combining data generations —
+    positional UNION would silently misalign columns or refuse; the
+    oracle spells out the same alignment with explicit NULL casts.
+
+    Scale: unions are plan-level concatenation — no shuffle, no
+    materialization; each branch keeps its own scan pruning."""
+    docs = table(spark, sf_dir, "documents")
+    old_gen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", F.col("n_chars").cast("bigint").alias("n_chars")
+    )
+    new_gen = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "source", "doc_id", "lang"  # different column set AND order
+    )
+    return old_gen.unionByName(new_gen, allowMissingColumns=True)

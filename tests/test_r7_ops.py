@@ -483,3 +483,13 @@ def test_xml_missing_element_is_null(spark):
             assert r["container"] is None
         else:
             assert r["container"]
+
+
+def test_union_by_name_null_fills_each_sides_missing_columns(spark):
+    rows = ALL["set_union_by_name"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["doc_id"] % 2 == 0:
+            assert r["source"] is None and r["n_chars"] is not None
+        else:
+            assert r["n_chars"] is None and r["source"] is not None
