@@ -34,6 +34,18 @@ PICKS = [
     ("llm_substring_dedup",
      "substring-span dedup: positions collapsed map-side before the "
      "span-total shuffle; totals join back hash-keyed"),
+    ("join_bucketed_colocated",
+     "co-located bucketed join (r7): SortMergeJoin with ZERO Exchange "
+     "under it — both sides read pre-bucketed layout; the only shuffle "
+     "in the plan is the final 5-row priority aggregate"),
+    ("ts_interpolate",
+     "linear interpolation (r7): both neighbor passes are RUNNING "
+     "window frames (forward = DESC-ordered running), no UNBOUNDED "
+     "FOLLOWING frame anywhere — that frame is O(rows^2)/partition"),
+    ("llm_token_budget",
+     "global prefix sum (r7): range exchange reused by both branches, "
+     "per-partition running sums partitioned by pid — no single-task "
+     "global window"),
 ]
 
 DETAIL_KEYS = ("PushedFilters", "PartitionFilters", "ReadSchema",
