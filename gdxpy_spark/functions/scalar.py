@@ -718,3 +718,39 @@ def fn_xml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.getField("brand").alias("brand"),
         v.getField("container").alias("container"),
     )
+
+
+@register(
+    "fn_hash_digests",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS md5_hex,
+       sha256(text) AS sha256_hex,
+       substr(sha256(text), 1, 16) AS shard_key
+FROM documents
+""",
+    category="G",
+)
+def fn_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRYPTOGRAPHIC DIGESTS — the content-addressing surface every
+    dedup/caching/provenance layer keys on: md5 and sha-256 of the
+    document bytes, plus the truncated-digest shard key (the first 64
+    bits of sha-256 — how content-addressed stores bucket blobs).
+    These are STANDARD algorithms, so unlike engine-native hashes
+    (xxhash64, DuckDB's hash()) the hex strings are identical across
+    every engine and language — which is exactly why pipelines use
+    them at trust boundaries, and why this op is hash-oracle-checkable
+    while llm_simhash/minhash are weak by contract.
+
+    Scale: JVM intrinsics (commons-codec under the hood), scan-fused,
+    no shuffle; sha-256 over text costs ~1 GB/s/core — at 100 TB you
+    budget for it, which is why exact-dedup keys on ONE digest and
+    derives everything else (shard, bucket) by truncation rather than
+    hashing twice with different algorithms."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2("text", 256).alias("sha256_hex"),
+        F.substring(F.sha2("text", 256), 1, 16).alias("shard_key"),
+    )

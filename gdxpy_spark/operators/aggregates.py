@@ -435,3 +435,35 @@ def agg_mode_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("n").alias("mode_count"),
     )
+
+
+_BOOL_ORACLE = """
+SELECT event_type,
+       bool_and(value > 0) AS all_positive,
+       bool_or(value > 90) AS any_spike,
+       CAST(COUNT(*) FILTER (WHERE value > 90) AS BIGINT) AS n_spikes,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("agg_bool_logic", oracle=_BOOL_ORACLE, category="D")
+def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOLEAN aggregates — the data-quality assertion surface:
+    bool_and (does EVERY row satisfy the invariant) and bool_or (did
+    ANY row trip the alert), plus the filtered count both engines
+    express as COUNT FILTER / count_if. This is how pipeline contracts
+    are checked distributed-first: one partial-aggregable pass emits
+    per-group verdicts instead of shipping rows to a validator.
+
+    Scale: AND/OR are trivially mergeable partial aggregates (a
+    map-side false short-circuits bool_and for its partition), so the
+    shuffle carries one boolean per group per partition."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 90).alias("any_spike"),
+        F.count_if(F.col("value") > 90).cast("bigint").alias("n_spikes"),
+        F.count("*").cast("bigint").alias("n"),
+    )

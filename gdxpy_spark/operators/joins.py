@@ -531,3 +531,44 @@ def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "segment",
         )
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice, t.rk
+FROM {cust} c,
+LATERAL (SELECT o_orderkey, o_totalprice,
+                ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                  AS rk
+         FROM {ord} o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@register(
+    "join_lateral_topn",
+    oracle=_LATERAL_SQL.format(cust="customer", ord="orders"),
+    category="C",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — "for each customer, their top-2
+    orders by price": the subquery in FROM references the outer row
+    (SQL:1999 LATERAL; Spark ≥3.2 supports it natively). The IDENTICAL
+    SQL text runs on both engines — this query is deliberately
+    expressed through spark.sql() rather than the DataFrame API to
+    exercise the engine's SQL-surface parity, the thing a user
+    migrating SQL workloads cares about.
+
+    Scale: Catalyst DECORRELATES the lateral — the executed plan is a
+    window-rank over orders partitioned by custkey joined back to
+    customer, not a per-customer re-execution of the subquery (the
+    naive nested-loop reading of LATERAL would be a 100 TB
+    catastrophe). Decorrelation is the whole point of declaring this
+    in SQL and letting the optimizer pick the join form; the rank
+    tiebreak (price DESC, orderkey) makes the top-2 deterministic so
+    the hash oracle holds."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("gdxps_lat_cust")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("gdxps_lat_ord")
+    return spark.sql(
+        _LATERAL_SQL.format(cust="gdxps_lat_cust", ord="gdxps_lat_ord")
+    )

@@ -117,7 +117,8 @@ _ARTIFACT_PRIORITY = [
     "llm_winnowing", "agg_histogram",
     "fn_variant_json", "join_scd2_asof", "agg_mode_tiebreak",
     "mm_audio_window", "src_csv_malformed", "fn_xml_extract",
-    "set_union_by_name",
+    "set_union_by_name", "fn_hash_digests", "agg_bool_logic",
+    "join_lateral_topn",
     # r6 window follows (already recorded r06; keeps the window full):
     "fn_string_basic", "fn_string_regex", "fn_date_parts", "fn_date_arith",
     "fn_timestamp_unix", "fn_math", "fn_conditional", "fn_cast",

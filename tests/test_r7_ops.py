@@ -493,3 +493,42 @@ def test_union_by_name_null_fills_each_sides_missing_columns(spark):
             assert r["source"] is None and r["n_chars"] is not None
         else:
             assert r["n_chars"] is None and r["source"] is not None
+
+
+def test_hash_digests_match_python_hashlib(spark):
+    import hashlib
+
+    from gdxpy_spark.tables import table
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_DIR, "documents").limit(20).collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in ALL["fn_hash_digests"].fn(spark, SF_DIR).collect()
+        if r["doc_id"] in texts
+    }
+    for doc_id, text in texts.items():
+        b = text.encode("utf-8")
+        assert got[doc_id]["md5_hex"] == hashlib.md5(b).hexdigest()
+        sha = hashlib.sha256(b).hexdigest()
+        assert got[doc_id]["sha256_hex"] == sha
+        assert got[doc_id]["shard_key"] == sha[:16]
+
+
+def test_lateral_topn_is_decorrelated_to_window(spark):
+    # Catalyst must decorrelate the LATERAL into a window/join plan —
+    # a per-outer-row re-execution would show as a nested loop over
+    # the subquery; the executed plan instead contains a Window rank
+    plan = formatted_plan(ALL["join_lateral_topn"].fn(spark, SF_DIR))
+    assert "Window" in plan
+    out = ALL["join_lateral_topn"].fn(spark, SF_DIR).collect()
+    per_cust: dict[int, list] = {}
+    for r in out:
+        per_cust.setdefault(r["c_custkey"], []).append(r)
+    assert all(len(v) <= 2 for v in per_cust.values())
+    for v in per_cust.values():
+        v.sort(key=lambda r: r["rk"])
+        prices = [r["o_totalprice"] for r in v]
+        assert prices == sorted(prices, reverse=True)
