@@ -467,3 +467,48 @@ def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("value") > 90).cast("bigint").alias("n_spikes"),
         F.count("*").cast("bigint").alias("n"),
     )
+
+
+_WAVG_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS w,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x
+  FROM lineitem)
+SELECT l_returnflag,
+       CAST(SUM(w * x) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) / 100.0
+         AS wavg_discount_pct,
+       CAST(SUM(w) AS BIGINT) AS total_weight_cents
+FROM s GROUP BY l_returnflag
+"""
+
+
+@register("agg_weighted_avg", oracle=_WAVG_ORACLE, category="D")
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED MEAN — revenue-weighted average discount per return
+    flag: the aggregate behind every per-group weighted KPI (price
+    indices, exposure-weighted risk, token-weighted loss). Exactness
+    discipline: both factors are scaled to integers (price cents ×
+    discount hundredths), so Σwx and Σw are EXACT BIGINTs on both
+    engines — a double Σ(w·x) accumulates in partition order and could
+    never hash-match — and the quotient is two IEEE divisions in a
+    fixed shape. (Magnitude check: w·x ≤ 1.1e7·10 per row, Σ over 6e5
+    rows ≈ 7e13 ≪ 2^63; at petabyte row counts this moves to
+    DECIMAL(38) sums, same plan.)
+
+    Scale: one partial-aggregable hash agg — Σwx and Σw combine
+    map-side; the shuffle carries two longs per group per partition."""
+    li = table(spark, sf_dir, "lineitem")
+    s = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("w"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("x"),
+    )
+    return s.groupBy("l_returnflag").agg(
+        (
+            F.sum(F.col("w") * F.col("x")).cast("double")
+            / F.sum("w").cast("double")
+            / 100.0
+        ).alias("wavg_discount_pct"),
+        F.sum("w").cast("bigint").alias("total_weight_cents"),
+    )

@@ -572,3 +572,51 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _LATERAL_SQL.format(cust="gdxps_lat_cust", ord="gdxps_lat_ord")
     )
+
+
+_NULLSAFE_ORACLE = """
+WITH k AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang_key
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang_key
+FROM k a JOIN k b
+  ON a.lang_key IS NOT DISTINCT FROM b.lang_key
+ AND a.doc_id < b.doc_id
+"""
+
+
+@register("join_null_safe", oracle=_NULLSAFE_ORACLE, category="C")
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM): plain
+    equi-join predicates drop NULL keys silently — two rows whose key
+    is unknown never match — while the null-safe form treats NULL as a
+    joinable value (NULL <=> NULL is TRUE). That distinction decides
+    whether un-keyed records pair up in reconciliation/dedup joins,
+    and getting it wrong is invisible in row counts until audited;
+    the fixture NULLs every 5th key so the NULL-bucket pairs are a
+    required part of the hash-checked result.
+
+    Scale: Spark plans <=> as a HASH join (null-safe equality is still
+    an equi key — NULL hashes to a regular bucket), NOT a nested loop;
+    the caveat at 100 TB is that the NULL bucket is a guaranteed hot
+    key (every unknown row lands on one reducer) — the production
+    pattern filters or salts the NULL class first, which is exactly
+    why surfacing it as an explicit operator matters."""
+    d = table(spark, sf_dir, "documents")
+    k = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None))
+        .otherwise(F.col("lang"))
+        .alias("lang_key"),
+    )
+    a, b = k.alias("a"), k.alias("b")
+    return a.join(
+        b,
+        F.col("a.lang_key").eqNullSafe(F.col("b.lang_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.lang_key").alias("lang_key"),
+    )

@@ -532,3 +532,35 @@ def test_lateral_topn_is_decorrelated_to_window(spark):
         v.sort(key=lambda r: r["rk"])
         prices = [r["o_totalprice"] for r in v]
         assert prices == sorted(prices, reverse=True)
+
+
+def test_null_safe_join_pairs_null_keys(spark):
+    rows = ALL["join_null_safe"].fn(spark, SF_DIR).collect()
+    null_pairs = [r for r in rows if r["lang_key"] is None]
+    assert null_pairs, "NULL-bucket pairs are required by the semantic"
+    for r in null_pairs:
+        assert r["doc_a"] % 5 == 0 and r["doc_b"] % 5 == 0
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_weighted_avg_matches_python_recompute(spark):
+    from gdxpy_spark.tables import table
+
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    ).collect()
+    sums: dict[str, list] = {}
+    for r in li:
+        w = round(r["l_extendedprice"] * 100)
+        x = round(r["l_discount"] * 100)
+        s = sums.setdefault(r["l_returnflag"], [0, 0])
+        s[0] += w * x
+        s[1] += w
+    got = {
+        r["l_returnflag"]: (r["wavg_discount_pct"], r["total_weight_cents"])
+        for r in ALL["agg_weighted_avg"].fn(spark, SF_DIR).collect()
+    }
+    for flag, (wx, w) in sums.items():
+        assert got[flag][1] == w
+        assert abs(got[flag][0] - wx / w / 100.0) < 1e-12
