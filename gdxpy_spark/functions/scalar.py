@@ -754,3 +754,60 @@ def fn_hash_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("sha256_hex"),
         F.substring(F.sha2("text", 256), 1, 16).alias("shard_key"),
     )
+
+
+# Synthetic coordinates shared VERBATIM between both engines: customers
+# placed on a deterministic lat/lon grid from their key; nation 0's
+# "hub" is the fixed reference point.
+_GEO_LAT = "(CAST(c_custkey % 180 AS DOUBLE) - 89.5)"
+_GEO_LON = "(CAST((c_custkey * 7) % 360 AS DOUBLE) - 179.5)"
+
+
+@register(
+    "fn_geo_haversine",
+    oracle=f"""
+SELECT c_custkey,
+       ROUND({_GEO_LAT}, 4) AS lat,
+       ROUND({_GEO_LON}, 4) AS lon,
+       ROUND(2 * 6371.0 * asin(sqrt(
+         pow(sin(radians(({_GEO_LAT}) - 40.0) / 2), 2)
+         + cos(radians({_GEO_LAT})) * cos(radians(40.0))
+           * pow(sin(radians(({_GEO_LON}) - (-74.0)) / 2), 2)
+       )), 2) + 0.0 AS km_to_hub
+FROM customer
+""",
+    category="G",
+)
+def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GEO DISTANCE — great-circle (haversine) kilometers from each
+    customer's synthetic coordinates to a fixed hub (40°N 74°W): the
+    scalar behind geo-fencing, nearest-warehouse routing, and
+    location-based dedup radii. The formula is spelled out in
+    sin/cos/asin primitives in the IDENTICAL shape on both engines;
+    transcendentals are not IEEE-correctly-rounded across libm
+    implementations, so the result is rounded to 2 decimals (≈10 m) —
+    far coarser than any last-ulp divergence, the same discipline
+    fn_math applies to ln/exp. (+0.0 normalizes the zero-sign corner.)
+
+    Scale: map-only codegen'd math, scan-fused, no shuffle; at 100 TB
+    a geo join would bucket by geohash/S2 cell first and use this as
+    the in-bucket verify — the distance kernel is this expression
+    either way."""
+    c = table(spark, sf_dir, "customer")
+    lat = F.expr(_GEO_LAT)
+    lon = F.expr(_GEO_LON)
+    dlat = F.radians(lat - 40.0) / 2
+    dlon = F.radians(lon - F.lit(-74.0)) / 2
+    h = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians(lat)) * F.cos(F.radians(F.lit(40.0)))
+        * F.pow(F.sin(dlon), 2)
+    )
+    return c.select(
+        "c_custkey",
+        F.round(lat, 4).alias("lat"),
+        F.round(lon, 4).alias("lon"),
+        (F.round(2 * 6371.0 * F.asin(F.sqrt(h)), 2) + 0.0).alias(
+            "km_to_hub"
+        ),
+    )

@@ -512,3 +512,78 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wavg_discount_pct"),
         F.sum("w").cast("bigint").alias("total_weight_cents"),
     )
+
+
+_MOMENTS_ORACLE = """
+WITH s AS (
+  SELECT event_type, CAST(ROUND(value * 10) AS BIGINT) AS x
+  FROM events),
+m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS s1,
+         CAST(SUM(x * x) AS DOUBLE) AS s2,
+         CAST(SUM(x * x * x) AS DOUBLE) AS s3,
+         CAST(SUM(x * x * x * x) AS DOUBLE) AS s4
+  FROM s GROUP BY event_type)
+SELECT event_type,
+       ROUND((n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1)
+             / (n * n * n)
+             / pow((n * s2 - s1 * s1) / (n * n), 1.5), 4) + 0.0
+         AS skewness,
+       ROUND((n * n * n * s4 - 4 * n * n * s1 * s3
+              + 6 * n * s1 * s1 * s2 - 3 * s1 * s1 * s1 * s1)
+             / (n * n * n * n)
+             / pow((n * s2 - s1 * s1) / (n * n), 2) - 3, 4) + 0.0
+         AS kurtosis_excess
+FROM m
+"""
+
+
+@register("agg_skew_kurtosis", oracle=_MOMENTS_ORACLE, category="D")
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGHER MOMENTS — population skewness (g₁) and excess kurtosis
+    (g₂) of the 0.1-quantized value per event_type: the distribution-
+    shape signals behind drift detection and outlier-regime alarms.
+    Spark HAS skewness()/kurtosis() built-ins, but they accumulate
+    DOUBLES in partition order — two engines (or two partitionings of
+    the same engine) produce last-ulp-different answers, so the
+    built-ins can never be hash-verified. Here the four raw moments
+    Σx..Σx⁴ are EXACT BIGINTs of the decimal-scaled value (x ≤ 10³ ⇒
+    Σx⁴ ≤ ~10¹⁷ at sf1-scale groups, inside int64), and the classic
+    central-moment identities assemble g₁/g₂ in one fixed double
+    expression — same integers in, same IEEE ops, identical bits out
+    (quantization is part of the declared contract, as in
+    ts_zscore_anomaly). A pytest cross-checks the built-ins agree with
+    these within float tolerance.
+
+    Scale: one partial-aggregable hash agg; four longs + a count per
+    group per partition cross the shuffle."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type", F.round(F.col("value") * 10).cast("bigint").alias("x")
+    )
+    x = F.col("x")
+    m = s.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("s1"),
+        F.sum(x * x).cast("double").alias("s2"),
+        F.sum(x * x * x).cast("double").alias("s3"),
+        F.sum(x * x * x * x).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    var = (n * s2 - s1 * s1) / (n * n)
+    skew = (n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1) / (
+        n * n * n
+    ) / F.pow(var, 1.5)
+    kurt = (
+        n * n * n * s4
+        - 4 * n * n * s1 * s3
+        + 6 * n * s1 * s1 * s2
+        - 3 * s1 * s1 * s1 * s1
+    ) / (n * n * n * n) / F.pow(var, 2) - 3
+    return m.select(
+        "event_type",
+        (F.round(skew, 4) + 0.0).alias("skewness"),
+        (F.round(kurt, 4) + 0.0).alias("kurtosis_excess"),
+    )

@@ -119,6 +119,7 @@ _ARTIFACT_PRIORITY = [
     "mm_audio_window", "src_csv_malformed", "fn_xml_extract",
     "set_union_by_name", "fn_hash_digests", "agg_bool_logic",
     "join_lateral_topn", "agg_weighted_avg", "join_null_safe",
+    "agg_skew_kurtosis", "fn_geo_haversine",
     # r6 window follows (already recorded r06; keeps the window full):
     "fn_string_basic", "fn_string_regex", "fn_date_parts", "fn_date_arith",
     "fn_timestamp_unix", "fn_math", "fn_conditional", "fn_cast",

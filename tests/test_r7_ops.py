@@ -564,3 +564,49 @@ def test_weighted_avg_matches_python_recompute(spark):
     for flag, (wx, w) in sums.items():
         assert got[flag][1] == w
         assert abs(got[flag][0] - wx / w / 100.0) < 1e-12
+
+
+def test_moments_agree_with_builtin_skewness_kurtosis(spark):
+    from gdxpy_spark.tables import table
+
+    # the exact-moment assembly must agree with Spark's float
+    # accumulating built-ins within tolerance (on the same quantized x)
+    ev = table(spark, SF_DIR, "events").select(
+        "event_type",
+        F.round(F.col("value") * 10).cast("bigint").alias("x"),
+    )
+    ref = {
+        r["event_type"]: (r["sk"], r["ku"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.skewness(F.col("x").cast("double")).alias("sk"),
+            F.kurtosis(F.col("x").cast("double")).alias("ku"),
+        )
+        .collect()
+    }
+    got = {
+        r["event_type"]: (r["skewness"], r["kurtosis_excess"])
+        for r in ALL["agg_skew_kurtosis"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(ref)
+    for et in got:
+        assert abs(got[et][0] - ref[et][0]) < 1e-3, et
+        assert abs(got[et][1] - ref[et][1]) < 1e-3, et
+
+
+def test_haversine_known_points(spark):
+    rows = {r["c_custkey"]: r for r in
+            ALL["fn_geo_haversine"].fn(spark, SF_DIR).collect()}
+    import math
+
+    for key, r in list(rows.items())[:25]:
+        lat = (key % 180) - 89.5
+        lon = ((key * 7) % 360) - 179.5
+        dlat = math.radians(lat - 40.0) / 2
+        dlon = math.radians(lon + 74.0) / 2
+        h = math.sin(dlat) ** 2 + math.cos(math.radians(lat)) * math.cos(
+            math.radians(40.0)
+        ) * math.sin(dlon) ** 2
+        km = 2 * 6371.0 * math.asin(math.sqrt(h))
+        assert abs(r["km_to_hub"] - round(km, 2)) < 0.02, key
+        assert 0 <= r["km_to_hub"] <= 20015.09  # half circumference
