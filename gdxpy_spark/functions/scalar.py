@@ -811,3 +811,51 @@ def fn_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "km_to_hub"
         ),
     )
+
+
+@register(
+    "fn_format_strings",
+    oracle="""
+SELECT s_suppkey,
+       printf('%08d', s_suppkey) AS id_pad,
+       printf('%x', s_suppkey * 2654435761) AS id_hex,
+       lpad(CAST(s_suppkey AS VARCHAR), 6, '0') || '-'
+         || rpad(s_nationkey::VARCHAR, 3, '_') AS composite_key,
+       translate(s_name, '#e', '.3') AS name_leet,
+       reverse(CAST(s_suppkey AS VARCHAR)) AS rev_key,
+       repeat('*', CAST(s_suppkey % 5 AS INTEGER)) || s_name AS starred
+FROM supplier
+""",
+    category="G",
+)
+def fn_format_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING FORMATTING — the printf/pad/translate surface behind
+    shard-key minting, fixed-width export records, and log rendering:
+    zero-padded decimal (%08d), lowercase hex of a Knuth-hashed key
+    (%x — the bucket-dir naming idiom), lpad/rpad composite keys,
+    translate for separator normalization, reverse for hot-prefix key
+    scattering (the classic HBase/Bigtable trick: sequential ids
+    reversed so writes spread across ranges). Spark's format_string is
+    java.util.Formatter, DuckDB's printf is C fmt — %d/%x/%s agree
+    exactly; FLOAT formats (%.2f) do NOT (HALF_UP vs round-half-even)
+    and are deliberately excluded — floats format through
+    round()+cast, never printf.
+
+    Scale: map-only codegen'd string ops, scan-fused, no shuffle."""
+    s = table(spark, sf_dir, "supplier")
+    key = F.col("s_suppkey")
+    return s.select(
+        "s_suppkey",
+        F.format_string("%08d", key).alias("id_pad"),
+        F.format_string("%x", key * F.lit(2654435761)).alias("id_hex"),
+        F.concat(
+            F.lpad(key.cast("string"), 6, "0"),
+            F.lit("-"),
+            F.rpad(F.col("s_nationkey").cast("string"), 3, "_"),
+        ).alias("composite_key"),
+        F.translate("s_name", "#e", ".3").alias("name_leet"),
+        F.reverse(key.cast("string")).alias("rev_key"),
+        F.concat(
+            F.repeat(F.lit("*"), (key % 5).cast("int")), F.col("s_name")
+        ).alias("starred"),
+    )

@@ -735,3 +735,88 @@ def llm_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": out_doc, "fp": out_fp})
 
     return docs.mapInPandas(winnow, schema="doc_id BIGINT, fp BIGINT").distinct()
+
+
+_ZIPF_ORACLE = """
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+freq AS (
+  SELECT tok, COUNT(*) AS freq FROM tok
+  WHERE length(tok) > 0 GROUP BY tok),
+pts AS (
+  SELECT CAST(ROUND(ln(ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC))
+              * 10000) AS BIGINT) AS x,
+         CAST(ROUND(ln(freq) * 10000) AS BIGINT) AS y,
+         freq
+  FROM freq),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+         SUM(freq) AS n_tokens
+  FROM pts)
+SELECT n AS n_types, n_tokens,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS zipf_slope
+FROM m
+"""
+
+
+@register("llm_zipf_slope", oracle=_ZIPF_ORACLE, category="K")
+def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF FIT — the log-log OLS slope of the corpus token
+    rank-frequency curve (natural text sits near −1; synthetic, boiler-
+    plate-heavy, or deduplicated-to-death corpora drift off it — a
+    one-number corpus-health gauge next to llm_doc_quality's per-doc
+    scores). Frequencies come from one token groupBy; ranks from the
+    two-pass global_row_number (NO single-partition window over the
+    vocabulary); then both coordinates are QUANTIZED — round(ln·10⁴) —
+    into exact BIGINTs so Σx, Σy, Σxy, Σx² are partial-aggregable
+    integer sums and the final slope is ONE fixed double expression:
+    identical bits on both engines (ln's last-ulp libm divergence is
+    ~10⁻¹¹ of the 10⁻⁴ quantization step — it cannot flip a rounding).
+
+    Scale: the corpus-sized work is the token count (map-side partial
+    agg on the shingle-free split); everything after is vocabulary-
+    sized. The bigint moment combine n·Σxy holds to ~10⁶ types at this
+    quantization; past that, promote the combine to decimal(38,0) on
+    both engines — same shape, wider lanes."""
+    from gdxpy_spark.operators._util import global_row_number
+
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = global_row_number(
+        freq, [F.col("freq").desc(), F.col("tok").asc()], out_col="rank"
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rank")) * 10000).cast("bigint").alias("x"),
+        F.round(F.log(F.col("freq")) * 10000).cast("bigint").alias("y"),
+        "freq",
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    return (
+        pts.agg(
+            F.count("*").alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum("freq").alias("n_tokens"),
+        )
+        .select(
+            F.col("n").alias("n_types"),
+            "n_tokens",
+            (
+                F.round(
+                    (n * sxy - sx * sy).cast("double")
+                    / (n * sxx - sx * sx).cast("double"),
+                    6,
+                )
+                + 0.0
+            ).alias("zipf_slope"),
+        )
+    )

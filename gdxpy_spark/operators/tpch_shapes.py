@@ -150,3 +150,64 @@ def tpch_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+SELECT c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+@register("tpch_q18_shape", oracle=_Q18_ORACLE, category="Q")
+def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 (large-volume customers): orders whose total quantity exceeds
+    300, with their customer — the canonical HAVING-driven semi-join.
+    Plan shape: lineitem aggregates ONCE by orderkey (partial agg
+    map-side, quantities as exact decimals), the handful of surviving
+    big-order keys joins back to orders — AQE sees the post-HAVING side
+    is tiny and broadcasts it, so the fact table never re-shuffles for
+    the filter — then customer joins on custkey and the final top-100
+    rides TakeOrderedAndProject (price desc, orderkey tiebreak). At
+    100 TB the only wide shuffles are the two orderkey-keyed ones, and
+    they share a key with the lineitem layout's bucketing."""
+    cust = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "_bk"),
+                F.col("l_orderkey") == F.col("_bk"))
+        .join(od, F.col("l_orderkey") == od.o_orderkey)
+        .join(cust, od.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )

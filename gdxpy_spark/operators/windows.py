@@ -352,3 +352,47 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak").cast("bigint").alias("longest_streak"),
         F.sum("streak").cast("bigint").alias("n_active_days"),
     )
+
+
+@register(
+    "win_distinct_rolling",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       COUNT(DISTINCT o_orderpriority) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS distinct_prios
+FROM orders
+""",
+    category="E",
+)
+def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT-over-window — how many distinct order priorities each
+    customer used across their last 4 orders (rolling behavioral
+    cardinality: device churn, plan switching, fraud-pattern width).
+    Spark has NO count(DISTINCT) window aggregate (DuckDB does — the
+    oracle uses it natively); the engine expresses the identical
+    semantic as size(array_distinct(collect_list(x) OVER frame)) —
+    order-insensitive, so the frame's internal order doesn't matter,
+    only its membership, which the total (date, orderkey) order pins.
+
+    Scale: one shuffle on custkey, sort within partition; the collected
+    array is bounded by the FRAME (4 rows), not the partition, so state
+    per row is O(frame) — this is the pattern for any rolling distinct
+    at 100 TB (for wide frames it degrades gracefully to a sketch:
+    swap array_distinct for an HLL merge)."""
+    od = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-3, 0)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.size(
+            F.array_distinct(F.collect_list("o_orderpriority").over(w))
+        ).cast("bigint").alias("distinct_prios"),
+    )

@@ -119,7 +119,8 @@ _ARTIFACT_PRIORITY = [
     "mm_audio_window", "src_csv_malformed", "fn_xml_extract",
     "set_union_by_name", "fn_hash_digests", "agg_bool_logic",
     "join_lateral_topn", "agg_weighted_avg", "join_null_safe",
-    "agg_skew_kurtosis", "fn_geo_haversine",
+    "agg_skew_kurtosis", "fn_geo_haversine", "tpch_q18_shape",
+    "win_distinct_rolling", "llm_zipf_slope", "fn_format_strings",
     # r6 window follows (already recorded r06; keeps the window full):
     "fn_string_basic", "fn_string_regex", "fn_date_parts", "fn_date_arith",
     "fn_timestamp_unix", "fn_math", "fn_conditional", "fn_cast",

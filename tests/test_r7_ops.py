@@ -610,3 +610,56 @@ def test_haversine_known_points(spark):
         km = 2 * 6371.0 * math.asin(math.sqrt(h))
         assert abs(r["km_to_hub"] - round(km, 2)) < 0.02, key
         assert 0 <= r["km_to_hub"] <= 20015.09  # half circumference
+
+
+def test_q18_every_row_exceeds_threshold_and_is_price_sorted(spark):
+    rows = ALL["tpch_q18_shape"].fn(spark, SF_DIR).collect()
+    assert rows
+    prices = [r["o_totalprice"] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+    for r in rows:
+        assert r["total_qty"] > 300, r["o_orderkey"]
+
+
+def test_distinct_rolling_bounds_and_first_row_is_one(spark):
+    rows = ALL["win_distinct_rolling"].fn(spark, SF_DIR).collect()
+    assert rows
+    firsts = {}
+    for r in sorted(rows, key=lambda r: (r["o_custkey"], r["orderdate"],
+                                         r["o_orderkey"])):
+        assert 1 <= r["distinct_prios"] <= 4, r["o_orderkey"]
+        firsts.setdefault(r["o_custkey"], r["distinct_prios"])
+    # a customer's FIRST order has a 1-row frame -> exactly 1 distinct
+    assert all(v == 1 for v in firsts.values())
+
+
+def test_zipf_slope_negative_and_counts_match(spark):
+    from gdxpy_spark.tables import table
+
+    row = ALL["llm_zipf_slope"].fn(spark, SF_DIR).collect()[0]
+    assert row["zipf_slope"] < 0  # frequency falls with rank, always
+    tok = (
+        table(spark, SF_DIR, "documents")
+        .select(F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.length("t") > 0)
+    )
+    assert row["n_tokens"] == tok.count()
+    assert row["n_types"] == tok.distinct().count()
+
+
+def test_zipf_plan_has_no_single_partition_window(spark):
+    # the vocabulary rank must come from the two-pass global_row_number,
+    # never a WindowExec over one unpartitioned exchange
+    plan = formatted_plan(ALL["llm_zipf_slope"].fn(spark, SF_DIR))
+    assert "Window" not in plan, plan
+
+
+def test_format_strings_contracts(spark):
+    rows = ALL["fn_format_strings"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert len(r["id_pad"]) == 8 and r["id_pad"].endswith(str(r["s_suppkey"]))
+        assert int(r["id_hex"], 16) == r["s_suppkey"] * 2654435761
+        assert r["rev_key"] == str(r["s_suppkey"])[::-1]
+        assert r["starred"].count("*") >= r["s_suppkey"] % 5
+        assert "#" not in r["name_leet"] and "e" not in r["name_leet"]
