@@ -587,3 +587,133 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(skew, 4) + 0.0).alias("skewness"),
         (F.round(kurt, 4) + 0.0).alias("kurtosis_excess"),
     )
+
+
+_OLS_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_quantity) AS BIGINT) AS x,
+         CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+  FROM lineitem),
+m AS (
+  SELECT flag, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM s GROUP BY flag),
+h AS (
+  SELECT flag, n, sx, sy,
+         CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cov_n,
+         CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS varx_n,
+         CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vary_n
+  FROM m)
+SELECT flag, n,
+       ROUND(CAST(cov_n AS DOUBLE) / CAST(varx_n AS DOUBLE), 6) + 0.0
+         AS slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - CAST(cov_n AS DOUBLE) / CAST(varx_n AS DOUBLE)
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) + 0.0
+         AS intercept,
+       ROUND(CAST(cov_n AS DOUBLE) * CAST(cov_n AS DOUBLE)
+             / (CAST(varx_n AS DOUBLE) * CAST(vary_n AS DOUBLE)), 6) + 0.0
+         AS r2
+FROM h
+"""
+
+
+@register("agg_regression_ols", oracle=_OLS_ORACLE, category="D")
+def agg_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP OLS — slope/intercept/R² of price-on-quantity per
+    return flag: the distributed linear-fit kernel under trend alarms,
+    per-segment elasticity, and calibration monitors. Spark HAS
+    regr_slope/regr_intercept/regr_r2, but like skewness() they fold
+    doubles in partition order — unverifiable across engines (a pytest
+    pins agreement within float tolerance). Here the five raw moments
+    Σx, Σy, Σxy, Σx², Σy² are EXACT BIGINT partial sums (x = rounded
+    quantity ≤ ~10², y = rounded dollars ≤ ~10⁵); the n-scaled central
+    combinations n·Σyy − (Σy)² overflow int64 at sf0.1-group sizes, so
+    the COMBINE step — and only it — runs in 128-bit lanes
+    (decimal(38,0) here, HUGEINT in the oracle: both exact integers),
+    then slope/intercept/R² are fixed double expressions in identical
+    association order on both engines.
+
+    Scale: one partial-aggregable hash agg; five longs + a count per
+    group per partition cross the shuffle — the same wire profile as
+    agg_skew_kurtosis, applied bivariate."""
+    li = table(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round("l_extendedprice").cast("bigint").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = s.groupBy("flag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    d38 = "decimal(38,0)"
+    covn = (F.col("n").cast(d38) * F.col("sxy")
+            - F.col("sx").cast(d38) * F.col("sy"))
+    varxn = (F.col("n").cast(d38) * F.col("sxx")
+             - F.col("sx").cast(d38) * F.col("sx"))
+    varyn = (F.col("n").cast(d38) * F.col("syy")
+             - F.col("sy").cast(d38) * F.col("sy"))
+    h = m.select(
+        "flag", "n", "sx", "sy",
+        covn.alias("cov_n"), varxn.alias("varx_n"), varyn.alias("vary_n"),
+    )
+    cov_d = F.col("cov_n").cast("double")
+    varx_d = F.col("varx_n").cast("double")
+    vary_d = F.col("vary_n").cast("double")
+    return h.select(
+        "flag",
+        "n",
+        (F.round(cov_d / varx_d, 6) + 0.0).alias("slope"),
+        (
+            F.round(
+                (
+                    F.col("sy").cast("double")
+                    - cov_d / varx_d * F.col("sx").cast("double")
+                )
+                / F.col("n").cast("double"),
+                6,
+            )
+            + 0.0
+        ).alias("intercept"),
+        (F.round(cov_d * cov_d / (varx_d * vary_d), 6) + 0.0).alias("r2"),
+    )
+
+
+@register("agg_approx_topk", oracle=None, category="D")
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKETCHED HEAVY HITTERS — approx_top_k (DataSketches frequent-
+    items) over event types and order priorities: the mergeable one-pass
+    sketch that replaces exact value-count rollups when the key space is
+    too wide to hold (URL hosts, user agents, token ids at 100 TB).
+    WEAK by contract — DuckDB has no twin sketch, and sketch internals
+    are engine-specific — but on these LOW-cardinality columns (≤5
+    distinct values, far under the 10⁴ sketch budget) the sketch is
+    provably EXACT, and pytest asserts the counts equal the exact
+    groupBy's. The struct array is exploded to flat (col, item, cnt,
+    rank) rows so the output schema is hash-stable.
+
+    Scale: sketches merge associatively — partial per partition, one
+    tiny merge at the end; nothing corpus-sized ever shuffles."""
+    ev = table(spark, sf_dir, "events")
+    od = table(spark, sf_dir, "orders")
+    parts = []
+    for src, col in ((ev, "event_type"), (od, "o_orderpriority")):
+        topk = src.select(
+            F.expr(f"approx_top_k({col}, 5)").alias("tk")
+        ).select(F.posexplode("tk").alias("pos", "s"))
+        parts.append(
+            topk.select(
+                F.lit(col).alias("source_col"),
+                F.col("s.item").alias("item"),
+                F.col("s.count").alias("cnt"),
+                (F.col("pos") + 1).alias("rank"),
+            )
+        )
+    return parts[0].unionByName(parts[1])

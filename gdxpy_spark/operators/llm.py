@@ -2534,3 +2534,113 @@ def llm_e2e_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cnt(d3, "decontaminated"))
         .unionByName(splits)
     )
+
+
+@register(
+    "llm_incremental_dedup",
+    oracle="""
+WITH ex AS (
+  SELECT DISTINCT sha256(text) AS h
+  FROM documents WHERE doc_id % 10 < 8),
+batch AS (
+  SELECT doc_id, sha256(text) AS h, n_chars
+  FROM documents WHERE doc_id % 10 >= 8)
+SELECT h AS text_hash,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_batch_copies,
+       MIN(n_chars) AS n_chars
+FROM batch
+WHERE h NOT IN (SELECT h FROM ex)
+GROUP BY h
+""",
+    category="K",
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL ingestion dedup — the production shape of
+    llm_exact_dedup: a NEW BATCH of documents (here: doc_id % 10 ≥ 8,
+    the daily crawl drop) deduped against the EXISTING corpus' hash
+    ledger (an anti-join on content hash) and then within itself
+    (first-occurrence groupBy). Only batch-sized state is ever built on
+    the new side; the corpus side contributes nothing but its 32-byte
+    hashes — at 100 TB the ledger is a fraction of corpus size, lives
+    as its own bucketed table keyed on the hash, and the anti-join
+    co-locates with zero fact shuffle. The text bodies of either side
+    never cross the wire.
+
+    Scale: anti-join + groupBy share the hash key, so AQE plans ONE
+    shuffle of the (small) batch against the bucketed ledger; partial
+    agg collapses within-batch duplicates map-side first."""
+    docs = table(spark, sf_dir, "documents")
+    h = F.sha2("text", 256)
+    existing = (
+        docs.filter(F.col("doc_id") % 10 < 8).select(h.alias("h")).distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 10 >= 8).select(
+        "doc_id", h.alias("h"), "n_chars"
+    )
+    return (
+        batch.join(existing, "h", "left_anti")
+        .groupBy(F.col("h").alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_batch_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "llm_embed_centroid",
+    oracle="""
+WITH ex AS (
+  SELECT label,
+         unnest(range(0, len(embedding))) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings)
+SELECT label, dim,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 1000000) AS BIGINT))
+                  AS DOUBLE)
+             / COUNT(*) / 1000000, 6) + 0.0 AS centroid
+FROM ex
+GROUP BY label, dim
+""",
+    category="K",
+)
+def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-CLASS EMBEDDING CENTROIDS — the mean vector of every label's
+    embeddings, the kernel under IVF coarse quantizers, k-NN class
+    prototypes, and embedding-drift monitors. Vectors explode to
+    (label, dim, component) rows — posexplode keeps the dimension index
+    so nothing depends on array order surviving a shuffle — and each
+    component is QUANTIZED (round(v·10⁶), exactly representable: a
+    float32 times 10⁶ can never land on a .5 tie) into bigint partial
+    sums; the mean is ONE double division at the end. Float32 inputs,
+    bit-identical centroids on both engines.
+
+    Scale: the explode is a 64× row fan-out but each row is 3 numbers —
+    the groupBy(label, dim) partial-aggregates map-side down to
+    |labels|·|dims| rows before the shuffle, so the wide exchange
+    carries centroids-in-progress, not the corpus. (The no-explode
+    alternative — per-partition vector folds via mapInPandas — trades
+    JVM codegen for Arrow hops; measured slower at this dim count.)"""
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("dim", "v"))
+    return (
+        ex.groupBy("label", "dim")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.round(F.col("v").cast("double") * 1000000).cast("bigint")
+            ).alias("s"),
+        )
+        .select(
+            "label",
+            "dim",
+            "n",
+            (
+                F.round(F.col("s").cast("double") / F.col("n") / 1000000, 6)
+                + 0.0
+            ).alias("centroid"),
+        )
+    )

@@ -396,3 +396,117 @@ def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.collect_list("o_orderpriority").over(w))
         ).cast("bigint").alias("distinct_prios"),
     )
+
+
+@register(
+    "win_pareto_concentration",
+    oracle="""
+WITH r AS (
+  SELECT o_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY o_custkey),
+c AS (
+  SELECT o_custkey, rev_cents,
+         SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(rev_cents) OVER () AS total
+  FROM r)
+SELECT (cum * 10 + total - 1) // total AS decile,
+       COUNT(*) AS n_customers,
+       SUM(rev_cents) AS decile_rev_cents
+FROM c
+GROUP BY decile
+""",
+    category="E",
+)
+def win_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REVENUE CONCENTRATION (Pareto/80-20 curve) — customers sorted by
+    lifetime revenue descending, bucketed by which tenth of TOTAL
+    revenue their cumulative sum completes: decile 1 holds the whales
+    that produce the first 10% of revenue, decile 10 the long tail.
+    The oracle is the classic unpartitioned running-sum window; the
+    engine refuses that (one WindowExec task at 100 TB) and uses the
+    two-pass distributed prefix sum (global_running_sum), with revenue
+    held in exact integer cents end-to-end: the cumulative sums, the
+    total, and the decile assignment ((cum·10 + total−1) div total —
+    integer ceil-division, no float division whose rounding could flip
+    a boundary row) are all bigint-exact, so both engines bucket every
+    customer identically.
+
+    Scale: one custkey agg (partial map-side), one range shuffle of the
+    customer-level rollup (numbers, not facts), metadata-sized offsets;
+    the grand total rides a broadcast-scalar cross join."""
+    od = table(spark, sf_dir, "orders")
+    from gdxpy_spark.operators._util import global_running_sum
+
+    r = od.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev_cents"
+        )
+    )
+    c = global_running_sum(
+        r,
+        [F.col("rev_cents").desc(), F.col("o_custkey").asc()],
+        "rev_cents",
+        out_col="cum",
+    )
+    tot = r.agg(F.sum("rev_cents").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr("(cum * 10 + total - 1) div total").alias("decile"),
+            "rev_cents",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("rev_cents").alias("decile_rev_cents"),
+        )
+    )
+
+
+@register(
+    "win_median_rolling",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       ROUND(median(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) + 0.0
+         AS median_price_5
+FROM orders
+""",
+    category="E",
+)
+def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING MEDIAN — the robust-baseline smoother (spike-resistant
+    trendlines, anomaly baselines) over each customer's last 5 orders.
+    Spark has NO median window function (DuckDB does — the oracle uses
+    it natively); the engine sorts the bounded frame explicitly:
+    array_sort(collect_list OVER frame), then the textbook lower/upper-
+    middle interpolation (element_at is 1-based; for odd frames both
+    middles coincide) — the same (a+b)/2 DuckDB computes. The output is
+    rounded to 4 decimals: the true median of 2-decimal prices has ≤3
+    decimals, so it sits ON the rounding grid and a last-ulp float
+    divergence between the two engines' interpolation cannot move the
+    rounded value.
+
+    Scale: O(frame log frame) per row on a 5-row frame — constant work;
+    state bounded by the frame, not the partition. Wide-frame medians
+    go to percentile_approx sketches instead (agg_approx_percentile is
+    that path's batch twin)."""
+    od = table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    arr = F.array_sort(F.collect_list("o_totalprice").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.round((lo + hi) / 2, 4) + 0.0).alias("median_price_5"),
+    )

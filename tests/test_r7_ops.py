@@ -663,3 +663,156 @@ def test_format_strings_contracts(spark):
         assert r["rev_key"] == str(r["s_suppkey"])[::-1]
         assert r["starred"].count("*") >= r["s_suppkey"] % 5
         assert "#" not in r["name_leet"] and "e" not in r["name_leet"]
+
+
+def test_pareto_deciles_partition_all_customers(spark):
+    from gdxpy_spark.tables import table
+
+    rows = {r["decile"]: r for r in
+            ALL["win_pareto_concentration"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == set(range(1, 11))
+    od = table(spark, SF_DIR, "orders")
+    n_cust = od.select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows.values()) == n_cust
+    total = sum(r["decile_rev_cents"] for r in rows.values())
+    # whales first: decile 1 completes 10% of revenue with the FEWEST
+    # customers, the tail decile with the most
+    assert rows[1]["n_customers"] < rows[10]["n_customers"]
+    # each decile's revenue is ~10% of total (boundary rows straddle)
+    for d, r in rows.items():
+        assert abs(r["decile_rev_cents"] - total / 10) < total * 0.02, d
+
+
+def test_incremental_dedup_drops_ledger_hits_at_sf01(spark):
+    # sf0.1 plants 3 batch docs whose text already exists in the corpus
+    # ledger and 8 duplicated hashes overall; sf0.01 has none, so the
+    # anti-join semantics are only observable here
+    from gdxpy_spark.tables import table
+
+    sf = "/root/testdata/sf0.1"
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    ex_hashes = {
+        r["h"] for r in docs.filter(F.col("doc_id") % 10 < 8).collect()
+    }
+    batch = docs.filter(F.col("doc_id") % 10 >= 8).collect()
+    survivors = {r["text_hash"]: r for r in
+                 ALL["llm_incremental_dedup"].fn(spark, sf).collect()}
+    hits = {r["h"] for r in batch if r["h"] in ex_hashes}
+    assert hits, "fixture regression: no cross-set duplicates at sf0.1"
+    assert not hits & set(survivors), "ledger hit survived the anti-join"
+    # every surviving hash keeps its smallest batch doc_id
+    import collections
+
+    first = collections.defaultdict(lambda: 1 << 62)
+    for r in batch:
+        first[r["h"]] = min(first[r["h"]], r["doc_id"])
+    for h, r in survivors.items():
+        assert r["keep_id"] == first[h]
+    assert set(survivors) == {r["h"] for r in batch} - ex_hashes
+
+
+def test_embed_centroid_matches_numpy(spark):
+    from gdxpy_spark.tables import table
+    import numpy as np
+
+    out = {(r["label"], r["dim"]): r for r in
+           ALL["llm_embed_centroid"].fn(spark, SF_DIR).collect()}
+    vecs = table(spark, SF_DIR, "embeddings").collect()
+    by_label = {}
+    for r in vecs:
+        by_label.setdefault(r["label"], []).append(r["embedding"])
+    n_dims = len(vecs[0]["embedding"])
+    assert len(out) == len(by_label) * n_dims
+    for label, arrs in by_label.items():
+        m = np.round(np.array(arrs, dtype=np.float64) * 1e6).sum(axis=0)
+        for dim in (0, n_dims // 2, n_dims - 1):
+            r = out[(label, dim)]
+            assert r["n"] == len(arrs)
+            assert abs(r["centroid"] - round(m[dim] / len(arrs) / 1e6, 6)) < 1e-9
+
+
+def test_regression_ols_agrees_with_builtin_regr(spark):
+    from gdxpy_spark.tables import table
+
+    li = table(spark, SF_DIR, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round("l_quantity").cast("double").alias("x"),
+        F.round("l_extendedprice").cast("double").alias("y"),
+    )
+    ref = {
+        r["flag"]: r
+        for r in li.groupBy("flag")
+        .agg(
+            F.regr_slope("y", "x").alias("slope"),
+            F.regr_intercept("y", "x").alias("intercept"),
+            F.regr_r2("y", "x").alias("r2"),
+        )
+        .collect()
+    }
+    got = {r["flag"]: r for r in
+           ALL["agg_regression_ols"].fn(spark, SF_DIR).collect()}
+    assert set(got) == set(ref)
+    for flag in got:
+        for c in ("slope", "intercept", "r2"):
+            assert abs(got[flag][c] - ref[flag][c]) < 1e-3, (flag, c)
+
+
+def test_median_rolling_is_within_frame_bounds(spark):
+    from gdxpy_spark.tables import table
+
+    rows = sorted(
+        ALL["win_median_rolling"].fn(spark, SF_DIR).collect(),
+        key=lambda r: (r["o_custkey"], r["o_orderkey"]),
+    )
+    od = {
+        r["o_orderkey"]: r
+        for r in table(spark, SF_DIR, "orders").collect()
+    }
+    import statistics
+    from collections import defaultdict
+
+    hist = defaultdict(list)
+    checked = 0
+    for r in rows:
+        o = od[r["o_orderkey"]]
+        key = (o["o_custkey"], o["o_orderdate"], o["o_orderkey"])
+        hist[o["o_custkey"]].append((key, o["o_totalprice"]))
+    for cust, seq in list(hist.items())[:200]:
+        seq.sort()
+        prices = [p for _, p in seq]
+        outs = {r["o_orderkey"]: r["median_price_5"] for r in rows
+                if r["o_custkey"] == cust}
+        for i, ((_, _, okey), _) in enumerate(seq):
+            frame = prices[max(0, i - 4): i + 1]
+            want = round(statistics.median(frame), 4) + 0.0
+            assert abs(outs[okey] - want) < 1e-9, (cust, okey)
+            checked += 1
+    assert checked > 100
+
+
+def test_approx_topk_exact_on_low_cardinality(spark):
+    from gdxpy_spark.tables import table
+
+    rows = ALL["agg_approx_topk"].fn(spark, SF_DIR).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source_col"], []).append(r)
+    assert set(by_src) == {"event_type", "o_orderpriority"}
+    for src, tbl, col in (
+        ("event_type", "events", "event_type"),
+        ("o_orderpriority", "orders", "o_orderpriority"),
+    ):
+        exact = {
+            r[col]: r["n"]
+            for r in table(spark, SF_DIR, tbl)
+            .groupBy(col).agg(F.count("*").alias("n")).collect()
+        }
+        got = by_src[src]
+        # <=5 distinct values, sketch budget 10^4 -> provably exact
+        assert {r["item"] for r in got} == set(exact)
+        for r in got:
+            assert r["cnt"] == exact[r["item"]], (src, r["item"])
+        cnts = [r["cnt"] for r in sorted(got, key=lambda r: r["rank"])]
+        assert cnts == sorted(cnts, reverse=True)
