@@ -859,3 +859,44 @@ def fn_format_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.repeat(F.lit("*"), (key % 5).cast("int")), F.col("s_name")
         ).alias("starred"),
     )
+
+
+@register(
+    "fn_base64_binary",
+    oracle="""
+SELECT doc_id,
+       base64(CAST(substr(text, 1, 32) AS BLOB)) AS b64,
+       decode(from_base64(base64(CAST(substr(text, 1, 32) AS BLOB))))
+         AS roundtrip,
+       lower(hex(CAST(substr(text, 1, 16) AS BLOB))) AS hex16,
+       octet_length(CAST(substr(text, 1, 32) AS BLOB)) AS n_bytes
+FROM documents
+""",
+    category="G",
+)
+def fn_base64_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY ENCODING surface — base64 encode/decode roundtrip and hex
+    rendering of text prefixes treated as bytes: the wire-format
+    conversions every multimodal/binary-column pipeline does at its
+    edges (payloads into JSON envelopes, checksum hex in manifests,
+    mm_* columns travel exactly like this). Base64 (RFC 4648) and hex
+    are standard encodings, so both engines' outputs are identical and
+    hash-checkable; the decode(encode(x)) roundtrip pins losslessness,
+    octet_length pins that the byte view matches the char view on this
+    ASCII corpus (on UTF-8 data they'd differ — that's the point of
+    measuring bytes, not chars).
+
+    Scale: map-only codegen'd byte ops, scan-fused, no shuffle; at
+    100 TB base64 inflates payloads 4/3× — the engine keeps binary
+    columns raw and encodes only at the serving edge, as here."""
+    docs = table(spark, sf_dir, "documents")
+    pre32 = F.substring("text", 1, 32).cast("binary")
+    return docs.select(
+        "doc_id",
+        F.base64(pre32).alias("b64"),
+        F.unbase64(F.base64(pre32)).cast("string").alias("roundtrip"),
+        F.lower(F.hex(F.substring("text", 1, 16).cast("binary"))).alias(
+            "hex16"
+        ),
+        F.octet_length(pre32).cast("bigint").alias("n_bytes"),
+    )

@@ -717,3 +717,53 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+_BITMASK_ORACLE = """
+WITH m AS (
+  SELECT o_custkey,
+         bit_or(CAST(1 << CAST(substr(o_orderpriority, 1, 1) AS INTEGER)
+                     AS BIGINT)) AS prio_mask,
+         COUNT(*) AS n_orders
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, prio_mask,
+       bit_count(prio_mask) AS n_distinct_prios,
+       n_orders
+FROM m
+"""
+
+
+@register("agg_bitmask_sets", oracle=_BITMASK_ORACLE, category="D")
+def agg_bitmask_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP SET AGGREGATION — each customer's set of used order
+    priorities packed into ONE bigint bitmask (priority class = bit
+    position, from the priority label's leading digit), plus its
+    popcount as the exact distinct count. This is the small-domain
+    set-rollup trick: bit_or is a trivially mergeable partial aggregate
+    (one long per group per partition crosses the shuffle — vs
+    collect_set shipping the values), masks compose across rollup
+    levels with further bit_or, and set intersections/containment
+    checks downstream become bitwise AND — the same representation
+    roaring bitmaps scale past 64 domains. The exact-distinct-count-
+    as-popcount is free.
+
+    Scale: one hash agg, map-side combine; the mask is 8 bytes however
+    many orders a customer has."""
+    od = table(spark, sf_dir, "orders")
+    # F.shiftleft only takes a LITERAL bit count; the per-row shift
+    # needs the SQL form (same JVM expression once parsed)
+    mask = F.bit_or(
+        F.expr(
+            "CAST(shiftleft(1, CAST(substr(o_orderpriority, 1, 1) AS INT))"
+            " AS BIGINT)"
+        )
+    )
+    m = od.groupBy("o_custkey").agg(
+        mask.alias("prio_mask"), F.count("*").alias("n_orders")
+    )
+    return m.select(
+        "o_custkey",
+        "prio_mask",
+        F.bit_count("prio_mask").cast("bigint").alias("n_distinct_prios"),
+        "n_orders",
+    )

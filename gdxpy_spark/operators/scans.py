@@ -257,3 +257,44 @@ def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "DROPMALFORMED")
         .csv(out)
     )
+
+
+_NESTED_ORACLE = """
+SELECT o_orderkey, o_custkey AS nested_custkey
+FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+@register("src_parquet_nested_prune", oracle=_NESTED_ORACLE, category="A")
+def src_parquet_nested_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED parquet + SCHEMA PRUNING: orders re-shaped into the nested
+    layout real event/log tables ship (a struct column + an array
+    column), written to parquet, then read back touching ONE struct
+    field for the filter and one for the projection. The scan must
+    prune INSIDE the nested type: ReadSchema carries only
+    cust.custkey/cust.prio and the untouched `amounts` array is never
+    decoded (asserted in tests/test_plans.py). At 100 TB nested columns
+    dominate raw bytes — props maps, span lists, embedding arrays — and
+    nested-field pruning (spark.sql.optimizer.nestedSchemaPruning.
+    enabled, default on) is the difference between reading 2 leaf
+    columns and decompressing the whole struct forest. Oracle: the same
+    rows recomputed flat from the source table — the nested round-trip
+    must be lossless."""
+    od = table(spark, sf_dir, "orders")
+    nested = od.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderpriority").alias("prio"),
+        ).alias("cust"),
+        F.array("o_totalprice").alias("amounts"),
+    )
+    out = _tmpdir("nested_parquet")
+    nested.write.mode("overwrite").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("cust.prio") == "1-URGENT")
+        .select(
+            "o_orderkey", F.col("cust.custkey").alias("nested_custkey")
+        )
+    )

@@ -46,6 +46,16 @@ PICKS = [
      "global prefix sum (r7): range exchange reused by both branches, "
      "per-partition running sums partitioned by pid — no single-task "
      "global window"),
+    ("tpch_q18_shape",
+     "Q18 HAVING semi-join (r7): the post-HAVING big-order key set is "
+     "AQE-broadcast back onto lineitem (BuildLeft) — the fact table "
+     "never re-shuffles for the filter; top-100 via "
+     "TakeOrderedAndProject"),
+    ("win_pareto_concentration",
+     "Pareto deciles (r7): the classic global running-sum window as "
+     "the two-pass distributed prefix sum — range exchange + pid-"
+     "partitioned local sums, broadcast-scalar total, integer-exact "
+     "decile assignment; no single-partition exchange"),
 ]
 
 DETAIL_KEYS = ("PushedFilters", "PartitionFilters", "ReadSchema",

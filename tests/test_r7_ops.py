@@ -816,3 +816,48 @@ def test_approx_topk_exact_on_low_cardinality(spark):
             assert r["cnt"] == exact[r["item"]], (src, r["item"])
         cnts = [r["cnt"] for r in sorted(got, key=lambda r: r["rank"])]
         assert cnts == sorted(cnts, reverse=True)
+
+
+def test_base64_roundtrip_is_lossless_and_ascii_bytes(spark):
+    import base64 as b64mod
+
+    rows = ALL["fn_base64_binary"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows[:100]:
+        decoded = b64mod.b64decode(r["b64"]).decode()
+        assert decoded == r["roundtrip"]
+        assert len(decoded.encode()) == r["n_bytes"] <= 32
+        assert bytes.fromhex(r["hex16"]).decode() == decoded[:16]
+
+
+def test_bitmask_sets_popcount_equals_exact_distinct(spark):
+    from gdxpy_spark.tables import table
+
+    got = {r["o_custkey"]: r for r in
+           ALL["agg_bitmask_sets"].fn(spark, SF_DIR).collect()}
+    exact = {
+        r["o_custkey"]: (r["nd"], r["n"])
+        for r in table(spark, SF_DIR, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.countDistinct("o_orderpriority").alias("nd"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, r in got.items():
+        assert r["n_distinct_prios"] == exact[k][0], k
+        assert r["n_orders"] == exact[k][1], k
+        # mask only ever uses bits 1..5 (priority classes 1-URGENT..5-LOW)
+        assert r["prio_mask"] & ~0b111110 == 0, k
+
+
+def test_nested_parquet_scan_prunes_untouched_array(spark):
+    df = ALL["src_parquet_nested_prune"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.split("\n") if "FileScan parquet" in l]
+    assert scans, plan
+    # the untouched `amounts` array must not survive nested pruning
+    assert all("amounts" not in l for l in scans), scans
