@@ -109,7 +109,8 @@ def main() -> None:
                  "llm_substring_dedup", "llm_repetition_filter",
                  "llm_temperature_sample", "llm_e2e_pipeline",
                  # r7 additions over the documents corpus
-                 "llm_pii_text", "llm_chunk_overlap"):
+                 "llm_pii_text", "llm_chunk_overlap",
+                 "llm_incremental_dedup", "llm_zipf_slope"):
         a = timed(lambda: queries[name].fn(spark, S1))
         b = timed(lambda: queries[name].fn(spark, S10))
         rows.append((name, a, b))
