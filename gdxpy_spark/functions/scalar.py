@@ -900,3 +900,42 @@ def fn_base64_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.octet_length(pre32).cast("bigint").alias("n_bytes"),
     )
+
+
+@register(
+    "fn_regex_extract_all",
+    oracle=r"""
+WITH m AS (
+  SELECT event_id,
+         regexp_extract_all(props, '\d+') AS nums
+  FROM events)
+SELECT event_id,
+       unnest(range(0, len(nums))) AS pos,
+       unnest(nums) AS num_str
+FROM m
+""",
+    category="G",
+)
+def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-MATCH regex extraction — every digit run in the events
+    props JSON, exploded to (row, position, match) — the log-scraping /
+    token-mining primitive where regexp_extract's first-match-only
+    isn't enough. Both engines have a native regexp_extract_all; the
+    pattern stays in the portable RE2/PCRE intersection (\\d+). The
+    array explodes WITH its position (posexplode / parallel-unnest
+    range) so downstream joins can reconstruct match order after any
+    shuffle — emitting matches without ordinal is the classic
+    silently-nondeterministic output.
+
+    Scale: map-side explode with bounded fan-out (matches per row);
+    scan-fused, no shuffle."""
+    ev = table(spark, sf_dir, "events")
+    m = ev.select(
+        "event_id",
+        # group 0 = the whole match (Spark defaults to group 1; the
+        # pattern has no capture group)
+        F.regexp_extract_all("props", F.lit(r"\d+"), 0).alias("nums"),
+    )
+    return m.select(
+        "event_id", F.posexplode("nums").alias("pos", "num_str")
+    )

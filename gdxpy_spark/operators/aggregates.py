@@ -767,3 +767,40 @@ def agg_bitmask_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count("prio_mask").cast("bigint").alias("n_distinct_prios"),
         "n_orders",
     )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+SELECT o_custkey,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+         AS prios_csv,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_custkey
+""",
+    category="D",
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED LISTAGG — each customer's distinct order priorities as
+    one sorted CSV string: the denormalized-label rollup (tag lists,
+    category paths, audit trails) every export schema wants. An
+    UNORDERED string_agg is nondeterministic under parallelism — two
+    runs of the same engine concatenate in different partition orders —
+    so the contract REQUIRES the sort: DuckDB spells it string_agg
+    (DISTINCT … ORDER BY), Spark composes the same thing from mergeable
+    pieces: collect_set (associative), array_sort, array_join — the
+    distinct set crosses the shuffle as a set, strings concatenate once
+    per group at the very end.
+
+    Scale: bounded-domain sets (≤5 here) make the agg state tiny; for
+    unbounded domains the honest plan caps or sketches the list — a
+    concatenated string that grows with the group is itself the
+    scale bug."""
+    od = table(spark, sf_dir, "orders")
+    return od.groupBy("o_custkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("prios_csv"),
+        F.count("*").alias("n_orders"),
+    )

@@ -670,3 +670,115 @@ def ts_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "open", "high", "low", "close", "n_events",
         )
     )
+
+
+_LOCF_ORACLE = """
+WITH s AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(ROUND(value * 10) AS BIGINT) END AS x
+  FROM events)
+SELECT event_id, user_id, x AS raw_x,
+       last_value(x IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_x
+FROM s
+"""
+
+
+@register("ts_fill_forward", oracle=_LOCF_ORACLE, category="H")
+def ts_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD FILL (LOCF — last observation carried forward): the
+    sensor-dropout repair every telemetry/feature pipeline runs before
+    ts_interpolate's fancier lerp is even an option (LOCF is causal —
+    it never reads the future, so it is the only fill valid for
+    features feeding online models). A deterministic mask (event_id %
+    7) plants the NULLs; the fill is last_value IGNORE NULLS over the
+    per-user RUNNING frame — Spark spells it F.last(ignorenulls=True),
+    DuckDB `IGNORE NULLS`, same semantics. Values are 0.1-quantized to
+    exact bigints (the declared contract of the ts_* family) so carried
+    values hash bitwise. Leading NULLs (no prior observation) stay
+    NULL on both engines — that's the honest LOCF edge, not a bug.
+
+    Scale: one shuffle on user_id, running frame is O(1) state per row;
+    this is the window shape that degrades gracefully to
+    applyInPandasWithState when the fill must run on a live stream
+    (stream_stateful_running is that machinery)."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.round(F.col("value") * 10).cast("bigint")
+        ).alias("x"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        F.col("x").alias("raw_x"),
+        F.last("x", ignorenulls=True).over(w).alias("filled_x"),
+    )
+
+
+_TRAIL_ORACLE = """
+WITH s AS (
+  SELECT event_id, user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS epoch_s,
+         CAST(ROUND(value * 10) AS BIGINT) AS x
+  FROM events)
+SELECT event_id, user_id,
+       SUM(x) OVER (
+         PARTITION BY user_id ORDER BY epoch_s
+         RANGE BETWEEN 172800 PRECEDING AND CURRENT ROW) AS trail_2d_sum,
+       COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_s
+         RANGE BETWEEN 172800 PRECEDING AND CURRENT ROW) AS trail_2d_n
+FROM s
+"""
+
+
+@register("win_time_range_frame", oracle=_TRAIL_ORACLE, category="E")
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAILING EVENT-TIME WINDOW — per-user rolling 48-hour sum/count
+    (rate limiting, rolling spend caps, trailing engagement scores):
+    a RANGE frame over TIME, the sibling win_range_frame's value-range
+    frame doesn't cover. Both engines order by integer epoch SECONDS
+    and bound the frame numerically (172800 s) — expressing the
+    interval bound as a number sidesteps the one real divergence
+    (DuckDB's INTERVAL arithmetic runs at full timestamp precision,
+    Spark's rangeBetween needs a numeric sort key anyway). RANGE (not
+    ROWS) means ties on the boundary second are all-in or all-out
+    identically on both engines, and the frame is defined by TIME, so
+    bursty users get wide frames and idle users narrow ones. The
+    summed value is 0.1-quantized bigint — exact under any
+    accumulation order.
+
+    Scale: one user_id shuffle; Spark evaluates the running range
+    frame with a sliding two-pointer over the sorted partition — O(1)
+    amortized per row, no per-row rescan."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias(
+            "epoch_s"
+        ),
+        F.round(F.col("value") * 10).cast("bigint").alias("x"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-172800, 0)
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        F.sum("x").over(w).alias("trail_2d_sum"),
+        F.count("*").over(w).alias("trail_2d_n"),
+    )

@@ -861,3 +861,83 @@ def test_nested_parquet_scan_prunes_untouched_array(spark):
     assert scans, plan
     # the untouched `amounts` array must not survive nested pruning
     assert all("amounts" not in l for l in scans), scans
+
+
+def test_fill_forward_carries_and_leading_nulls_stay(spark):
+    rows = ALL["ts_fill_forward"].fn(spark, SF_DIR).collect()
+    assert rows
+    masked = [r for r in rows if r["event_id"] % 7 == 0]
+    assert masked and all(r["raw_x"] is None for r in masked)
+    # replay LOCF per user in python over the engine's own ordering
+    from gdxpy_spark.tables import table
+
+    order = {
+        r["event_id"]: (r["user_id"], r["ts"], r["event_id"])
+        for r in table(spark, SF_DIR, "events").collect()
+    }
+    got = {r["event_id"]: r for r in rows}
+    seqs = {}
+    for eid, (uid, ts, _) in order.items():
+        seqs.setdefault(uid, []).append((ts, eid))
+    filled_nonnull = 0
+    for uid, seq in seqs.items():
+        seq.sort()
+        carry = None
+        for _, eid in seq:
+            r = got[eid]
+            if r["raw_x"] is not None:
+                carry = r["raw_x"]
+            assert r["filled_x"] == carry, eid
+            if r["raw_x"] is None and carry is not None:
+                filled_nonnull += 1
+    assert filled_nonnull > 100  # the fill actually repaired dropouts
+
+
+def test_time_range_frame_is_time_bounded(spark):
+    from gdxpy_spark.tables import table
+
+    got = {r["event_id"]: r for r in
+           ALL["win_time_range_frame"].fn(spark, SF_DIR).collect()}
+    ev = table(spark, SF_DIR, "events").select(
+        "event_id", "user_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias("s"),
+        F.round(F.col("value") * 10).cast("bigint").alias("x"),
+    ).collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    import random
+
+    rng = random.Random(7)
+    for uid in rng.sample(sorted(by_user), 25):
+        seq = by_user[uid]
+        for r in rng.sample(seq, min(4, len(seq))):
+            in_frame = [e for e in seq if r["s"] - 172800 <= e["s"] <= r["s"]]
+            assert got[r["event_id"]]["trail_2d_n"] == len(in_frame)
+            assert got[r["event_id"]]["trail_2d_sum"] == sum(
+                e["x"] for e in in_frame
+            )
+
+
+def test_string_concat_is_sorted_and_distinct(spark):
+    rows = ALL["agg_string_concat"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        parts = r["prios_csv"].split(",")
+        assert parts == sorted(set(parts)), r["o_custkey"]
+        assert 1 <= len(parts) <= 5
+
+
+def test_regex_extract_all_positions_reconstruct_matches(spark):
+    import re
+    from gdxpy_spark.tables import table
+
+    props = {r["event_id"]: r["props"] for r in
+             table(spark, SF_DIR, "events").collect()}
+    out = {}
+    for r in ALL["fn_regex_extract_all"].fn(spark, SF_DIR).collect():
+        out.setdefault(r["event_id"], {})[r["pos"]] = r["num_str"]
+    for eid, want in list(props.items())[:500]:
+        matches = re.findall(r"\d+", want)
+        got = out.get(eid, {})
+        assert [got[i] for i in sorted(got)] == matches, eid
