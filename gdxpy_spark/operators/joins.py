@@ -620,3 +620,148 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("doc_b"),
         F.col("a.lang_key").alias("lang_key"),
     )
+
+
+@register(
+    "join_range_bucketed",
+    oracle=EV_CTE
+    + """
+SELECT p.event_id AS purchase_id,
+       s.event_id AS signup_id,
+       epoch_us(p.ts) // 1000000 - epoch_us(s.ts) // 1000000 AS lag_s
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM ev WHERE event_type = 'signup') s
+  ON p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 5 MINUTE
+""",
+    category="C",
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS range join, BUCKETIZED — every (purchase, signup) pair
+    across ALL users within a 5-minute window: attribution/blast-radius
+    joins where no equi key exists (join_range_interval has user_id to
+    hash on; this one doesn't). Naively that's a cartesian with a
+    filter — BroadcastNestedLoopJoin, dead at scale. The scalable
+    form quantizes time into window-sized buckets: a purchase lives in
+    exactly ONE bucket, each signup's [ts, ts+5min] interval is
+    replicated into the ≤2 buckets it can touch (array_distinct —
+    so a qualifying pair meets on exactly the purchase's bucket, no
+    dedup pass needed), the join becomes a plain hash EQUI join on
+    bucket + the exact residual predicate. DuckDB's oracle runs its
+    native IEJoin on the raw inequality — two different physical
+    strategies, hash-identical pairs.
+
+    Scale: shuffle is |purchases| + 2|signups| rows keyed by time
+    bucket; per-bucket work is |p_b|×|s_b| with both factors bounded
+    by the 5-min rate. Output pairs grow ~density² per bucket — the
+    honest cost of the SEMANTICS, not the plan; hot buckets (bursts)
+    are the salting candidate, same lever as join_skew_salted."""
+    ev = table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    win = 300_000_000  # 5 minutes in microseconds
+    # integer `div`, never float division: a double quotient that
+    # rounds up across the bucket boundary would mis-bucket the row
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        us.alias("p_us"),
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {win}").alias(
+            "bucket"
+        ),
+    )
+    s = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        us.alias("s_us"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(
+                        f"unix_micros(CAST(ts AS TIMESTAMP)) div {win}"
+                    ),
+                    F.expr(
+                        f"(unix_micros(CAST(ts AS TIMESTAMP)) + {win})"
+                        f" div {win}"
+                    ),
+                )
+            )
+        ).alias("bucket"),
+    )
+    return (
+        p.join(s, "bucket")
+        .filter(
+            (F.col("p_us") >= F.col("s_us"))
+            & (F.col("p_us") <= F.col("s_us") + F.lit(win))
+        )
+        .select(
+            "purchase_id",
+            "signup_id",
+            (
+                F.expr("p_us div 1000000") - F.expr("s_us div 1000000")
+            ).alias("lag_s"),
+        )
+    )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=EV_CTE
+    + """
+SELECT p.event_id AS purchase_id, p.user_id,
+       CASE WHEN s.ts IS NOT NULL AND p.ts <= s.ts + INTERVAL 2 HOUR
+            THEN s.event_id END AS signup_id,
+       CASE WHEN s.ts IS NOT NULL AND p.ts <= s.ts + INTERVAL 2 HOUR
+            THEN epoch_us(p.ts) // 1000000 - epoch_us(s.ts) // 1000000
+       END AS staleness_s
+FROM (SELECT * FROM ev WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM ev WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+""",
+    category="C",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join WITH TOLERANCE — each purchase matched to the latest
+    same-user signup at-or-before it, but only if that signup is at
+    most 2 hours stale; older matches become NULL (pandas
+    merge_asof(tolerance=...): the don't-join-against-stale-quotes
+    rule every market-data/feature-freshness pipeline enforces). Same
+    scalable union + carried-window formulation as join_asof — one
+    user_id shuffle, no candidate explosion — carrying the matched
+    signup's TIMESTAMP alongside its id so the staleness test is one
+    map-side expression after the window; the oracle is DuckDB's
+    native ASOF LEFT JOIN with the tolerance applied post-match (both
+    engines agree a too-stale match is NULL, not a fallback to an
+    even-older one — that's the asof contract: tolerance FILTERS the
+    unique match, it doesn't search past it)."""
+    ev = table(spark, sf_dir, "events")
+    sign = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("sid"),
+        F.lit(1).alias("is_signup"),
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("sid"),
+        F.lit(0).alias("is_signup"),
+    )
+    both = sign.unionByName(pur)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc(), F.col("is_signup").desc(), F.col("sid").asc()
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sig_mark = F.when(F.col("is_signup") == 1, F.col("sid"))
+    ts_mark = F.when(F.col("is_signup") == 1, F.col("ts"))
+    carried = both.withColumn(
+        "m_sid", F.last(sig_mark, ignorenulls=True).over(w)
+    ).withColumn("m_ts", F.last(ts_mark, ignorenulls=True).over(w))
+    fresh = F.col("m_ts").isNotNull() & (
+        F.col("ts") <= F.col("m_ts") + F.expr("INTERVAL 2 HOUR")
+    )
+    return carried.filter(F.col("is_signup") == 0).select(
+        F.col("sid").alias("purchase_id"),
+        "user_id",
+        F.when(fresh, F.col("m_sid")).alias("signup_id"),
+        F.when(
+            fresh,
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000")
+            - F.expr("unix_micros(CAST(m_ts AS TIMESTAMP)) div 1000000"),
+        ).alias("staleness_s"),
+    )

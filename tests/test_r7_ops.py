@@ -941,3 +941,38 @@ def test_regex_extract_all_positions_reconstruct_matches(spark):
         matches = re.findall(r"\d+", want)
         got = out.get(eid, {})
         assert [got[i] for i in sorted(got)] == matches, eid
+
+
+def test_range_bucketed_plan_has_no_nested_loop(spark):
+    # the bucketed formulation must be a hash EQUI join on the time
+    # bucket — never BroadcastNestedLoop/cartesian on the raw inequality
+    plan = formatted_plan(ALL["join_range_bucketed"].fn(spark, SF_DIR))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_range_bucketed_pairs_are_exact_and_unique(spark):
+    rows = ALL["join_range_bucketed"].fn(spark, SF_DIR).collect()
+    pairs = [(r["purchase_id"], r["signup_id"]) for r in rows]
+    assert len(pairs) == len(set(pairs))  # bucket replication never dups
+    for r in rows:
+        assert 0 <= r["lag_s"] <= 300
+
+
+def test_asof_tolerance_nulls_stale_and_keeps_fresh(spark):
+    base = {r["purchase_id"]: r["signup_id"] for r in
+            ALL["join_asof"].fn(spark, SF_DIR).collect()}
+    tol = {r["purchase_id"]: r for r in
+           ALL["join_asof_tolerance"].fn(spark, SF_DIR).collect()}
+    assert set(base) == set(tol)
+    stale = fresh = 0
+    for pid, r in tol.items():
+        if r["signup_id"] is None:
+            stale += 1
+            assert r["staleness_s"] is None
+        else:
+            fresh += 1
+            # a kept match is the SAME match join_asof found, just
+            # freshness-filtered — tolerance never searches past it
+            assert r["signup_id"] == base[pid]
+            assert 0 <= r["staleness_s"] <= 7200
+    assert fresh > 0 and stale > 0  # both branches exercised
