@@ -430,3 +430,62 @@ def mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id BIGINT, win_idx INT, sample_rate INT,"
         " start_sample INT, n_samps INT, head_checksum BIGINT",
     )
+
+
+_SHARD_ORACLE = """
+WITH s AS (
+  SELECT doc_id, n_chars + 16 AS n_bytes,
+         SUM(n_chars + 16) OVER (ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents)
+SELECT doc_id, n_bytes,
+       (cum - n_bytes) // 65536 AS shard_id,
+       cum - n_bytes - ((cum - n_bytes) // 65536) * 65536
+         AS offset_in_shard
+FROM s
+"""
+
+
+@register("mm_shard_pack", oracle=_SHARD_ORACLE, category="MM")
+def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD MANIFEST — assign every media blob to a ~64 KiB shard by
+    byte budget (the webdataset/tar-shard layout step every multimodal
+    training pipeline runs before upload): shard_id = exclusive byte
+    prefix-sum div budget, offset = position within the shard. The
+    contract is the standard approximate-shard-size one — a blob
+    straddling the boundary stays in the shard its START falls in, so
+    shards overflow by at most one blob and NO blob is ever split.
+
+    The sizes are measured on the REAL media column (octet_length
+    through the mapInPandas builder — proving the bytes exist), but the
+    manifest math runs on (doc_id, n_bytes) pairs ONLY: the projection
+    drops the binary BEFORE the prefix-sum's range shuffle, so blobs
+    never cross the wire — the family invariant. The prefix sum is the
+    distributed two-pass global_running_sum (no single-partition
+    window); all arithmetic is integer-exact, so shard boundaries are
+    bit-identical on both engines. The oracle recomputes sizes from
+    n_chars (header = 16 bytes, ASCII payload = n_chars bytes) —
+    hash equality proves the built bytes match the declared layout.
+
+    Scale: at 100 TB this manifest is the only full-corpus pass the
+    sharding step needs; the physical tar writes then stream per-shard
+    with zero coordination, reading each blob exactly once."""
+    from gdxpy_spark.operators._util import global_running_sum
+
+    media = media_table(spark, sf_dir).select(
+        "doc_id", F.octet_length("media").cast("bigint").alias("n_bytes")
+    )
+    cum = global_running_sum(
+        media, [F.col("doc_id").asc()], "n_bytes", out_col="cum"
+    )
+    budget = 65536
+    start = F.col("cum") - F.col("n_bytes")
+    return cum.select(
+        "doc_id",
+        "n_bytes",
+        F.expr(f"(cum - n_bytes) div {budget}").alias("shard_id"),
+        (
+            start
+            - F.expr(f"(cum - n_bytes) div {budget}") * F.lit(budget)
+        ).alias("offset_in_shard"),
+    )

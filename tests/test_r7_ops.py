@@ -976,3 +976,37 @@ def test_asof_tolerance_nulls_stale_and_keeps_fresh(spark):
             assert r["signup_id"] == base[pid]
             assert 0 <= r["staleness_s"] <= 7200
     assert fresh > 0 and stale > 0  # both branches exercised
+
+
+def test_shard_pack_contiguous_and_budget_bounded(spark):
+    rows = sorted(ALL["mm_shard_pack"].fn(spark, SF_DIR).collect(),
+                  key=lambda r: r["doc_id"])
+    assert rows
+    budget = 65536
+    from collections import defaultdict
+
+    shard_bytes = defaultdict(int)
+    cum = 0
+    prev_shard = 0
+    for r in rows:
+        # offset is exactly the exclusive prefix position within shard
+        assert r["offset_in_shard"] == cum - r["shard_id"] * budget
+        assert 0 <= r["offset_in_shard"] < budget  # start inside budget
+        assert r["shard_id"] >= prev_shard  # monotone over doc order
+        prev_shard = r["shard_id"]
+        shard_bytes[r["shard_id"]] += r["n_bytes"]
+        cum += r["n_bytes"]
+    max_blob = max(r["n_bytes"] for r in rows)
+    assert len(shard_bytes) > 1
+    for sid, total in shard_bytes.items():
+        # approximate-shard contract: overflow by at most one blob
+        assert total <= budget + max_blob, sid
+
+
+def test_shard_pack_manifest_shuffle_carries_no_binary(spark):
+    # the media column must be projected away BEFORE the range exchange:
+    # no plan node after the python stage may carry the binary column
+    df = ALL["mm_shard_pack"].fn(spark, SF_DIR)
+    plan = formatted_plan(df)
+    ex = [l for l in plan.splitlines() if "Exchange" in l]
+    assert ex and all("media" not in l for l in ex), ex
