@@ -765,3 +765,81 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr("unix_micros(CAST(m_ts AS TIMESTAMP)) div 1000000"),
         ).alias("staleness_s"),
     )
+
+
+_DPP_ORACLE = """
+SELECT d.status, d.label,
+       COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS total_price
+FROM orders
+JOIN (VALUES ('F', 'finished'), ('O', 'open'), ('P', 'pending'))
+     d(status, label)
+  ON o_orderstatus = d.status
+WHERE d.label = 'finished'
+GROUP BY d.status, d.label
+"""
+
+
+@register("join_dynamic_partition_prune", oracle=_DPP_ORACLE, category="C")
+def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING — the fact table is laid out
+    partitioned by status; the filter that selects partitions lives on
+    the DIM side (label = 'finished'), so no static predicate ever
+    touches the fact scan. Spark's DPP closes the gap AT RUNTIME: the
+    broadcast dim's join keys become a dynamicpruning#N subquery in the
+    fact scan's PartitionFilters (plan-asserted in tests/test_r7_ops),
+    and the non-matching status directories are never even listed. This
+    is the OTHER half of the partition-layout lever next to
+    src_parquet_partitioned's static pruning — star-schema queries at
+    100 TB almost never filter the fact table directly; they filter
+    dims, and DPP is what turns that into fact-side I/O savings. Both
+    the dim and its filter are parquet-backed (a VALUES dim would
+    constant-fold into a static predicate and dodge the machinery the
+    query exists to exercise)."""
+    import hashlib
+    import os
+    import tempfile
+
+    od = table(spark, sf_dir, "orders")
+    # layout dir is content-addressed (full path + orders.parquet
+    # size/mtime), the replay-fixture discipline: a regenerated dataset
+    # or two datasets sharing a basename can never serve stale buckets
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    base = os.path.join(
+        tempfile.gettempdir(), "gdxpy_spark_io", "dpp",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_{fp}",
+    )
+    fact_dir, dim_dir = base + "/fact", base + "/dim"
+    if not os.path.exists(fact_dir + "/_SUCCESS"):
+        od.select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
+        ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(
+            fact_dir
+        )
+    if not os.path.exists(dim_dir + "/_SUCCESS"):
+        spark.createDataFrame(
+            [("F", "finished"), ("O", "open"), ("P", "pending")],
+            "status STRING, label STRING",
+        ).write.mode("overwrite").parquet(dim_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("label") == "finished")
+    return (
+        fact.join(
+            F.broadcast(dim), fact.o_orderstatus == dim.status
+        )
+        .groupBy("status", "label")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("total_price"),
+        )
+    )

@@ -1010,3 +1010,15 @@ def test_shard_pack_manifest_shuffle_carries_no_binary(spark):
     plan = formatted_plan(df)
     ex = [l for l in plan.splitlines() if "Exchange" in l]
     assert ex and all("media" not in l for l in ex), ex
+
+
+def test_dpp_fires_on_the_fact_scan(spark):
+    df = ALL["join_dynamic_partition_prune"].fn(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the fact scan must carry a runtime dynamicpruning subquery in its
+    # PartitionFilters — no static predicate exists on the fact side
+    fact_scans = [l for l in plan.split("\n")
+                  if "FileScan parquet" in l and "/fact" in l]
+    assert fact_scans, plan
+    assert any("dynamicpruning" in l.lower() for l in fact_scans), fact_scans
