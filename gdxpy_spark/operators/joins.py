@@ -814,18 +814,35 @@ def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(), "gdxpy_spark_io", "dpp",
         f"{os.path.basename(sf_dir.rstrip('/'))}_{fp}",
     )
+    # builds are ATOMIC (write to a private temp dir, publish with one
+    # rename — the replay-fixture discipline): a concurrent run either
+    # sees the complete layout or builds its own and loses the race
+    import uuid
+
     fact_dir, dim_dir = base + "/fact", base + "/dim"
     if not os.path.exists(fact_dir + "/_SUCCESS"):
+        build = f"{fact_dir}.build_{uuid.uuid4().hex[:8]}"
         od.select(
             "o_orderkey", "o_totalprice", "o_orderstatus"
-        ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(
-            fact_dir
-        )
+        ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(build)
+        try:
+            os.rename(build, fact_dir)
+        except OSError:  # lost the publish race; the other copy is whole
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)
     if not os.path.exists(dim_dir + "/_SUCCESS"):
+        build = f"{dim_dir}.build_{uuid.uuid4().hex[:8]}"
         spark.createDataFrame(
             [("F", "finished"), ("O", "open"), ("P", "pending")],
             "status STRING, label STRING",
-        ).write.mode("overwrite").parquet(dim_dir)
+        ).write.mode("overwrite").parquet(build)
+        try:
+            os.rename(build, dim_dir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(build, ignore_errors=True)
     fact = spark.read.parquet(fact_dir)
     dim = spark.read.parquet(dim_dir).filter(F.col("label") == "finished")
     return (
