@@ -127,7 +127,7 @@ _ARTIFACT_PRIORITY = [
     "src_parquet_nested_prune", "ts_fill_forward",
     "win_time_range_frame", "agg_string_concat", "fn_regex_extract_all",
     "join_range_bucketed", "join_asof_tolerance", "mm_shard_pack",
-    "join_dynamic_partition_prune",
+    "join_dynamic_partition_prune", "stream_foreach_batch",
     # r6 window follows (already recorded r06; keeps the window full):
     "fn_string_basic", "fn_string_regex", "fn_date_parts", "fn_date_arith",
     "fn_timestamp_unix", "fn_math", "fn_conditional", "fn_cast",

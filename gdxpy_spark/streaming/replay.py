@@ -579,3 +579,83 @@ def stream_stateful_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if _has_protobuf():  # pragma: no cover - env-gated (no protobuf here)
     register("stream_stateful_typed", oracle=None, category="H")(stream_stateful_typed)
+
+
+_FEB_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 10) AS BIGINT)) AS sum_x
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("stream_foreach_batch", oracle=_FEB_ORACLE, category="H")
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch SINK — the escape hatch every production streaming
+    job eventually uses (upserts into warehouses, multi-sink fan-out,
+    merge into lakehouse tables): each micro-batch is handed to user
+    code as a BATCH DataFrame. The pattern exercised here is
+    lambda-style incremental aggregation: per micro-batch, compute
+    PARTIAL aggregates (count + quantized-bigint sum per event type)
+    and append them to an accumulator table; the serving read
+    re-aggregates the partials. Because the partials are associative
+    integer pieces, the final state is independent of batch
+    boundaries, delivery order, and parallelism — which is exactly why
+    it can carry a full batch-SQL hash oracle, and why the same shape
+    survives at-least-once redelivery in production when the append is
+    keyed by (batch_id, group) for idempotence (noted, not needed
+    under this exactly-once local replay).
+
+    Scale: per-batch work is one partial agg (map-side combined);
+    accumulator grows by |event types| rows per batch and compacts on
+    read — the classic partial-compaction tradeoff, chosen over
+    read-modify-write of the full result (which serializes on every
+    micro-batch). The checkpoint dir is per-run: reusing a checkpoint
+    against a fresh accumulator would silently skip already-committed
+    batches."""
+    def build_dfs():
+        raw = _raw_events(spark, sf_dir)
+        return [raw.filter(F.col("event_id") % 3 == k) for k in range(3)]
+
+    src = _cached_fixture("febatch", sf_dir, 3, build_dfs)
+    run = uuid.uuid4().hex[:8]
+    acc = _replay_dir(f"febatch_acc_{run}")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 10).cast("bigint")).alias(
+                    "sum_x"
+                ),
+            )
+            .write.mode("append")
+            .parquet(acc)
+        )
+
+    with _REPLAY_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                _read_stream(spark, src)
+                .writeStream.foreachBatch(merge)
+                .trigger(availableNow=True)
+                .option(
+                    "checkpointLocation", _replay_dir(f"ckpt_febatch_{run}")
+                )
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.read.parquet(acc)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_x").alias("sum_x"),
+        )
+    )

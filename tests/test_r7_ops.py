@@ -1022,3 +1022,25 @@ def test_dpp_fires_on_the_fact_scan(spark):
                   if "FileScan parquet" in l and "/fact" in l]
     assert fact_scans, plan
     assert any("dynamicpruning" in l.lower() for l in fact_scans), fact_scans
+
+
+def test_foreach_batch_matches_batch_agg_and_is_rerunnable(spark):
+    from gdxpy_spark.tables import table
+
+    a = {r["event_type"]: (r["n_events"], r["sum_x"]) for r in
+         ALL["stream_foreach_batch"].fn(spark, SF_DIR).collect()}
+    # fresh checkpoint + fresh accumulator per run -> identical result
+    b = {r["event_type"]: (r["n_events"], r["sum_x"]) for r in
+         ALL["stream_foreach_batch"].fn(spark, SF_DIR).collect()}
+    assert a == b
+    direct = {
+        r["event_type"]: (r["n"], r["s"])
+        for r in table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 10).cast("bigint")).alias("s"),
+        )
+        .collect()
+    }
+    assert a == direct
