@@ -56,6 +56,15 @@ PICKS = [
      "the two-pass distributed prefix sum — range exchange + pid-"
      "partitioned local sums, broadcast-scalar total, integer-exact "
      "decile assignment; no single-partition exchange"),
+    ("join_dynamic_partition_prune",
+     "dynamic partition pruning (r7): the dim-side filter reaches the "
+     "fact scan as a runtime dynamicpruning subquery in "
+     "PartitionFilters — no static fact predicate exists; non-matching "
+     "partitions are never listed"),
+    ("join_range_bucketed",
+     "keyless range join (r7): time quantized to window-sized buckets "
+     "turns the inequality into a hash EQUI join + residual — no "
+     "BroadcastNestedLoop anywhere"),
 ]
 
 DETAIL_KEYS = ("PushedFilters", "PartitionFilters", "ReadSchema",
