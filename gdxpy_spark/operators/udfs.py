@@ -174,3 +174,38 @@ def udtf_split_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM gdxps_udtf_docs d, "
         "LATERAL gdxps_split_words(d.doc_id, d.text) s"
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+SELECT s_suppkey,
+       lower(regexp_replace(s_name, '[^a-zA-Z0-9]+', '-', 'g')) AS slug,
+       CAST(length(s_name) AS INT) AS name_len
+FROM supplier
+""",
+    category="I",
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 ARROW-OPTIMIZED Python UDF (useArrow=True) — the modern
+    middle path between the row-at-a-time UDF (per-row pickling) and
+    the pandas UDF (Series-in/Series-out API): the function still reads
+    like per-row Python, but arguments cross the JVM boundary as Arrow
+    batches, cutting (de)serialization ~2-3× vs pickle. Slug-casing a
+    name is the kind of arbitrary-Python-string logic users reach for
+    a UDF to do; the oracle proves the same semantics in pure SQL —
+    which remains the FIRST choice when expressible (scan-fused
+    codegen, no Python at all), the family's standing preference
+    order: builtin > arrow/pandas UDF > row UDF."""
+    import re
+
+    @F.udf(T.StringType(), useArrow=True)
+    def slugify(name: str) -> str:
+        return re.sub(r"[^a-zA-Z0-9]+", "-", name).lower()
+
+    s = table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        slugify("s_name").alias("slug"),
+        F.length("s_name").cast("int").alias("name_len"),
+    )

@@ -128,6 +128,7 @@ _ARTIFACT_PRIORITY = [
     "win_time_range_frame", "agg_string_concat", "fn_regex_extract_all",
     "join_range_bucketed", "join_asof_tolerance", "mm_shard_pack",
     "join_dynamic_partition_prune", "stream_foreach_batch",
+    "udf_arrow_scalar",
     # r6 window follows (already recorded r06; keeps the window full):
     "fn_string_basic", "fn_string_regex", "fn_date_parts", "fn_date_arith",
     "fn_timestamp_unix", "fn_math", "fn_conditional", "fn_cast",

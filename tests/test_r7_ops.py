@@ -1044,3 +1044,11 @@ def test_foreach_batch_matches_batch_agg_and_is_rerunnable(spark):
         .collect()
     }
     assert a == direct
+
+
+def test_arrow_udf_uses_arrow_eval_not_pickle(spark):
+    # useArrow=True must plan as ArrowEvalPython — BatchEvalPython is
+    # the per-row pickle path the op exists to avoid
+    plan = formatted_plan(ALL["udf_arrow_scalar"].fn(spark, SF_DIR))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
