@@ -17,7 +17,37 @@ at 100 TB.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import shutil
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def files_fingerprint(paths) -> str:
+    """Content identity for a cache/layout directory derived from source
+    files: sha256 over each file's ABSOLUTE path + size + mtime_ns.
+    Embedding this in the directory name ties the cache to the bytes on
+    disk — a regenerated dataset, or two datasets sharing a basename,
+    can never be served a stale build (the r6-advice hazard). Shared by
+    the replay fixture cache and the DPP layout builder; callers add
+    their own version tag for slicing/schema changes."""
+    h = hashlib.sha256()
+    for p in sorted(os.path.abspath(x) for x in paths):
+        st = os.stat(p)
+        h.update(f"|{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
+def atomic_publish(build_dir: str, final_dir: str) -> None:
+    """Publish a COMPLETED build directory with one same-filesystem
+    rename: a concurrent reader sees either the whole artifact or a
+    cache miss, never a partially-populated directory. If another
+    builder won the race, its copy is complete — ours is discarded."""
+    try:
+        os.rename(build_dir, final_dir)
+    except OSError:
+        shutil.rmtree(build_dir, ignore_errors=True)
 
 # Decimal wide enough for sf0.1 sums with headroom; Long-backed (<=18 digits).
 _DEC = "decimal(18,6)"

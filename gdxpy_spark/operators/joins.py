@@ -797,52 +797,37 @@ def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dim and its filter are parquet-backed (a VALUES dim would
     constant-fold into a static predicate and dodge the machinery the
     query exists to exercise)."""
-    import hashlib
     import os
     import tempfile
+    import uuid
+
+    from gdxpy_spark.operators._util import atomic_publish, files_fingerprint
 
     od = table(spark, sf_dir, "orders")
-    # layout dir is content-addressed (full path + orders.parquet
-    # size/mtime), the replay-fixture discipline: a regenerated dataset
-    # or two datasets sharing a basename can never serve stale buckets
-    src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    fp = hashlib.sha256(
-        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}".encode()
-    ).hexdigest()[:16]
+    # layout dir is content-addressed on the source parquet and builds
+    # publish atomically — the shared replay-fixture discipline
+    # (_util.files_fingerprint / atomic_publish): a regenerated dataset
+    # can never serve stale partitions, a concurrent run never reads a
+    # half-written layout
+    fp = files_fingerprint([os.path.join(sf_dir, "orders.parquet")])
     base = os.path.join(
         tempfile.gettempdir(), "gdxpy_spark_io", "dpp",
         f"{os.path.basename(sf_dir.rstrip('/'))}_{fp}",
     )
-    # builds are ATOMIC (write to a private temp dir, publish with one
-    # rename — the replay-fixture discipline): a concurrent run either
-    # sees the complete layout or builds its own and loses the race
-    import uuid
-
     fact_dir, dim_dir = base + "/fact", base + "/dim"
     if not os.path.exists(fact_dir + "/_SUCCESS"):
         build = f"{fact_dir}.build_{uuid.uuid4().hex[:8]}"
         od.select(
             "o_orderkey", "o_totalprice", "o_orderstatus"
         ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(build)
-        try:
-            os.rename(build, fact_dir)
-        except OSError:  # lost the publish race; the other copy is whole
-            import shutil
-
-            shutil.rmtree(build, ignore_errors=True)
+        atomic_publish(build, fact_dir)
     if not os.path.exists(dim_dir + "/_SUCCESS"):
         build = f"{dim_dir}.build_{uuid.uuid4().hex[:8]}"
         spark.createDataFrame(
             [("F", "finished"), ("O", "open"), ("P", "pending")],
             "status STRING, label STRING",
         ).write.mode("overwrite").parquet(build)
-        try:
-            os.rename(build, dim_dir)
-        except OSError:
-            import shutil
-
-            shutil.rmtree(build, ignore_errors=True)
+        atomic_publish(build, dim_dir)
     fact = spark.read.parquet(fact_dir)
     dim = spark.read.parquet(dim_dir).filter(F.col("label") == "finished")
     return (

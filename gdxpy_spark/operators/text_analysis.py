@@ -777,9 +777,11 @@ def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the corpus-sized work is the token count (map-side partial
     agg on the shingle-free split); everything after is vocabulary-
-    sized. The bigint moment combine n·Σxy holds to ~10⁶ types at this
-    quantization; past that, promote the combine to decimal(38,0) on
-    both engines — same shape, wider lanes."""
+    sized. The per-type moments Σx, Σxy, Σx² are bigint partial sums
+    (safe: x,y ≤ ~1.4·10⁵ at this quantization), but the n-scaled
+    COMBINE n·Σx² wraps int64 already at ~10⁵ vocabulary types, so it
+    runs in 128-bit lanes — decimal(38,0) here, DuckDB's SUM(BIGINT)
+    is HUGEINT natively — the same discipline as agg_regression_ols."""
     from gdxpy_spark.operators._util import global_row_number
 
     docs = table(spark, sf_dir, "documents")
@@ -812,8 +814,10 @@ def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             (
                 F.round(
-                    (n * sxy - sx * sy).cast("double")
-                    / (n * sxx - sx * sx).cast("double"),
+                    (n.cast("decimal(38,0)") * sxy
+                     - sx.cast("decimal(38,0)") * sy).cast("double")
+                    / (n.cast("decimal(38,0)") * sxx
+                       - sx.cast("decimal(38,0)") * sx).cast("double"),
                     6,
                 )
                 + 0.0

@@ -17,7 +17,6 @@ like gdxpy_spark.tables.table does for batch.
 from __future__ import annotations
 
 import glob
-import hashlib
 import os
 import tempfile
 import threading
@@ -29,6 +28,7 @@ _REPLAY_LOCK = threading.Lock()
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from gdxpy_spark.operators._util import atomic_publish, files_fingerprint
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import configure, events_ts_encoding, table
 
@@ -70,18 +70,18 @@ def _write_batch_files(dfs: list[DataFrame], out: str) -> None:
 
 
 def _source_fingerprint(sf_dir: str) -> str:
-    """Content fingerprint of the replay's upstream data: full sf_dir
-    path + (size, mtime_ns) of every source parquet the fixtures are
-    sliced from (all replay fixtures derive from events.parquet; the
-    glob keeps this honest if that ever widens). Regenerating the
-    dataset in place, or two datasets sharing a directory basename,
-    therefore produce DIFFERENT cache keys — the stale-replay-vs-live-
-    oracle hazard the r6 advice flagged."""
-    h = hashlib.sha256(os.path.abspath(sf_dir).encode())
-    for p in sorted(glob.glob(os.path.join(sf_dir, "events*.parquet"))):
-        st = os.stat(p)
-        h.update(f"|{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}".encode())
-    return h.hexdigest()[:16]
+    """Content fingerprint of the replay's upstream data: identity +
+    (size, mtime_ns) of every source parquet the fixtures are sliced
+    from (all replay fixtures derive from events.parquet; the glob
+    keeps this honest if that ever widens). Regenerating the dataset in
+    place, or two datasets sharing a directory basename, therefore
+    produce DIFFERENT cache keys — the stale-replay-vs-live-oracle
+    hazard the r6 advice flagged. Delegates to the shared
+    _util.files_fingerprint (absolute paths carry the directory
+    identity)."""
+    return files_fingerprint(
+        glob.glob(os.path.join(sf_dir, "events*.parquet"))
+    )
 
 
 def _cached_fixture(name: str, sf_dir: str, n_files: int, build_dfs) -> str:
@@ -110,13 +110,7 @@ def _cached_fixture(name: str, sf_dir: str, n_files: int, build_dfs) -> str:
         dfs = build_dfs()
         assert len(dfs) == n_files
         _write_batch_files(dfs, build)
-        try:
-            os.rename(build, src)  # atomic publish (same filesystem)
-        except OSError:
-            # a concurrent builder won the rename; use its complete copy
-            import shutil
-
-            shutil.rmtree(build, ignore_errors=True)
+        atomic_publish(build, src)
     return src
 
 
