@@ -114,9 +114,11 @@ def main() -> None:
             spark.range(5_000_000).groupBy((_F.col("id") % 101).alias("g"))
             .agg(_F.sum("id"), _F.avg("id"), _F.count("*"))
         ),
+        # sum real columns, not count(*): a zero-column count never
+        # touches data pages, so it measured footer speed, not IO+decode
         "scan": _cal_probe(
             spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
-            .groupBy().count()
+            .agg(_F.sum("l_quantity"), _F.sum("l_extendedprice"))
         ),
         "bcast": _cal_probe(
             spark.range(1_000_000).join(

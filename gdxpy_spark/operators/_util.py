@@ -39,15 +39,41 @@ def files_fingerprint(paths) -> str:
     return h.hexdigest()[:16]
 
 
-def atomic_publish(build_dir: str, final_dir: str) -> None:
+def atomic_publish(build_dir, final_dir, is_complete=None) -> None:
     """Publish a COMPLETED build directory with one same-filesystem
     rename: a concurrent reader sees either the whole artifact or a
-    cache miss, never a partially-populated directory. If another
-    builder won the race, its copy is complete — ours is discarded."""
+    cache miss, never a partially-populated directory.
+
+    A failed rename is ambiguous: either a concurrent builder already
+    published a complete copy (discard ours), or the destination is a
+    STALE BROKEN dir — e.g. a /tmp cleaner aged out one file — which
+    the rename can never replace, so without repair every future run
+    would rebuild and then serve the broken cache anyway. Callers pass
+    `is_complete(dir) -> bool` so the broken case is detected: the
+    stale dir is atomically moved aside and the publish retried once.
+    A concurrent publisher winning at any step leaves a complete dir,
+    which the check accepts."""
+    import uuid as _uuid
+
     try:
         os.rename(build_dir, final_dir)
+        return
     except OSError:
-        shutil.rmtree(build_dir, ignore_errors=True)
+        pass
+    if is_complete is not None and not is_complete(final_dir):
+        trash = f"{final_dir}.stale_{_uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(final_dir, trash)
+        except OSError:
+            pass  # another repairer already moved it aside
+        else:
+            shutil.rmtree(trash, ignore_errors=True)
+        try:
+            os.rename(build_dir, final_dir)
+            return
+        except OSError:
+            pass  # a concurrent publisher won after the repair
+    shutil.rmtree(build_dir, ignore_errors=True)
 
 # Decimal wide enough for sf0.1 sums with headroom; Long-backed (<=18 digits).
 _DEC = "decimal(18,6)"
@@ -301,6 +327,9 @@ def global_running_sum(
     )
     return (
         local.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_lcum") + F.col("_voff")).cast("bigint"))
+        # no result cast: the sum keeps the value column's own aggregate
+        # type (bigint stays bigint, decimal stays decimal) — a blanket
+        # bigint cast would silently truncate decimal prefix sums
+        .withColumn(out_col, F.col("_lcum") + F.col("_voff"))
         .drop("_mid", "_pid", "_local", "_lcum", "_voff")
     )

@@ -358,19 +358,25 @@ GROUP BY o_orderpriority
 """
 
 
+# one spec shared by BOTH the build (write_bucketed) and the re-attach
+# DDL: if these ever drifted, a fresh session would declare a bucket
+# layout the files don't have and the exchange-free join would silently
+# mis-pair rows — Spark trusts declared bucketing without verifying it
+_BUCKET_KEY, _BUCKET_N = "o_orderkey", 8
+
+
 def _bucket_fingerprint(sf_dir: str) -> str:
     """Content fingerprint of the two fact files backing the bucketed
     tables, so a regenerated dataset can never be served stale buckets
-    (same discipline as the streaming replay fixture cache)."""
-    import hashlib
+    (delegates to the shared _util.files_fingerprint — same discipline
+    as the streaming replay fixture cache)."""
     import os
 
-    h = hashlib.sha256(os.path.abspath(sf_dir).encode())
-    for t in ("orders", "lineitem"):
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        st = os.stat(p)
-        h.update(f"|{t}:{st.st_size}:{st.st_mtime_ns}".encode())
-    return h.hexdigest()[:12]
+    from gdxpy_spark.operators._util import files_fingerprint
+
+    return files_fingerprint(
+        [os.path.join(sf_dir, f"{t}.parquet") for t in ("orders", "lineitem")]
+    )
 
 
 @register("join_bucketed_colocated", oracle=_BUCKETED_ORACLE, category="C")
@@ -415,11 +421,11 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         if os.path.exists(loc):
             spark.sql(
                 f"CREATE TABLE {name} ({ddl_cols}) USING PARQUET"
-                f" CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey)"
-                f" INTO 8 BUCKETS LOCATION '{loc}'"
+                f" CLUSTERED BY ({_BUCKET_KEY}) SORTED BY ({_BUCKET_KEY})"
+                f" INTO {_BUCKET_N} BUCKETS LOCATION '{loc}'"
             )
         else:
-            write_bucketed(build_df(), name, "o_orderkey")
+            write_bucketed(build_df(), name, _BUCKET_KEY, _BUCKET_N)
 
     _ensure(
         ob,
@@ -820,14 +826,24 @@ def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         od.select(
             "o_orderkey", "o_totalprice", "o_orderstatus"
         ).write.mode("overwrite").partitionBy("o_orderstatus").parquet(build)
-        atomic_publish(build, fact_dir)
+        atomic_publish(
+            build, fact_dir,
+            is_complete=lambda d: os.path.exists(
+                os.path.join(d, "_SUCCESS")
+            ),
+        )
     if not os.path.exists(dim_dir + "/_SUCCESS"):
         build = f"{dim_dir}.build_{uuid.uuid4().hex[:8]}"
         spark.createDataFrame(
             [("F", "finished"), ("O", "open"), ("P", "pending")],
             "status STRING, label STRING",
         ).write.mode("overwrite").parquet(build)
-        atomic_publish(build, dim_dir)
+        atomic_publish(
+            build, dim_dir,
+            is_complete=lambda d: os.path.exists(
+                os.path.join(d, "_SUCCESS")
+            ),
+        )
     fact = spark.read.parquet(fact_dir)
     dim = spark.read.parquet(dim_dir).filter(F.col("label") == "finished")
     return (

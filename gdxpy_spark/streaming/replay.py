@@ -110,7 +110,13 @@ def _cached_fixture(name: str, sf_dir: str, n_files: int, build_dfs) -> str:
         dfs = build_dfs()
         assert len(dfs) == n_files
         _write_batch_files(dfs, build)
-        atomic_publish(build, src)
+        atomic_publish(
+            build, src,
+            is_complete=lambda d: all(
+                os.path.exists(os.path.join(d, f"{i:03d}.parquet"))
+                for i in range(n_files)
+            ),
+        )
     return src
 
 

@@ -1052,3 +1052,38 @@ def test_arrow_udf_uses_arrow_eval_not_pickle(spark):
     plan = formatted_plan(ALL["udf_arrow_scalar"].fn(spark, SF_DIR))
     assert "ArrowEvalPython" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_atomic_publish_repairs_broken_destination(tmp_path):
+    import os
+    from gdxpy_spark.operators._util import atomic_publish
+
+    final = tmp_path / "cache"
+    final.mkdir()
+    (final / "000.parquet").write_text("old")  # 001 missing: broken
+
+    build = tmp_path / "cache.build_x"
+    build.mkdir()
+    (build / "000.parquet").write_text("new")
+    (build / "001.parquet").write_text("new")
+
+    def complete(d):
+        return all(
+            os.path.exists(os.path.join(d, f)) for f in
+            ("000.parquet", "001.parquet")
+        )
+
+    atomic_publish(str(build), str(final), is_complete=complete)
+    # the broken dir was replaced by the fresh complete build
+    assert complete(str(final))
+    assert (final / "000.parquet").read_text() == "new"
+    assert not build.exists()
+
+    # and a COMPLETE destination is left alone (concurrent-winner case)
+    build2 = tmp_path / "cache.build_y"
+    build2.mkdir()
+    (build2 / "000.parquet").write_text("loser")
+    (build2 / "001.parquet").write_text("loser")
+    atomic_publish(str(build2), str(final), is_complete=complete)
+    assert (final / "000.parquet").read_text() == "new"
+    assert not build2.exists()
