@@ -119,16 +119,25 @@ _ARTIFACT_PRIORITY = [
     "mm_audio_window", "src_csv_malformed", "fn_xml_extract",
     "set_union_by_name", "fn_hash_digests", "agg_bool_logic",
     "join_lateral_topn", "agg_weighted_avg", "join_null_safe",
-    "agg_skew_kurtosis", "fn_geo_haversine", "tpch_q18_shape",
-    "win_distinct_rolling", "llm_zipf_slope", "fn_format_strings",
-    "win_pareto_concentration", "llm_incremental_dedup",
-    "llm_embed_centroid", "agg_regression_ols", "win_median_rolling",
-    "agg_approx_topk", "fn_base64_binary", "agg_bitmask_sets",
+    # late-r7 additions, machinery-novel first: the ~50-row driver
+    # window cuts after ~17 of these, and a window slot spent on a
+    # distributed-plan op (DPP, foreachBatch, keyless range join,
+    # prefix-sum manifest) buys more independent evidence than one
+    # spent on a map-only scalar surface; the simple tail rotates into
+    # the next round's window, pytest/SELFCHECK-verified meanwhile
+    "agg_skew_kurtosis", "tpch_q18_shape", "win_distinct_rolling",
+    "llm_zipf_slope", "win_pareto_concentration",
+    "llm_incremental_dedup", "llm_embed_centroid",
+    "agg_regression_ols", "win_median_rolling",
     "src_parquet_nested_prune", "ts_fill_forward",
-    "win_time_range_frame", "agg_string_concat", "fn_regex_extract_all",
-    "join_range_bucketed", "join_asof_tolerance", "mm_shard_pack",
+    "win_time_range_frame", "join_range_bucketed",
+    "join_asof_tolerance", "mm_shard_pack",
     "join_dynamic_partition_prune", "stream_foreach_batch",
-    "udf_arrow_scalar",
+    "udf_arrow_scalar", "fn_geo_haversine", "fn_format_strings",
+    "fn_base64_binary", "agg_bitmask_sets", "agg_string_concat",
+    "fn_regex_extract_all",
+    # weak (rows-only) last: a window slot on it records no hash row
+    "agg_approx_topk",
     # r6 window follows (already recorded r06; keeps the window full):
     "fn_string_basic", "fn_string_regex", "fn_date_parts", "fn_date_arith",
     "fn_timestamp_unix", "fn_math", "fn_conditional", "fn_cast",
