@@ -804,3 +804,50 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("prios_csv"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register("agg_hll_rollup", oracle=None, category="D")
+def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE HLL SKETCH ROLLUP (DataSketches, Spark 4 hll_sketch_agg
+    / hll_union_agg) — distinct customers per order status AND overall,
+    where the overall number is NOT recomputed from raw data: it is the
+    UNION of the per-status sketches. That mergeability is the entire
+    100 TB cube story — leaf sketches are built once at ingest
+    (partial-aggregable, a few KB per group per partition across the
+    shuffle), and every rollup level above them is a cheap sketch
+    union over metadata-sized state, never a second pass over the
+    corpus; exact COUNT(DISTINCT) rollups can't compose this way
+    (distinct counts don't add).
+
+    WEAK by contract (sketch estimates are engine-specific; DuckDB has
+    no twin) with the two semantic pins in pytest: estimates within 2%
+    of exact at every level, and merge-then-estimate agrees with a
+    direct sketch over all rows within the sketch's own error band —
+    the union never loses items, but the union gadget re-estimates
+    through a different internal representation (HLL_8 accumulation),
+    so the two unbiased estimates of the same set differ by a few
+    last-register counts, NOT bitwise (measured: 1488 vs 1492 on
+    1.5k true; anyone asserting bitwise merge-equality is testing a
+    DataSketches implementation detail, not the rollup contract)."""
+    od = table(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("gdxps_hll_orders")
+    per = spark.sql(
+        """
+        SELECT o_orderstatus AS status,
+               hll_sketch_agg(o_custkey) AS sk
+        FROM gdxps_hll_orders GROUP BY o_orderstatus
+        """
+    )
+    per.createOrReplaceTempView("gdxps_hll_per")
+    return spark.sql(
+        """
+        SELECT status,
+               CAST(hll_sketch_estimate(sk) AS BIGINT) AS n_cust_est
+        FROM gdxps_hll_per
+        UNION ALL
+        SELECT 'ALL' AS status,
+               CAST(hll_sketch_estimate(hll_union_agg(sk)) AS BIGINT)
+                 AS n_cust_est
+        FROM gdxps_hll_per
+        """
+    )

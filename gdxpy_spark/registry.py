@@ -136,8 +136,8 @@ _ARTIFACT_PRIORITY = [
     "udf_arrow_scalar", "fn_geo_haversine", "fn_format_strings",
     "fn_base64_binary", "agg_bitmask_sets", "agg_string_concat",
     "fn_regex_extract_all",
-    # weak (rows-only) last: a window slot on it records no hash row
-    "agg_approx_topk",
+    # weak (rows-only) last: a window slot on them records no hash row
+    "agg_approx_topk", "agg_hll_rollup",
     # r6 window follows (already recorded r06; keeps the window full):
     "fn_string_basic", "fn_string_regex", "fn_date_parts", "fn_date_arith",
     "fn_timestamp_unix", "fn_math", "fn_conditional", "fn_cast",

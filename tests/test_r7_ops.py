@@ -1087,3 +1087,28 @@ def test_atomic_publish_repairs_broken_destination(tmp_path):
     atomic_publish(str(build2), str(final), is_complete=complete)
     assert (final / "000.parquet").read_text() == "new"
     assert not build2.exists()
+
+
+def test_hll_rollup_envelope_and_lossless_union(spark):
+    from gdxpy_spark.tables import table
+
+    rows = {r["status"]: r["n_cust_est"] for r in
+            ALL["agg_hll_rollup"].fn(spark, SF_DIR).collect()}
+    od = table(spark, SF_DIR, "orders")
+    exact = {r["o_orderstatus"]: r["n"] for r in
+             od.groupBy("o_orderstatus")
+             .agg(F.countDistinct("o_custkey").alias("n")).collect()}
+    exact["ALL"] = od.select("o_custkey").distinct().count()
+    assert set(rows) == set(exact)
+    for k in rows:
+        assert abs(rows[k] - exact[k]) <= max(2, exact[k] * 0.02), k
+    # merge soundness: union of per-status sketches estimates the same
+    # set as one direct sketch over all rows — within the sketch's own
+    # error band, NOT bitwise (the union gadget re-estimates through
+    # HLL_8; see the operator docstring)
+    od.createOrReplaceTempView("gdxps_hll_t")
+    direct = spark.sql(
+        "SELECT CAST(hll_sketch_estimate(hll_sketch_agg(o_custkey)) AS"
+        " BIGINT) AS e FROM gdxps_hll_t"
+    ).collect()[0]["e"]
+    assert abs(rows["ALL"] - direct) <= max(2, direct * 0.01)
