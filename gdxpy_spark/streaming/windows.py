@@ -782,3 +782,77 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").over(w).alias("trail_2d_sum"),
         F.count("*").over(w).alias("trail_2d_n"),
     )
+
+
+_SEASONAL_ORACLE = """
+WITH s AS (
+  SELECT event_id, event_type,
+         CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+         CAST(ROUND(value * 10) AS BIGINT) AS x
+  FROM events),
+p AS (
+  SELECT event_type, hod, COUNT(*) AS n, SUM(x) AS sx
+  FROM s GROUP BY event_type, hod)
+SELECT s.event_id, s.event_type, s.hod,
+       CAST(ROUND(CAST(CAST(p.sx AS DOUBLE) / p.n / 10
+                       AS DECIMAL(18,6)), 4) AS DOUBLE) + 0.0 AS hod_mean,
+       CAST(ROUND(CAST(CAST(s.x AS DOUBLE) / 10
+                       - CAST(p.sx AS DOUBLE) / p.n / 10
+                       AS DECIMAL(18,6)), 4) AS DOUBLE) + 0.0 AS residual
+FROM s JOIN p ON s.event_type = p.event_type AND s.hod = p.hod
+"""
+
+
+@register("ts_seasonal_profile", oracle=_SEASONAL_ORACLE, category="H")
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL PROFILE + RESIDUAL — the hour-of-day mean per event
+    type, and each event's deviation from its slot's mean: the
+    detrending step every drift monitor and anomaly detector runs
+    BEFORE thresholding (ts_zscore_anomaly on raw values alarms on
+    rush hour; on these residuals it alarms on genuinely unusual
+    values). Two-pass shape: a (type, hod)-keyed profile aggregate
+    over exact quantized-bigint sums — at most types×24 rows, a pure
+    broadcast — joined back onto the events scan; mean and residual
+    are fixed double expressions in identical association order on
+    both engines, so every residual hashes bitwise.
+
+    Scale: the profile is metadata-sized regardless of corpus size
+    (the groupBy partial-aggregates map-side down to types×24), the
+    join-back broadcasts it — the fact table never shuffles. The same
+    two-pass profile-then-broadcast shape carries any low-cardinality
+    seasonal key (day-of-week, month) at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.round(F.col("value") * 10).cast("bigint").alias("x"),
+    )
+    p = s.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx")
+    )
+    # raw-double ROUND(.,4) is engine-divergent exactly here: when n
+    # divides a power of 10 the true mean/residual TERMINATE at ≤6
+    # decimals, so the 4-decimal rounding sits on a half-way tie —
+    # route through DECIMAL(18,6) first (the money4 discipline): the
+    # conversion recovers the terminating value exactly and the
+    # decimal ROUND is identical on both engines
+    mean = F.col("sx").cast("double") / F.col("n") / 10
+    d6 = "decimal(18,6)"
+    return (
+        s.join(F.broadcast(p), ["event_type", "hod"])
+        .select(
+            "event_id",
+            "event_type",
+            "hod",
+            (
+                F.round(mean.cast(d6), 4).cast("double") + 0.0
+            ).alias("hod_mean"),
+            (
+                F.round(
+                    (F.col("x").cast("double") / 10 - mean).cast(d6), 4
+                ).cast("double")
+                + 0.0
+            ).alias("residual"),
+        )
+    )

@@ -1112,3 +1112,22 @@ def test_hll_rollup_envelope_and_lossless_union(spark):
         " BIGINT) AS e FROM gdxps_hll_t"
     ).collect()[0]["e"]
     assert abs(rows["ALL"] - direct) <= max(2, direct * 0.01)
+
+
+def test_seasonal_profile_residuals_center_and_plan_broadcasts(spark):
+    df = ALL["ts_seasonal_profile"].fn(spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    from collections import defaultdict
+
+    by_slot = defaultdict(list)
+    for r in rows:
+        by_slot[(r["event_type"], r["hod"])].append(r["residual"])
+        assert 0 <= r["hod"] <= 23
+    # residuals sum to ~0 within each (type, hour) slot by construction
+    for slot, res in by_slot.items():
+        assert abs(sum(res)) < 0.01 * len(res) + 0.01, slot
+    # the profile joins back as a broadcast: the events side must not
+    # shuffle for the join
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
