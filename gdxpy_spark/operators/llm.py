@@ -2644,3 +2644,68 @@ def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid"),
         )
     )
+
+
+_CARD_ORACLE = """
+WITH h AS (
+  SELECT source, lang, n_chars, sha256(text) AS th,
+         length(text) - length(replace(text, ' ', '')) + 1 AS ntok
+  FROM documents),
+d AS (
+  SELECT th, COUNT(*) AS copies FROM h GROUP BY th)
+SELECT h.source,
+       COUNT(*) AS n_docs,
+       SUM(h.n_chars) AS n_chars,
+       SUM(h.ntok) AS n_tokens,
+       COUNT(DISTINCT h.lang) AS n_langs,
+       COUNT(*) FILTER (WHERE d.copies > 1) AS n_dup_docs,
+       MIN(h.n_chars) AS min_chars,
+       MAX(h.n_chars) AS max_chars
+FROM h JOIN d ON h.th = d.th
+GROUP BY h.source
+"""
+
+
+@register("llm_corpus_card", oracle=_CARD_ORACLE, category="K")
+def llm_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATASET CARD — the per-source corpus composition report every
+    training-data release ships (and every mixture-weight decision
+    reads): doc/char/token counts, language spread, duplicate
+    exposure (docs whose content hash appears more than once ANYWHERE
+    in the corpus — cross-source duplication is precisely what a
+    per-source groupBy alone cannot see, hence the hash-level dup
+    rollup joined back before the source rollup), and the length
+    envelope. Token counts use the whitespace rule
+    (llm_token_wordcount's contract).
+
+    Scale: two hash aggs and one join, all keyed on the 32-byte
+    content hash or the source label; text never shuffles (the hash
+    ledger is the join key), and the dup ledger is the same artifact
+    llm_incremental_dedup maintains — a production card reads it, it
+    doesn't rescan the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.sha2("text", 256).alias("th"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", " ", ""))
+            + 1
+        ).alias("ntok"),
+    )
+    d = h.groupBy("th").agg(F.count("*").alias("copies"))
+    return (
+        h.join(d, "th")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("ntok").alias("n_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.count(F.when(F.col("copies") > 1, 1)).alias("n_dup_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )

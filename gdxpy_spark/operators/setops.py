@@ -194,3 +194,64 @@ def set_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", "lang"  # different column set AND order
     )
     return old_gen.unionByName(new_gen, allowMissingColumns=True)
+
+
+_RECONCILE_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+  WHERE o_orderkey % 97 <> 0),
+b AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 0.01
+              ELSE o_totalprice END AS v
+  FROM orders WHERE o_orderkey % 101 <> 0)
+SELECT CASE WHEN a.k IS NULL THEN 'only_b'
+            WHEN b.k IS NULL THEN 'only_a'
+            WHEN a.v = b.v THEN 'match'
+            ELSE 'value_mismatch' END AS status,
+       COUNT(*) AS n_keys
+FROM a FULL JOIN b ON a.k = b.k
+GROUP BY 1
+"""
+
+
+@register("set_reconcile_report", oracle=_RECONCILE_ORACLE, category="F")
+def set_reconcile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECONCILIATION REPORT — the migration/backfill validation every
+    pipeline cutover runs: two snapshots of the same keyed table (here:
+    deterministic fixture drift — each side drops a different key
+    slice, one side perturbs some values) classified per key into
+    only_a / only_b / match / value_mismatch and rolled up to counts.
+    One FULL OUTER join on the key + a CASE classifier + one tiny agg —
+    the declarative form auditors can read, instead of the four
+    separate anti/semi joins teams hand-write (Catalyst evaluates the
+    single shared join once; four hand-written joins scan both
+    snapshots four times).
+
+    Scale: one key-partitioned shuffle of (key, value) pairs per side;
+    the report is 4 rows. Value equality here is on stored doubles
+    (identical bits both engines); production reconciliations compare
+    a per-row content hash instead so wide rows still move only 40
+    bytes — the shape is unchanged."""
+    od = table(spark, sf_dir, "orders")
+    a = od.filter(F.col("o_orderkey") % 97 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("va")
+    )
+    b = od.filter(F.col("o_orderkey") % 101 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 0.01
+        ).otherwise(F.col("o_totalprice")).alias("vb"),
+    )
+    j = a.join(b, "k", "full")
+    status = (
+        F.when(F.col("va").isNull(), "only_b")
+        .when(F.col("vb").isNull(), "only_a")
+        .when(F.col("va") == F.col("vb"), "match")
+        .otherwise("value_mismatch")
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count("*").alias("n_keys"))
+    )

@@ -133,7 +133,7 @@ _ARTIFACT_PRIORITY = [
     "win_time_range_frame", "join_range_bucketed",
     "join_asof_tolerance", "mm_shard_pack",
     "join_dynamic_partition_prune", "stream_foreach_batch",
-    "ts_seasonal_profile",
+    "ts_seasonal_profile", "llm_corpus_card", "set_reconcile_report",
     "udf_arrow_scalar", "fn_geo_haversine", "fn_format_strings",
     "fn_base64_binary", "agg_bitmask_sets", "agg_string_concat",
     "fn_regex_extract_all",

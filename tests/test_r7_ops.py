@@ -1131,3 +1131,50 @@ def test_seasonal_profile_residuals_center_and_plan_broadcasts(spark):
     # shuffle for the join
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_corpus_card_totals_match_direct_counts(spark):
+    from gdxpy_spark.tables import table
+
+    rows = {r["source"]: r for r in
+            ALL["llm_corpus_card"].fn(spark, SF_DIR).collect()}
+    docs = table(spark, SF_DIR, "documents")
+    assert sum(r["n_docs"] for r in rows.values()) == docs.count()
+    # dup exposure agrees with the exact-dedup ledger
+    dups = (
+        docs.select(F.sha2("text", 256).alias("h"))
+        .groupBy("h").count().filter(F.col("count") > 1)
+    )
+    n_dup_docs_total = (
+        docs.select(F.sha2("text", 256).alias("h"))
+        .join(dups.select("h"), "h", "left_semi").count()
+    )
+    assert sum(r["n_dup_docs"] for r in rows.values()) == n_dup_docs_total
+    for r in rows.values():
+        assert r["min_chars"] <= r["max_chars"]
+        assert r["n_tokens"] >= r["n_docs"]  # every doc has >= 1 token
+
+
+def test_reconcile_report_counts_are_consistent(spark):
+    from gdxpy_spark.tables import table
+
+    rows = {r["status"]: r["n_keys"] for r in
+            ALL["set_reconcile_report"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {"only_a", "only_b", "match", "value_mismatch"}
+    n = table(spark, SF_DIR, "orders").count()
+    # every key appears exactly once across the four classes:
+    # total = |A ∪ B| = n - |dropped from both|
+    both_dropped = (
+        table(spark, SF_DIR, "orders")
+        .filter((F.col("o_orderkey") % 97 == 0)
+                & (F.col("o_orderkey") % 101 == 0)).count()
+    )
+    assert sum(rows.values()) == n - both_dropped
+    # mismatches are exactly the %89 perturbed keys present in both
+    want_mm = (
+        table(spark, SF_DIR, "orders")
+        .filter((F.col("o_orderkey") % 89 == 0)
+                & (F.col("o_orderkey") % 97 != 0)
+                & (F.col("o_orderkey") % 101 != 0)).count()
+    )
+    assert rows["value_mismatch"] == want_mm
