@@ -155,3 +155,62 @@ def filt_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                            WHERE c2.c_nationkey = c.c_nationkey)
         """
     )
+
+
+_PROFILE_ORACLE = """
+SELECT 'o_custkey' AS col_name,
+       COUNT(*) - COUNT(o_custkey) AS n_nulls,
+       COUNT(DISTINCT o_custkey) AS n_distinct,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       COUNT(*) - COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate',
+       COUNT(*) - COUNT(o_orderdate),
+       COUNT(DISTINCT o_orderdate),
+       strftime(MIN(o_orderdate), '%Y-%m-%d'),
+       strftime(MAX(o_orderdate), '%Y-%m-%d')
+FROM orders
+"""
+
+
+@register("proj_profile_stats", oracle=_PROFILE_ORACLE, category="B")
+def proj_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN PROFILE — per-column null count, exact distinct count, and
+    min/max (rendered to strings so mixed types share one report
+    schema): the ANALYZE TABLE / data-quality-profiling surface every
+    catalog and ingestion gate runs, and the numbers the optimizer's
+    own CBO statistics are made of. One aggregate job per column over
+    the same scan, unioned — Spark executes the three single-row
+    aggregates in parallel and the union is plan-level concatenation.
+
+    Scale: nulls/min/max are partial-aggregable (a handful of bytes
+    per partition); the exact distinct is the expensive term — a
+    production profiler swaps it for approx_count_distinct / the HLL
+    ledger (agg_approx_distinct / agg_hll_rollup are that path) once
+    columns get wide. The report is |columns| rows regardless of
+    corpus size."""
+    od = table(spark, sf_dir, "orders")
+
+    def profile(col: str, render) -> DataFrame:
+        return od.agg(
+            F.lit(col).alias("col_name"),
+            (F.count("*") - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("n_distinct"),
+            render(F.min(col)).alias("min_val"),
+            render(F.max(col)).alias("max_val"),
+        )
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    as_date = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    return (
+        profile("o_custkey", as_str)
+        .unionByName(profile("o_orderstatus", as_str))
+        .unionByName(profile("o_orderdate", as_date))
+    )

@@ -134,6 +134,7 @@ _ARTIFACT_PRIORITY = [
     "join_asof_tolerance", "mm_shard_pack",
     "join_dynamic_partition_prune", "stream_foreach_batch",
     "ts_seasonal_profile", "llm_corpus_card", "set_reconcile_report",
+    "proj_profile_stats",
     "udf_arrow_scalar", "fn_geo_haversine", "fn_format_strings",
     "fn_base64_binary", "agg_bitmask_sets", "agg_string_concat",
     "fn_regex_extract_all",
