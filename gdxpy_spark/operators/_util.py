@@ -73,6 +73,18 @@ def atomic_publish(build_dir, final_dir, is_complete=None) -> None:
             return
         except OSError:
             pass  # a concurrent publisher won after the repair
+    # Discarding our build is only safe if the destination is actually
+    # servable (a concurrent publisher won). If BOTH renames failed AND
+    # the destination is still incomplete (e.g. the stale dir could not
+    # be moved aside), deleting the build dir would discard the only
+    # complete copy and hand the caller a broken cache — raise instead
+    # so the caller fails loudly and the next run rebuilds.
+    if is_complete is not None and not is_complete(final_dir):
+        raise OSError(
+            f"atomic_publish: could not publish {build_dir} -> {final_dir} "
+            "and the destination is incomplete; refusing to discard the "
+            "only complete copy (build dir left in place)"
+        )
     shutil.rmtree(build_dir, ignore_errors=True)
 
 # Decimal wide enough for sf0.1 sums with headroom; Long-backed (<=18 digits).
@@ -125,8 +137,6 @@ def sql_money4(expr: str, alias: str) -> str:
     return f"CAST(ROUND(CAST(({expr}) AS DECIMAL(18,6)), 4) AS DOUBLE) AS {alias}"
 
 
-# monotonically_increasing_id's documented layout: partition id in the
-# upper 31 bits, per-partition record number in the lower 33.
 # --- bounded cache lifetimes -------------------------------------------------
 # Operators that cache an intermediate frame (blocked-Jaccard token
 # masks, LSH bucket signatures, IVF assignments) register it here; the
@@ -174,9 +184,6 @@ def word_shingles(tokens, k: int):
     return g
 
 
-_MID_LOCAL_MASK = (1 << 33) - 1
-
-
 def shuffle_partitions(spark) -> int:
     """spark.sql.shuffle.partitions as an int, falling back to
     defaultParallelism on platforms where the conf is non-numeric
@@ -187,78 +194,223 @@ def shuffle_partitions(spark) -> int:
         return spark.sparkContext.defaultParallelism
 
 
+# --- deterministic global order machinery ------------------------------------
+# global_row_number / global_running_sum used to derive partition ids
+# from monotonically_increasing_id's bit layout over a shared
+# repartitionByRange exchange, relying on exchange reuse to keep the
+# offsets branch and the output branch in agreement. Spark's contract
+# marks that id NONDETERMINISTIC: the identity argument survives only
+# as long as AQE replanning and stage recomputation after a fetch
+# failure preserve the exchange byte-for-byte — a guarantee Spark does
+# not make, and exactly the regime (executor loss, task retry) a 1000-
+# executor cluster lives in. r8 replaces it with a bucket id computed
+# FROM THE DATA: ordered boundary keys are collected once to the driver
+# (metadata-sized) and embedded as plan literals, so every task — on
+# any attempt, under any replan — assigns the same bucket to the same
+# row. Correctness no longer depends on which physical partition
+# computes a row, only on the row's own key.
+
+#: order spec: str (asc) | Column (asc) | (col, "asc"|"desc"[, "nulls_first"|"nulls_last"])
+#: Spark defaults apply: asc -> NULLS FIRST, desc -> NULLS LAST.
+
+
+def _norm_order_specs(order_cols):
+    specs = []
+    for item in order_cols:
+        desc, nulls_first = False, None
+        if isinstance(item, tuple):
+            col, *mods = item
+            for m in mods:
+                if m == "desc":
+                    desc = True
+                elif m == "asc":
+                    desc = False
+                elif m == "nulls_first":
+                    nulls_first = True
+                elif m == "nulls_last":
+                    nulls_first = False
+                else:
+                    raise ValueError(f"unknown order modifier {m!r}")
+        else:
+            col = item
+        if nulls_first is None:
+            nulls_first = not desc  # Spark defaults
+        col = F.col(col) if isinstance(col, str) else col
+        specs.append((col, desc, nulls_first))
+    return specs
+
+
+def _sort_orders(cols, specs):
+    out = []
+    for c, (_, desc, nf) in zip(cols, specs):
+        if desc:
+            out.append(c.desc_nulls_first() if nf else c.desc_nulls_last())
+        else:
+            out.append(c.asc_nulls_first() if nf else c.asc_nulls_last())
+    return out
+
+
+def _py_key_cmp(specs):
+    """Python comparator matching the Spark sort order. Used ONLY to
+    pick balanced boundaries from a collected sample — a collation
+    mismatch (e.g. non-ASCII strings) degrades balance, never
+    correctness, because bucket membership is decided Spark-side
+    against the same literals in every branch."""
+
+    def cmp(a, b):
+        for (va, vb), (_, desc, nf) in zip(zip(a, b), specs):
+            if va is None and vb is None:
+                continue
+            if va is None:
+                return -1 if nf else 1
+            if vb is None:
+                return 1 if nf else -1
+            try:
+                if va == vb:
+                    continue
+                r = -1 if va < vb else 1
+            except TypeError:  # incomparable in Python: balance-only, skip
+                continue
+            return -r if desc else r
+        return 0
+
+    return cmp
+
+
+def _collect_boundaries(keyed, key_names, specs, n_buckets):
+    """Up to n_buckets-1 ordered boundary key tuples, sampled from the
+    data and collected to the driver (metadata-sized: ~40·n_buckets
+    rows of the key projection). Returned boundaries are sorted in the
+    Spark order and deduplicated; [] is valid (single bucket)."""
+    import functools
+
+    n = keyed.count()
+    if n <= 1 or n_buckets <= 1:
+        return []
+    frac = min(1.0, (n_buckets * 40) / n)
+    rows = [
+        tuple(r) for r in keyed.select(*key_names).sample(False, frac, seed=7).collect()
+    ]
+    if len(rows) < 2:
+        return []
+    rows.sort(key=functools.cmp_to_key(_py_key_cmp(specs)))
+    step = len(rows) / n_buckets
+    bounds, prev = [], None
+    for i in range(1, n_buckets):
+        b = rows[min(int(i * step), len(rows) - 1)]
+        if b != prev:
+            bounds.append(b)
+            prev = b
+    return bounds
+
+
+def _col_after(col, b, desc, nulls_first):
+    """True iff col's value sorts STRICTLY AFTER literal b on this column."""
+    if b is None:
+        # null is the smallest (nulls_first) or largest (nulls_last) value
+        return col.isNotNull() if nulls_first else F.lit(False)
+    gt = (col < F.lit(b)) if desc else (col > F.lit(b))
+    gt = F.coalesce(gt, F.lit(False))  # null comparison -> not after, unless:
+    if not nulls_first:
+        gt = col.isNull() | gt
+    return gt
+
+
+def _tuple_after(cols, bvals, specs):
+    """Lexicographic 'key sorts strictly after boundary' over all columns."""
+    expr = F.lit(False)
+    for c, b, (_, desc, nf) in reversed(list(zip(cols, bvals, specs))):
+        expr = _col_after(c, b, desc, nf) | (c.eqNullSafe(F.lit(b)) & expr)
+    return expr
+
+
+def _bucket_pid(key_cols, specs, bounds):
+    """Deterministic bucket id: the number of boundaries the key sorts
+    strictly after. Monotone w.r.t. the total order by construction, a
+    pure literal expression (whole-stage codegen, no shuffle, identical
+    on every branch/attempt)."""
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + F.when(_tuple_after(key_cols, b, specs), 1).otherwise(0)
+    return pid.cast("int")
+
+
+def _keyed_with_pid(df, order_cols):
+    """Annotate df with _gk* key columns and the deterministic _gpid
+    bucket id; returns (annotated_df, sort_order_columns, key_names)."""
+    specs = _norm_order_specs(order_cols)
+    key_names = [f"_gk{i}" for i in range(len(specs))]
+    keyed = df.select("*", *[c.alias(n) for (c, _, _), n in zip(specs, key_names)])
+    key_cols = [F.col(n) for n in key_names]
+    bounds = _collect_boundaries(
+        keyed, key_names, specs, shuffle_partitions(df.sparkSession)
+    )
+    part = keyed.withColumn("_gpid", _bucket_pid(key_cols, specs, bounds))
+    return part, _sort_orders(key_cols, specs), key_names
+
+
+def _pid_offsets(per_pid_totals, total_expr_alias, total_col=None):
+    """Exclusive prefix offsets over the metadata-sized per-bucket
+    totals (≤ n_buckets rows): broadcast self-join, never a data
+    shuffle. Optionally carries the grand total so callers needing n
+    (percent_rank, cume_dist, ntile) skip a second full-table scan."""
+    prior = per_pid_totals.select(
+        F.col("_gpid").alias("_p2"), F.col(total_expr_alias).alias("_v2")
+    )
+    aggs = [
+        F.coalesce(
+            F.sum(F.when(F.col("_p2") < F.col("_gpid"), F.col("_v2"))), F.lit(0)
+        ).alias("_goff")
+    ]
+    if total_col is not None:
+        aggs.append(F.sum("_v2").alias(total_col))
+    return (
+        per_pid_totals.join(F.broadcast(prior), F.lit(True))
+        .groupBy("_gpid")
+        .agg(*aggs)
+    )
+
+
 def global_row_number(
     df: DataFrame, order_cols, out_col: str = "rn", total_col: str | None = None
 ) -> DataFrame:
     """Scalable global ROW_NUMBER() OVER (ORDER BY ...): the two-pass
-    partition-offset rank, with no single-partition exchange anywhere.
+    bucket-offset rank, with no single-partition exchange anywhere and
+    a bucket id that is a DETERMINISTIC FUNCTION OF THE ROW'S KEY.
 
     A plain `row_number().over(Window.orderBy(...))` funnels the whole
     table through ONE WindowExec task — the classic 100 TB killer. Here:
 
-    1. `repartitionByRange(N, ...)` on the sort key → partitions are
-       globally ordered (partition i's rows all sort before partition
-       i+1's);
-    2. `sortWithinPartitions` orders rows inside each partition;
-    3. each row's (partition, local row number) comes straight from
-       `monotonically_increasing_id`'s documented bit layout — no
-       WindowExec at all;
-    4. per-partition row counts (metadata-sized: one row per partition)
+    1. boundary keys are sampled once and embedded as literals; every
+       row's bucket id (_gpid) is computed from its own sort key by
+       comparing against those literals — order-monotone, replan-proof,
+       retry-proof (no monotonically_increasing_id, no reliance on
+       exchange reuse: any task on any attempt assigns the same bucket
+       to the same row);
+    2. local ranks come from a window PARTITIONED BY the bucket id —
+       parallel across buckets, one hash exchange, nothing single-task;
+    3. per-bucket row counts (metadata-sized: one row per bucket)
        self-join into cumulative start offsets, broadcast back, added.
 
-    The counts branch and the output branch must see the SAME physical
-    range partitioning (the range partitioner SAMPLES its boundaries, so
-    two independent materializations may not agree). r4 guaranteed that
-    with `localCheckpoint` — correct, but it pins a full second copy of
-    the table in executor storage, which at 100 TB is the dominant cost
-    of the whole operator. This version instead guarantees it by
-    construction:
-
-    - the partition count is pinned explicitly (REPARTITION_BY_NUM), so
-      AQE must preserve the exchange's partitioning exactly — it may not
-      coalesce the two consumers differently; and
-    - both branches are the identical exchange subtree, so exchange
-      reuse (plain ReuseExchange, or AQE stage reuse) materializes the
-      range shuffle ONCE and every consumer reads the same map output —
-      partition ids therefore agree across branches by identity, not by
-      luck. tests/test_plans.py::test_global_row_number_reuses_one_range_
-      exchange pins ReusedExchange in the executed plan, so a Spark
-      upgrade that stopped reusing would fail loudly instead of
-      silently mis-ranking.
-
-    The biggest structure any one task ever holds is one range partition;
-    the only driver-sized state is the counts aggregate; nothing is
-    cached or checkpointed. `order_cols` must be a total order (include
-    a unique tiebreak column) for the rank to be deterministic.
-    """
-    n_parts = shuffle_partitions(df.sparkSession)
-    part = (
-        df.repartitionByRange(n_parts, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
-        .withColumn("_local", F.col("_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK)))
-    )
-    counts = part.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    prior = counts.select(F.col("_pid").alias("_p2"), F.col("_cnt").alias("_c2"))
-    # cross join of two metadata-sized frames (≤ n_parts² rows): per pid,
-    # _off = rows in strictly-earlier partitions; optionally the grand
-    # total too — callers needing n (percent_rank, cume_dist, ntile) get
-    # it from this same aggregate instead of a second full-table scan.
-    aggs = [
-        F.coalesce(
-            F.sum(F.when(F.col("_p2") < F.col("_pid"), F.col("_c2"))), F.lit(0)
-        ).alias("_off")
-    ]
-    if total_col is not None:
-        aggs.append(F.sum("_c2").alias(total_col))
-    offsets = (
-        counts.join(F.broadcast(prior), F.lit(True)).groupBy("_pid").agg(*aggs)
-    )
+    Cost: one count + one sample pass for boundaries (metadata-sized
+    collect), then the counts branch and the window branch each compute
+    the input once — callers with an expensive upstream can cache it.
+    The biggest structure any one task holds is one bucket's rows.
+    `order_cols` must be a total order (include a unique tiebreak) for
+    the rank to be deterministic; specs are str/Column (asc) or
+    (col, "desc"[, "nulls_first"|"nulls_last"]) tuples.
+    tests/test_plans.py::test_global_row_number_deterministic_pid pins
+    AQE-on/off and fresh-recompute agreement plus the no-single-
+    partition-window property."""
+    part, sorders, key_names = _keyed_with_pid(df, order_cols)
+    w = Window.partitionBy("_gpid").orderBy(*sorders)
+    local = part.withColumn("_glocal", F.row_number().over(w))
+    counts = part.groupBy("_gpid").agg(F.count("*").alias("_cnt"))
+    offsets = _pid_offsets(counts, "_cnt", total_col)
     return (
-        part.join(F.broadcast(offsets), "_pid")
-        .withColumn(out_col, (F.col("_local") + F.col("_off") + 1).cast("bigint"))
-        .drop("_mid", "_pid", "_local", "_off")
+        local.join(F.broadcast(offsets), "_gpid")
+        .withColumn(out_col, (F.col("_glocal") + F.col("_goff")).cast("bigint"))
+        .drop("_gpid", "_glocal", "_goff", *key_names)
     )
 
 
@@ -278,58 +430,35 @@ def global_running_sum(
     df: DataFrame, order_cols, value_col: str, out_col: str = "cum"
 ) -> DataFrame:
     """Scalable global SUM(value) OVER (ORDER BY ...) — the distributed
-    PREFIX SUM, built on the same two-pass partition-offset machinery
-    as global_row_number (a plain unpartitioned running-sum window
-    would funnel the whole table through ONE WindowExec task):
+    PREFIX SUM, on the same deterministic bucket-offset machinery as
+    global_row_number (a plain unpartitioned running-sum window would
+    funnel the whole table through ONE WindowExec task):
 
-    1. one range shuffle on the sort key → globally ordered partitions,
-       partition ids assigned from monotonically_increasing_id's bit
-       layout exactly as in global_row_number (same exchange-reuse
-       guarantee: the offsets branch and the output branch consume the
-       IDENTICAL range-exchange subtree, so partition ids agree by
-       identity);
-    2. per-partition LOCAL running sums via a window PARTITIONED BY the
-       partition id — parallel across partitions (this costs one hash
-       exchange on _pid: Catalyst cannot see that rows are already
-       pid-clustered after step 1; an accepted single extra shuffle,
-       nothing single-task);
-    3. per-partition value totals (metadata-sized) → exclusive prefix
-       offsets via the same broadcast self-join → local + offset.
+    1. deterministic literal-boundary bucket id from the row's own sort
+       key (see global_row_number — no monotonically_increasing_id, no
+       exchange-reuse dependence; retry/replan-proof by construction);
+    2. per-bucket LOCAL running sums via a window PARTITIONED BY the
+       bucket id — parallel across buckets (one hash exchange);
+    3. per-bucket value totals (metadata-sized) → exclusive prefix
+       offsets via a broadcast self-join → local + offset.
 
     `order_cols` must be a total order for a deterministic result.
     `value_col` must be integral or decimal if the caller needs
     cross-engine exactness (float prefix sums are order-dependent)."""
-    n_parts = shuffle_partitions(df.sparkSession)
-    part = (
-        df.repartitionByRange(n_parts, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .withColumn("_pid", F.shiftrightunsigned("_mid", 33))
-        .withColumn("_local", F.col("_mid").bitwiseAND(F.lit(_MID_LOCAL_MASK)))
-    )
+    part, sorders, key_names = _keyed_with_pid(df, order_cols)
     w = (
-        Window.partitionBy("_pid")
-        .orderBy("_local")
+        Window.partitionBy("_gpid")
+        .orderBy(*sorders)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = part.withColumn("_lcum", F.sum(value_col).over(w))
-    totals = part.groupBy("_pid").agg(F.sum(value_col).alias("_vtot"))
-    prior = totals.select(F.col("_pid").alias("_p2"), F.col("_vtot").alias("_v2"))
-    offsets = (
-        totals.join(F.broadcast(prior), F.lit(True))
-        .groupBy("_pid")
-        .agg(
-            F.coalesce(
-                F.sum(F.when(F.col("_p2") < F.col("_pid"), F.col("_v2"))),
-                F.lit(0),
-            ).alias("_voff")
-        )
-    )
+    local = part.withColumn("_glcum", F.sum(value_col).over(w))
+    totals = part.groupBy("_gpid").agg(F.sum(value_col).alias("_vtot"))
+    offsets = _pid_offsets(totals, "_vtot")
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        local.join(F.broadcast(offsets), "_gpid")
         # no result cast: the sum keeps the value column's own aggregate
         # type (bigint stays bigint, decimal stays decimal) — a blanket
         # bigint cast would silently truncate decimal prefix sums
-        .withColumn(out_col, F.col("_lcum") + F.col("_voff"))
-        .drop("_mid", "_pid", "_local", "_lcum", "_voff")
+        .withColumn(out_col, F.col("_glcum") + F.col("_goff"))
+        .drop("_gpid", "_glcum", "_goff", *key_names)
     )

@@ -367,7 +367,7 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HISTOGRAM_ORACLE = """
 SELECT event_type,
        CAST(FLOOR(value / 5) AS BIGINT) AS bucket,
-       CAST(FLOOR(value / 5) AS BIGINT) * 5.0 AS bucket_lo,
+       CAST(CAST(FLOOR(value / 5) AS BIGINT) * 5.0 AS DOUBLE) AS bucket_lo,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events
 GROUP BY 1, 2, 3

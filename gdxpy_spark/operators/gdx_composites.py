@@ -45,7 +45,7 @@ def gdx_uel_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cust.select("c_mktsegment"))
         .distinct()
     )
-    return global_row_number(labels, [F.col("label").asc()], out_col="uel_id").select(
+    return global_row_number(labels, ["label"], out_col="uel_id").select(
         "uel_id", "label"
     )
 

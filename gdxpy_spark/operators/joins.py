@@ -395,8 +395,6 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The aggregate keeps the money column exact by summing 100-scaled
     BIGINT cents — partial-aggregable and bit-identical cross-engine."""
-    from gdxpy_spark.plans.layout import write_bucketed
-
     # v-tag: bump when the bucketed PROJECTION changes (the fingerprint
     # only tracks source data), so stale layouts can't be reused
     fp = "v2_" + _bucket_fingerprint(sf_dir)
@@ -408,9 +406,19 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         session must re-ATTACH the existing files as an external
         bucketed table (the catalog-owns-layout pattern; bucket file
         layout is deterministic for a fixed spec, so attaching another
-        session's output is sound) instead of rewriting, and only
-        build when no layout exists at all."""
+        session's output is sound) instead of rewriting.
+
+        Completeness discipline (r8, matching the DPP layout path): the
+        attach requires the committer's _SUCCESS marker — a crashed
+        partial build leaves a non-_SUCCESS dir which must NOT be
+        attached (it would silently serve truncated buckets). Builds go
+        to a temp location as an external table and are published with
+        atomic_publish, so a concurrent reader sees either the whole
+        layout or a rebuild, never a partial one."""
         import os
+        import uuid as _uuid
+
+        from gdxpy_spark.operators._util import atomic_publish
 
         if spark.catalog.tableExists(name):
             return
@@ -418,14 +426,29 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spark.sql.warehouse.dir", "spark-warehouse"
         ).removeprefix("file:")
         loc = os.path.join(wh, name)
-        if os.path.exists(loc):
-            spark.sql(
-                f"CREATE TABLE {name} ({ddl_cols}) USING PARQUET"
-                f" CLUSTERED BY ({_BUCKET_KEY}) SORTED BY ({_BUCKET_KEY})"
-                f" INTO {_BUCKET_N} BUCKETS LOCATION '{loc}'"
+
+        def complete(d: str) -> bool:
+            return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+        if not complete(loc):
+            tmp_name = f"{name}_build_{_uuid.uuid4().hex[:8]}"
+            build_loc = os.path.join(wh, tmp_name)
+            (
+                build_df()
+                .write.mode("overwrite")
+                .bucketBy(_BUCKET_N, _BUCKET_KEY)
+                .sortBy(_BUCKET_KEY)
+                .format("parquet")
+                .option("path", build_loc)
+                .saveAsTable(tmp_name)
             )
-        else:
-            write_bucketed(build_df(), name, _BUCKET_KEY, _BUCKET_N)
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")  # external: files stay
+            atomic_publish(build_loc, loc, is_complete=complete)
+        spark.sql(
+            f"CREATE TABLE {name} ({ddl_cols}) USING PARQUET"
+            f" CLUSTERED BY ({_BUCKET_KEY}) SORTED BY ({_BUCKET_KEY})"
+            f" INTO {_BUCKET_N} BUCKETS LOCATION '{loc}'"
+        )
 
     _ensure(
         ob,

@@ -1873,7 +1873,7 @@ def llm_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = global_row_number(
         docs,
-        [F.col("lang").asc(), F.col("_k").asc(), F.col("doc_id").asc()],
+        ["lang", "_k", "doc_id"],
         out_col="_rn",
     )
     stats = ranked.groupBy("lang").agg(
@@ -1929,7 +1929,7 @@ def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = global_row_number(
         docs,
-        [F.col("lang").asc(), F.col("_k").asc(), F.col("doc_id").asc()],
+        ["lang", "_k", "doc_id"],
         out_col="_rn",
     )
     stats = ranked.groupBy("lang").agg(
@@ -2649,7 +2649,7 @@ def llm_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CARD_ORACLE = """
 WITH h AS (
   SELECT source, lang, n_chars, sha256(text) AS th,
-         length(text) - length(replace(text, ' ', '')) + 1 AS ntok
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
   FROM documents),
 d AS (
   SELECT th, COUNT(*) AS copies FROM h GROUP BY th)
@@ -2689,10 +2689,11 @@ def llm_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_chars",
         F.sha2("text", 256).alias("th"),
-        (
-            F.length("text")
-            - F.length(F.regexp_replace("text", " ", ""))
-            + 1
+        # token rule = llm_token_wordcount's contract (count of NON-EMPTY
+        # whitespace-split tokens): the spaces+1 approximation disagrees
+        # on leading/trailing/double spaces and calls empty text 1 token
+        F.size(F.filter(F.split("text", " "), lambda x: x != F.lit(""))).cast(
+            "bigint"
         ).alias("ntok"),
     )
     d = h.groupBy("th").agg(F.count("*").alias("copies"))

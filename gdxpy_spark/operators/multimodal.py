@@ -476,7 +476,7 @@ def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.octet_length("media").cast("bigint").alias("n_bytes")
     )
     cum = global_running_sum(
-        media, [F.col("doc_id").asc()], "n_bytes", out_col="cum"
+        media, ["doc_id"], "n_bytes", out_col="cum"
     )
     budget = 65536
     start = F.col("cum") - F.col("n_bytes")

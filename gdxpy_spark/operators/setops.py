@@ -39,9 +39,9 @@ def sort_multi_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = global_row_number(
         od,
         [
-            F.col("null_status").asc_nulls_first(),
-            F.col("o_totalprice").desc_nulls_last(),
-            F.col("o_orderkey").asc(),
+            ("null_status", "asc", "nulls_first"),
+            ("o_totalprice", "desc", "nulls_last"),
+            "o_orderkey",
         ],
         out_col="rn",
     )

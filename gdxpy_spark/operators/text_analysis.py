@@ -792,7 +792,7 @@ def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
     )
     ranked = global_row_number(
-        freq, [F.col("freq").desc(), F.col("tok").asc()], out_col="rank"
+        freq, [("freq", "desc"), "tok"], out_col="rank"
     )
     pts = ranked.select(
         F.round(F.log(F.col("rank")) * 10000).cast("bigint").alias("x"),

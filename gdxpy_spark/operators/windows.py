@@ -99,7 +99,7 @@ def win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = table(spark, sf_dir, "orders")
     ranked = global_row_number(
         od,
-        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        ["o_totalprice", "o_orderkey"],
         out_col="rn",
         total_col="_n",  # n rides the rank's own partition-counts agg: no 2nd scan
     )
@@ -446,7 +446,7 @@ def win_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = global_running_sum(
         r,
-        [F.col("rev_cents").desc(), F.col("o_custkey").asc()],
+        [("rev_cents", "desc"), "o_custkey"],
         "rev_cents",
         out_col="cum",
     )

@@ -590,6 +590,33 @@ GROUP BY event_type
 """
 
 
+def _febatch_merge_fn(acc: str):
+    """The foreachBatch merge used by stream_foreach_batch, exposed at
+    module level so the idempotence contract is directly testable:
+    each micro-batch's partial aggregates land in their own
+    batch_id-named partition directory with OVERWRITE — the idempotence
+    key. foreachBatch is at-least-once; a retried batch REPLACES its
+    partials instead of appending a duplicate, so the serving
+    re-aggregate is invariant under redelivery (pinned by
+    tests/test_streaming.py::
+    test_foreach_batch_merge_is_idempotent_under_batch_retry)."""
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 10).cast("bigint")).alias(
+                    "sum_x"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(acc, f"batch_id={batch_id}"))
+        )
+
+    return merge
+
+
 @register("stream_foreach_batch", oracle=_FEB_ORACLE, category="H")
 def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch SINK — the escape hatch every production streaming
@@ -603,9 +630,14 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer pieces, the final state is independent of batch
     boundaries, delivery order, and parallelism — which is exactly why
     it can carry a full batch-SQL hash oracle, and why the same shape
-    survives at-least-once redelivery in production when the append is
-    keyed by (batch_id, group) for idempotence (noted, not needed
-    under this exactly-once local replay).
+    survives at-least-once redelivery: the partials are keyed by
+    batch_id — each micro-batch OVERWRITES its own batch_id-named
+    partition directory, so a batch retried after a partially
+    completed write REPLACES its partials instead of duplicating them
+    (foreachBatch is an at-least-once contract; a blind append would
+    silently inflate n_events/sum_x on any retry — the r8 hardening,
+    pinned by tests/test_streaming.py::
+    test_foreach_batch_merge_is_idempotent_under_batch_retry).
 
     Scale: per-batch work is one partial agg (map-side combined);
     accumulator grows by |event types| rows per batch and compacts on
@@ -621,19 +653,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _cached_fixture("febatch", sf_dir, 3, build_dfs)
     run = uuid.uuid4().hex[:8]
     acc = _replay_dir(f"febatch_acc_{run}")
-
-    def merge(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.groupBy("event_type")
-            .agg(
-                F.count("*").alias("n_events"),
-                F.sum(F.round(F.col("value") * 10).cast("bigint")).alias(
-                    "sum_x"
-                ),
-            )
-            .write.mode("append")
-            .parquet(acc)
-        )
+    merge = _febatch_merge_fn(acc)
 
     with _REPLAY_LOCK:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -653,6 +673,7 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.read.parquet(acc)
+        .drop("batch_id")
         .groupBy("event_type")
         .agg(
             F.sum("n_events").alias("n_events"),

@@ -105,6 +105,37 @@ def main() -> None:
         out[name] = rec
         spark.catalog.clearCache()
 
+    # Window-health stamp (r7 verdict ask #8): the same boot_id +
+    # calibration probes bench.py writes, so a future judge can compare
+    # the builder's generation window against the driver's without
+    # reconstructing it from BENCH files (the r07 hash-fails were
+    # adjudicated exactly this way — the driver's cpu probe read 2.4x
+    # degraded vs the builder/judge windows on the same boot).
+    from pyspark.sql import functions as _F
+
+    def _cal_probe(df):
+        best = None
+        for _ in range(3):
+            c0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best or 1e9, time.perf_counter() - c0)
+        return round(best, 4)
+
+    cal = {
+        "cpu": _cal_probe(
+            spark.range(5_000_000).groupBy((_F.col("id") % 101).alias("g"))
+            .agg(_F.sum("id"), _F.avg("id"), _F.count("*"))
+        ),
+        "scan": _cal_probe(
+            spark.read.parquet(os.path.join(args.sf_dir, "lineitem.parquet"))
+            .agg(_F.sum("l_quantity"), _F.sum("l_extendedprice"))
+        ),
+    }
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot_id = f.read().strip()[:8]
+    except OSError:
+        boot_id = "unknown"
     summary = {
         "total": len(out),
         "ok": n_ok,
@@ -112,6 +143,9 @@ def main() -> None:
         "failed": n_bad,
         "sf_dir": args.sf_dir,
         "wall_sec": round(time.time() - t0, 1),
+        "boot_id": boot_id,
+        "calibration": cal,
+        "generated_unix": int(time.time()),
     }
     with open(args.out, "w") as f:
         json.dump({"summary": summary, "queries": out}, f, indent=1)

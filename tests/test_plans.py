@@ -191,40 +191,93 @@ def test_gdx_scan_partitions_by_chunk(spark):
     assert len(parts) == f.n_chunks(f.find("acctbal"))
 
 
-def test_global_row_number_reuses_one_range_exchange(spark):
-    """global_row_number's counts branch and output branch MUST read the
-    same materialized range shuffle: the range partitioner samples its
-    boundaries, so two independent materializations of the exchange may
-    disagree and silently mis-rank. Since r5 the helper relies on
-    exchange reuse (not localCheckpoint) for that identity — this test
-    executes the plan and pins (a) ReusedExchange in the final plan,
-    (b) no checkpoint/cache materialization, and (c) the rank being
-    exactly 1..n on skewed input with AQE enabled."""
+def test_global_row_number_deterministic_pid(spark):
+    """global_row_number's r07 hardening: the bucket id must be a pure
+    function of the row's sort key (literal boundary comparisons), so
+    the offsets branch and the output branch agree on every attempt —
+    under AQE replanning, stage recomputation after executor loss, or
+    task retry. The old design derived pids from
+    monotonically_increasing_id over a shared range exchange and relied
+    on exchange reuse for cross-branch identity; Spark does not
+    guarantee that under replan/recompute. This test pins:
+    (a) rank exactly 1..n on skewed input, AQE on AND off;
+    (b) identical uid->rn mapping across AQE modes and across two
+        independent materializations of fresh plans (forced recompute:
+        nothing cached, every branch recomputed from source);
+    (c) no monotonically_increasing_id anywhere in the physical plan;
+    (d) no unpartitioned window, no checkpoint/cache materialization."""
     from pyspark.sql import functions as F
 
     from gdxpy_spark.operators._util import global_row_number
+    from gdxpy_spark.plans.inspect import has_unpartitioned_window
 
-    df = (
-        spark.range(0, 50_000)
-        .select((F.col("id") % 7).alias("k"), F.col("id").alias("uid"))
-        .union(
-            spark.range(0, 50_000).select(
-                F.lit(0).alias("k"), (F.col("id") + 50_000).alias("uid")
+    def build():
+        return (
+            spark.range(0, 50_000)
+            .select((F.col("id") % 7).alias("k"), F.col("id").alias("uid"))
+            .union(
+                spark.range(0, 50_000).select(
+                    F.lit(0).alias("k"), (F.col("id") + 50_000).alias("uid")
+                )
             )
         )
+
+    runs = []
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        for aqe in ("true", "false", "true"):
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            r = global_row_number(build(), ["k", "uid"])
+            rows = r.collect()
+            assert sorted(x.rn for x in rows) == list(range(1, len(rows) + 1))
+            runs.append({x.uid: x.rn for x in rows})
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert runs[0] == runs[1] == runs[2], (
+        "rank assignment changed across AQE modes / recomputation — "
+        "bucket ids are not a pure function of the data"
     )
-    r = global_row_number(df, [F.col("k").asc(), F.col("uid").asc()])
-    rows = r.collect()  # executes THIS QueryExecution (plan inspected below)
-    assert sorted(x.rn for x in rows) == list(range(1, len(rows) + 1))
+    r = global_row_number(build(), ["k", "uid"])
+    r.collect()
     final = r._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in final
-    assert "ReusedExchange" in final or "ReusedQueryStage" in final, (
-        "range exchange not reused across branches — partition ids may "
-        "diverge between the counts and output branches:\n" + final
+    assert "monotonically_increasing_id" not in final, (
+        "pid must come from literal boundary comparisons, not "
+        "monotonically_increasing_id:\n" + final
     )
+    assert not has_unpartitioned_window(r)
     assert "InMemoryTableScan" not in final and "Checkpoint" not in final, (
         "global_row_number must not materialize the table:\n" + final
     )
+
+
+def test_global_running_sum_deterministic_across_aqe_modes(spark):
+    """Same hardening pinned for the prefix sum: cum values must be
+    identical across AQE on/off and a fresh recompute, on input with
+    heavy duplicate sort-key prefixes (ties share buckets; the uid
+    tiebreak makes the order total)."""
+    from pyspark.sql import functions as F
+
+    from gdxpy_spark.operators._util import global_running_sum
+
+    def build():
+        return spark.range(0, 60_000).select(
+            (F.col("id") % 5).alias("k"),
+            F.col("id").alias("uid"),
+            (F.col("id") % 97).alias("v"),
+        )
+
+    runs = []
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        for aqe in ("true", "false", "true"):
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            rows = global_running_sum(build(), ["k", "uid"], "v").collect()
+            runs.append({x.uid: x.cum for x in rows})
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert runs[0] == runs[1] == runs[2]
+    # exactness: the final cum equals the total sum
+    assert max(runs[0].values()) == sum(i % 97 for i in range(60_000))
 
 
 def test_managed_caches_released_on_next_query_build(spark):

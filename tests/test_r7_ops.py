@@ -648,10 +648,12 @@ def test_zipf_slope_negative_and_counts_match(spark):
 
 
 def test_zipf_plan_has_no_single_partition_window(spark):
-    # the vocabulary rank must come from the two-pass global_row_number,
-    # never a WindowExec over one unpartitioned exchange
-    plan = formatted_plan(ALL["llm_zipf_slope"].fn(spark, SF_DIR))
-    assert "Window" not in plan, plan
+    # the vocabulary rank must come from the bucket-offset global_row_number:
+    # its local-rank window is PARTITIONED BY the bucket id, never a
+    # WindowExec over one unpartitioned exchange
+    from gdxpy_spark.plans.inspect import has_unpartitioned_window
+
+    assert not has_unpartitioned_window(ALL["llm_zipf_slope"].fn(spark, SF_DIR))
 
 
 def test_format_strings_contracts(spark):

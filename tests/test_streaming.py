@@ -185,3 +185,37 @@ def test_stateful_typed_equals_apply_in_pandas_twin(spark):
         for r in ALL["stream_stateful_running"].fn(spark, SF_DIR).collect()
     }
     assert typed == twin
+
+
+def test_foreach_batch_merge_is_idempotent_under_batch_retry(spark, tmp_path):
+    """foreachBatch is an AT-LEAST-ONCE contract: after a sink/driver
+    hiccup Spark re-invokes the user function with the SAME batch_id and
+    data. The merge must therefore be idempotent per batch_id — the r8
+    hardening keys every partial-aggregate write by batch_id and
+    OVERWRITES, so a redelivered batch replaces rather than duplicates
+    its partials. This test replays exactly that failure: merge(batch 0)
+    twice (retry), merge(batch 1) once, and asserts the served
+    re-aggregate equals the single-delivery truth — a blind append would
+    double batch 0's counts and sums."""
+    from gdxpy_spark.streaming.replay import _febatch_merge_fn
+
+    acc = str(tmp_path / "acc")
+    merge = _febatch_merge_fn(acc)
+    b0 = spark.createDataFrame(
+        [("click", 1.0), ("click", 2.2), ("view", 0.4)], "event_type string, value double"
+    )
+    b1 = spark.createDataFrame(
+        [("click", 5.0), ("scroll", 1.6)], "event_type string, value double"
+    )
+    merge(b0, 0)
+    merge(b0, 0)  # the retry: same batch_id, same data, delivered again
+    merge(b1, 1)
+    served = {
+        r["event_type"]: (r["n_events"], r["sum_x"])
+        for r in spark.read.parquet(acc)
+        .drop("batch_id")
+        .groupBy("event_type")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sum_x").alias("sum_x"))
+        .collect()
+    }
+    assert served == {"click": (3, 82), "view": (1, 4), "scroll": (1, 16)}

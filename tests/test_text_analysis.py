@@ -222,7 +222,7 @@ def test_ntile_closed_form_matches_window_all_remainders(spark):
                 F.cume_dist().over(w).alias("cd")).collect()
         }
         ranked = global_row_number(
-            df, [F.col("v").asc(), F.col("k").asc()], out_col="rn", total_col="_n"
+            df, ["v", "k"], out_col="rn", total_col="_n"
         )
         rn, nn = F.col("rn"), F.col("_n")
         big, r_ = F.floor(nn / 4) + 1, nn % 4
