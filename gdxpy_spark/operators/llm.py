@@ -478,8 +478,31 @@ def bitmask_jaccard_pairs(
     )
 
 
+def _pick_row_chunks(spark, pre_rows, min_cells: int = 1 << 22) -> int:
+    """Row-chunk count for the matmul path, from the already-collected
+    per-group metadata (nd = docs per group): C ≈ cores/G so the G·C
+    chunked groups fill the box instead of leaving cores idle behind G
+    serialized gemm+emission tasks. Gated on the total pair-work being
+    worth the C× token-transfer tax (tiny corpora keep C = 1), capped
+    at 16 (past the core count the extra replicas buy nothing). On a
+    1000-executor cluster the same arithmetic holds: G grows with the
+    corpus (length buckets are population-linear) while P =
+    shuffle_partitions grows with the cluster, so C degrades naturally
+    to 1 exactly when group-level parallelism already saturates."""
+    from gdxpy_spark.operators._util import shuffle_partitions
+
+    work = sum(r["nd"] * r["nd"] for r in pre_rows)
+    groups = sum(1 for r in pre_rows if r["nd"] > 1)
+    if not groups or work < min_cells:
+        return 1
+    return max(1, min(16, round(shuffle_partitions(spark) / groups)))
+
+
 def blocked_jaccard_pandas(
-    spark: SparkSession, doc_tokens: DataFrame, threshold: float
+    spark: SparkSession,
+    doc_tokens: DataFrame,
+    threshold: float,
+    n_chunks: int = 1,
 ) -> DataFrame:
     """Blocked exact set-Jaccard via per-bucket vectorized boolean matmul
     (the llm_cosine_pairs physical strategy applied to sets).
@@ -515,11 +538,44 @@ def blocked_jaccard_pandas(
     group — half the cells of the earlier probe-replica scheme, which
     evaluated the full (n0+n1)² block (r4 bench: 5.89 s / 4.43 s for
     the two blocked-Jaccard queries at sf0.1; the replica tax was
-    VERDICT r4 'what's wrong' #1)."""
+    VERDICT r4 'what's wrong' #1).
+
+    ROW CHUNKS (n_chunks > 1, r8): with G groups and one task per
+    group, G < cores leaves the rest of the box idle while the hot
+    groups' gemm AND their pair emission (the measured floor on
+    near-duplicative corpora: millions of Arrow rows per group)
+    serialize through G Python workers. Each doc is assigned one
+    deterministic row-chunk (pmod(xxhash64(doc_id), C)); docs are
+    replicated to every (bucket, chunk) group as COLUMNS, but act as
+    gemm ROWS only in their own chunk — so the per-pair evaluation rule
+    is unchanged and each unordered pair still forms exactly once (in
+    the row-doc's chunk), while gemm cells and emission spread over G·C
+    tasks. Cost: token transfer ×C (tokens are the small side — pair
+    output dominates by orders of magnitude on corpora where this
+    matters); blocked_jaccard_auto picks C ≈ cores/G from the same
+    metadata probe that routes bucket strategy, so the chunking is
+    load-adaptive, not a constant. Equality with the unchunked kernel
+    is pinned by tests/test_text_analysis.py::
+    test_blocked_jaccard_chunked_equals_unchunked."""
     import numpy as np
     import pandas as pd
 
     has_side = "side" in doc_tokens.columns
+    chunked = n_chunks > 1
+    if chunked:
+        cs = F.broadcast(
+            spark.range(n_chunks).select(F.col("id").cast("int").alias("_chunk"))
+        )
+        row_pred = (F.col("side") == 0) if has_side else F.lit(True)
+        doc_tokens = doc_tokens.crossJoin(cs).withColumn(
+            "_is_row",
+            row_pred
+            & (
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_chunks)).cast("int")
+                == F.col("_chunk")
+            ),
+        )
+    group_keys = ["bucket", "_chunk"] if chunked else ["bucket"]
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
@@ -561,32 +617,27 @@ def blocked_jaccard_pandas(
         # group (sf0.1 words@0.2: ~1.5 M from one group); halving the
         # bytes the dense pass touches was ~0.4 s/group of the kernel.
         loose = np.float32(threshold) - np.float32(1e-4)
-        if not has_side:
-            inter = B @ B.T
-            union = sizes[:, None] + sizes[None, :] - inter
-            keep = inter >= loose * union
-            keep &= np.triu(np.ones((n, n), dtype=bool), 1)
-            ka, kb = np.nonzero(keep)
-            jac = inter[ka, kb].astype(np.float64) / np.maximum(
-                union[ka, kb].astype(np.float64), 1.0
-            )
-            ex = jac >= threshold
-            return pd.DataFrame(
-                {
-                    "doc_a": ids[ka[ex]],
-                    "doc_b": ids[kb[ex]],
-                    "jaccard_raw": jac[ex],
-                }
-            )
-        side = pdf["side"].to_numpy(np.int64)[order]
-        i0 = np.flatnonzero(side == 0)
+        # gemm ROWS: side-0 docs (boundary groups), restricted to this
+        # chunk's row-owners when chunked; COLUMNS are always the whole
+        # group. The per-pair rule below fires each unordered pair in
+        # exactly one (group, row-doc) combination.
+        side = (
+            pdf["side"].to_numpy(np.int64)[order]
+            if has_side
+            else np.zeros(n, dtype=np.int64)
+        )
+        if chunked:
+            rowmask = pdf["_is_row"].to_numpy(bool)[order]
+        else:
+            rowmask = side == 0
+        i0 = np.flatnonzero(rowmask)
         if len(i0) == 0:
-            return empty  # bottom boundary group: only side-1 docs
-        # one gemm: rows = side-0 docs, cols = ALL docs in the group.
-        # Triangle rule on side-0 columns, unconditional on side-1 ones.
+            return empty  # e.g. bottom boundary group: only side-1 docs
         inter = B[i0] @ B.T
         union = sizes[i0][:, None] + sizes[None, :] - inter
         keep = inter >= loose * union
+        # triangle rule on side-0 columns (strict id order also kills
+        # self-pairs), unconditional on side-1 ones
         keep &= (side == 1)[None, :] | (ids[i0][:, None] < ids[None, :])
         ka, kb = np.nonzero(keep)
         jac = inter[ka, kb].astype(np.float64) / np.maximum(
@@ -603,7 +654,7 @@ def blocked_jaccard_pandas(
             }
         )
 
-    out = doc_tokens.groupBy("bucket").applyInPandas(
+    out = doc_tokens.groupBy(*group_keys).applyInPandas(
         pairs, "doc_a BIGINT, doc_b BIGINT, jaccard_raw DOUBLE"
     )
     # round in Spark, not numpy: Spark/DuckDB ROUND is HALF_UP, np.round
@@ -717,13 +768,22 @@ def blocked_jaccard_auto(
             .select("bucket", (F.col("nd") + F.col("nd1")).alias("nd"),
                     (F.col("ub") + F.col("ub1")).alias("ub"))
         )
-    maybe_big = pre.filter(
-        (F.col("nd") * F.col("ub") > F.lit(max_cells))
-        | (F.col("nd") * F.col("nd") > F.lit(max_cells))
-        | (F.col("ub") > F.lit(1 << 24))
-    ).limit(1).count()  # metadata-sized aggregate, one cheap job
+    # one cheap job: pre is one row per GROUP — metadata-sized by the
+    # blocking design. The collected rows answer BOTH routing questions:
+    # can any group be big (phase-B trigger), and how many groups carry
+    # pair work (the row-chunk parallelism pick).
+    pre_rows = pre.collect()
+    n_chunks = _pick_row_chunks(spark, pre_rows)
+    maybe_big = any(
+        r["nd"] * r["ub"] > max_cells
+        or r["nd"] * r["nd"] > max_cells
+        or r["ub"] > (1 << 24)
+        for r in pre_rows
+    )
     if not maybe_big:
-        return blocked_jaccard_pandas(spark, replicated, threshold)
+        return blocked_jaccard_pandas(
+            spark, replicated, threshold, n_chunks=n_chunks
+        )
 
     # phase B: sketch the TRUE per-bucket vocab over the exploded
     # stream (unreplicated: half the explode volume in native mode);
@@ -772,16 +832,18 @@ def blocked_jaccard_auto(
     ]
     if not big_buckets:
         # the common case: no routing join, no empty fallback branch
-        return blocked_jaccard_pandas(spark, replicated, threshold)
+        return blocked_jaccard_pandas(
+            spark, replicated, threshold, n_chunks=n_chunks
+        )
     small = replicated.filter(~F.col("bucket").isin(big_buckets)).select(
         "doc_id", "bucket", *side, "tokens"
     )
     big = replicated.filter(F.col("bucket").isin(big_buckets)).select(
         "doc_id", "bucket", *side, F.explode("tokens").alias("token")
     )
-    return blocked_jaccard_pandas(spark, small, threshold).unionByName(
-        bitmask_jaccard_pairs(spark, big, threshold)
-    )
+    return blocked_jaccard_pandas(
+        spark, small, threshold, n_chunks=n_chunks
+    ).unionByName(bitmask_jaccard_pairs(spark, big, threshold))
 
 
 @register("llm_length_blocking", oracle=_BLOCK_ORACLE, category="K")

@@ -553,3 +553,50 @@ def test_dedup_clusters_matches_recursive_closure(spark, duck):
     sdf = q.fn(spark, SF_DIR)
     rel = duck.execute(_CLUSTERS_ORACLE)
     assert_frames_match(sdf, rel, name="llm_dedup_clusters_closure")
+
+
+def test_blocked_jaccard_chunked_equals_unchunked(spark):
+    """Row-chunking (r8 intra-group parallelism) must not change the
+    pair set or any jaccard value — each unordered pair still forms
+    exactly once, in the row-doc's own chunk. Pinned in BOTH kernel
+    modes: plain same-bucket pairing and side-tagged adjacent-boundary
+    groups (via the native-mode auto entry, forcing several C values)."""
+    from gdxpy_spark.operators.llm import blocked_jaccard_pandas
+
+    docs = table(spark, SF_DIR, "documents")
+    arrays = docs.select(
+        "doc_id",
+        (F.col("n_chars") / 100).cast("bigint").alias("bucket"),
+        F.array_remove(F.array_distinct(F.split("text", " ")), "").alias("tokens"),
+    )
+    base = sorted(
+        tuple(r) for r in blocked_jaccard_pandas(spark, arrays, 0.2).collect()
+    )
+    assert len(base) > 0
+    for c in (2, 5):
+        chunked = sorted(
+            tuple(r)
+            for r in blocked_jaccard_pandas(spark, arrays, 0.2, n_chunks=c).collect()
+        )
+        assert chunked == base, f"n_chunks={c} changed the result"
+    # side-tagged mode: boundary groups with |Δbucket| ≤ 1 pairing
+    tagged = arrays.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("bucket").alias("bucket"), F.lit(0).alias("side")),
+                F.struct((F.col("bucket") - 1).alias("bucket"), F.lit(1).alias("side")),
+            )
+        ).alias("g"),
+        "tokens",
+    ).select("doc_id", F.col("g.bucket").alias("bucket"), F.col("g.side").alias("side"), "tokens")
+    sbase = sorted(
+        tuple(r) for r in blocked_jaccard_pandas(spark, tagged, 0.2).collect()
+    )
+    assert len(sbase) > len(base)  # adjacent pairs add to the triangle set
+    for c in (3,):
+        schunked = sorted(
+            tuple(r)
+            for r in blocked_jaccard_pandas(spark, tagged, 0.2, n_chunks=c).collect()
+        )
+        assert schunked == sbase, f"side mode n_chunks={c} changed the result"
