@@ -939,3 +939,36 @@ def fn_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "event_id", F.posexplode("nums").alias("pos", "num_str")
     )
+
+
+@register(
+    "fn_levenshtein",
+    oracle="""
+SELECT p_partkey,
+       CAST(levenshtein(p_brand, p_type) AS INT) AS lev,
+       CAST(CASE WHEN levenshtein(p_brand, p_type) <= 8
+                 THEN levenshtein(p_brand, p_type) ELSE -1 END
+            AS INT) AS lev_capped,
+       CAST(levenshtein(lower(p_brand), lower(p_type)) AS INT) AS lev_ci
+FROM part
+""",
+    category="G",
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance — the fuzzy-matching scalar both engines implement
+    natively (dynamic-programming Levenshtein): raw distance, a
+    threshold-capped variant (Spark's 3-arg levenshtein short-circuits
+    the DP band and returns -1 past the cap — the form to use in a
+    similarity-join prefilter, where most pairs are far apart and the
+    full O(len²) table is wasted work), and a case-folded variant.
+
+    Scale: map-only, scan-fused, whole-stage codegen; no shuffle. The
+    capped form is the one that matters at 100 TB — banded DP is
+    O(len·k) instead of O(len²)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").alias("lev"),
+        F.levenshtein("p_brand", "p_type", 8).alias("lev_capped"),
+        F.levenshtein(F.lower("p_brand"), F.lower("p_type")).alias("lev_ci"),
+    )

@@ -851,3 +851,69 @@ def agg_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM gdxps_hll_per
         """
     )
+
+
+_ENTROPY_ORACLE = """
+WITH per_user AS (
+  SELECT event_type, user_id, COUNT(*) AS c
+  FROM events GROUP BY event_type, user_id),
+terms AS (
+  SELECT event_type,
+         c,
+         CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS lnc_q
+  FROM per_user),
+g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         SUM(c) AS n,
+         SUM(c * lnc_q) AS s
+  FROM terms GROUP BY event_type)
+SELECT event_type, n_users, CAST(n AS BIGINT) AS n_events,
+       ROUND(ln(CAST(n AS DOUBLE))
+             - CAST(s AS DOUBLE) / (1000000.0 * n), 4) + 0.0 AS entropy
+FROM g
+"""
+
+
+@register("agg_entropy", oracle=_ENTROPY_ORACLE, category="D")
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each event type's user-activity distribution
+    (H = ln n − Σ c·ln c / n over per-user counts c) — the
+    concentration diagnostic for skew hunting: entropy near ln(n_users)
+    means traffic spreads evenly; near 0 means one user dominates the
+    key (the salting trigger). Cross-engine exactness via the zipf
+    discipline: ln(c) is quantized ONCE per (type, user) to a bigint,
+    the weighted sum is integer arithmetic (order-independent in both
+    engines), and only the final entropy is a rounded double.
+
+    Scale: two cascaded partial-aggregable groupBys (the second input
+    is one row per (type, user) — already shrunk); no window, no
+    driver state. The entropy itself is what tells you whether the
+    NEXT aggregation over this key needs salting."""
+    ev = table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    terms = per_user.select(
+        "event_type",
+        "c",
+        F.round(F.log(F.col("c").cast("double")) * 1_000_000)
+        .cast("bigint")
+        .alias("lnc_q"),
+    )
+    g = terms.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("lnc_q")).alias("s"),
+    )
+    return g.select(
+        "event_type",
+        "n_users",
+        F.col("n").cast("bigint").alias("n_events"),
+        (
+            F.round(
+                F.log(F.col("n").cast("double"))
+                - F.col("s").cast("double") / (1_000_000.0 * F.col("n")),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("entropy"),
+    )

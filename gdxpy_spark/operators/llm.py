@@ -2772,3 +2772,307 @@ def llm_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+_HASH_SAMPLE_ORACLE = """
+SELECT doc_id, lang, source, n_chars,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hkey
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+"""
+
+
+@register("llm_hash_sample", oracle=_HASH_SAMPLE_ORACLE, category="K")
+def llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform corpus sampling by key hash — the
+    reproducible alternative to df.sample(): keep a doc iff the first
+    16 bits of md5(doc_id) fall under the rate threshold (here
+    0x1999/0x10000 ≈ 9.98 %). Unlike seeded sample(), membership is a
+    pure function of the ROW, so the subset is identical across
+    engines, partitionings, retries, and cluster sizes — which is what
+    makes a "10 % eval slice" citable in a data card, lets two teams
+    draw the same slice without shipping row lists, and composes with
+    incremental ingestion (yesterday's members stay members). Both
+    engines evaluate the identical md5 hex prefix, so this carries a
+    full value-hash oracle rather than a rows-only check.
+
+    Scale: map-only, scan-fused, no shuffle; the filter pushes to the
+    scan and the sample rate holds per-partition (md5 is uniform), so
+    no skew is introduced downstream."""
+    docs = table(spark, sf_dir, "documents")
+    hkey = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return docs.select(
+        "doc_id", "lang", "source", "n_chars", hkey.alias("hkey")
+    ).filter(F.col("hkey") < "1999")
+
+
+_KEEP_BEST_ORACLE = """
+WITH h AS (
+  SELECT doc_id, lang, source, n_chars, sha256(text) AS text_hash
+  FROM documents),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY text_hash
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY text_hash) AS copies
+  FROM h)
+SELECT doc_id, lang, source, n_chars, text_hash,
+       CAST(copies AS BIGINT) AS copies
+FROM r WHERE rn = 1
+"""
+
+
+@register("llm_dedup_keep_best", oracle=_KEEP_BEST_ORACLE, category="K")
+def llm_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup that keeps the BEST copy, not an arbitrary one —
+    production dedup policy: among byte-identical texts keep the
+    longest-metadata / lowest-id copy (deterministic total order:
+    n_chars DESC, doc_id ASC) and carry the duplicate count for the
+    data card. The oracle states the policy as a per-hash window; the
+    engine computes the same argmax as ONE partial-aggregable
+    max(struct(n_chars, -doc_id)) — no WindowExec, no per-group row
+    ordering, map-side combinable, so a hot hash (a boilerplate page
+    duplicated millions of times at 100 TB) costs one struct compare
+    per row instead of a sorted partition. Only 32-byte hashes and the
+    kept row's metadata shuffle; text never does."""
+    docs = table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        F.sha2("text", 256).alias("text_hash"),
+    )
+    best = h.groupBy("text_hash").agg(
+        F.count("*").alias("copies"),
+        F.max(
+            F.struct(
+                F.col("n_chars"),
+                (-F.col("doc_id")).alias("neg_id"),
+                F.col("lang"),
+                F.col("source"),
+            )
+        ).alias("b"),
+    )
+    return best.select(
+        (-F.col("b.neg_id")).cast("bigint").alias("doc_id"),
+        F.col("b.lang").alias("lang"),
+        F.col("b.source").alias("source"),
+        F.col("b.n_chars").alias("n_chars"),
+        "text_hash",
+        "copies",
+    )
+
+
+_DOCFREQ_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '),
+                                                  x -> x <> ''))) AS token
+  FROM documents),
+df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tok GROUP BY token),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT token, doc_freq,
+       doc_freq >= 5 AND doc_freq <= CAST(0.6 * n_docs AS BIGINT) AS kept
+FROM df, n
+"""
+
+
+@register("llm_docfreq_prune", oracle=_DOCFREQ_ORACLE, category="K")
+def llm_docfreq_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary pruning by document frequency — the min_df/max_df
+    gate every TF-IDF / embedding vocabulary build applies: tokens in
+    fewer than 5 docs are noise (typos, ids), tokens in more than 60 %
+    of docs are corpus-wide stopwords; both are cut before the
+    vocabulary is frozen. Emits the full df table with the keep
+    verdict so downstream stages join against it.
+
+    Scale: per-doc distinct tokens explode map-side (array_distinct
+    before the explode — no per-doc duplicate traffic), one
+    partial-aggregable count shuffle on token; the n_docs scalar rides
+    a broadcast cross join (metadata-sized, no second scan of the
+    token stream). Hot tokens are count-only rows — no skew pressure."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_remove(F.array_distinct(F.split("text", " ")), "")
+        ).alias("token"),
+    )
+    df = tok.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    return df.join(F.broadcast(n), F.lit(True)).select(
+        "token",
+        "doc_freq",
+        (
+            (F.col("doc_freq") >= 5)
+            & (F.col("doc_freq") <= (F.lit(0.6) * F.col("n_docs")).cast("bigint"))
+        ).alias("kept"),
+    )
+
+
+_PPLX_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+freq AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+tot AS (SELECT SUM(c) AS t FROM freq),
+lp AS (
+  SELECT token, CAST(ROUND(ln(CAST(c AS DOUBLE) / t) * 1000000) AS BIGINT) AS nlp_q
+  FROM freq, tot),
+per_doc AS (
+  SELECT tok.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         SUM(lp.nlp_q) AS s
+  FROM tok JOIN lp USING (token)
+  GROUP BY tok.doc_id)
+SELECT doc_id, n_tokens,
+       ROUND(-CAST(s AS DOUBLE) / (1000000.0 * n_tokens), 4) + 0.0 AS xent
+FROM per_doc
+"""
+
+
+@register("llm_perplexity_proxy", oracle=_PPLX_ORACLE, category="K")
+def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram cross-entropy quality score — the cheap stand-in for an
+    LM-perplexity filter (CCNet's wikipedia-LM score, Gopher's repetition
+    gates): train a unigram model ON the corpus itself (token freq /
+    total), score each doc by mean −ln p(token), flag outliers upstream
+    of expensive training. Cross-engine exactness comes from the zipf
+    discipline: each token's log-prob is quantized ONCE to a bigint
+    (round(ln(c/T)·10⁶)) so the per-doc sum is integer arithmetic —
+    order-independent and identical in both engines; only the final
+    mean is a rounded double.
+
+    Scale: the model is one count shuffle; scoring joins the exploded
+    stream to the freq table on token (at 100 TB: freq table ≪ corpus,
+    sort-merge or broadcast by stats), then one per-doc partial agg.
+    No windows, no driver state, nothing quadratic."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("token"),
+    )
+    freq = tok.groupBy("token").agg(F.count("*").alias("c"))
+    tot = freq.agg(F.sum("c").alias("t"))
+    lp = freq.join(F.broadcast(tot), F.lit(True)).select(
+        "token",
+        F.round(F.log(F.col("c").cast("double") / F.col("t")) * 1_000_000)
+        .cast("bigint")
+        .alias("nlp_q"),
+    )
+    per_doc = (
+        tok.join(lp, "token")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"), F.sum("nlp_q").alias("s"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.round(-F.col("s").cast("double") / (1_000_000.0 * F.col("n_tokens")), 4)
+            + F.lit(0.0)
+        ).alias("xent"),
+    )
+
+
+def _pagerank_step_sql(prev: str, this: str) -> str:
+    """One unrolled PageRank step for the DuckDB oracle — integer
+    arithmetic only (see llm_graph_pagerank), so the oracle and the
+    engine agree bit-for-bit at every iteration."""
+    return f"""
+{this} AS (
+  SELECT nd.node,
+         (15 * (1000000000 // (SELECT cnt FROM n))) // 100
+         + (85 * COALESCE(SUM((rk.r * e.w) // o.wout), 0)) // 100 AS r
+  FROM nodes nd
+  LEFT JOIN edges e ON e.dst = nd.node
+  LEFT JOIN outw o ON o.src = e.src
+  LEFT JOIN {prev} rk ON rk.node = e.src
+  GROUP BY nd.node)"""
+
+
+_PAGERANK_ORACLE = (
+    """
+WITH seq AS (
+  SELECT event_type AS dst,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS src
+  FROM events),
+edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM seq WHERE src IS NOT NULL GROUP BY src, dst),
+outw AS (SELECT src, SUM(w) AS wout FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+n AS (SELECT COUNT(*) AS cnt FROM nodes),
+r0 AS (SELECT node, CAST(1000000000 // cnt AS BIGINT) AS r FROM nodes, n),"""
+    + ",".join(_pagerank_step_sql(f"r{i}", f"r{i+1}") for i in range(5))
+    + """
+SELECT node, CAST(r AS BIGINT) AS rank_q FROM r5
+"""
+)
+
+
+@register("llm_graph_pagerank", oracle=_PAGERANK_ORACLE, category="K")
+def llm_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank, 5 power iterations — the crawl-graph quality
+    signal pretraining pipelines weight documents by (RefinedWeb /
+    CommonCrawl practice: a page's rank in the link graph gates its
+    sampling probability). The graph here is the user-transition graph
+    mined from events (edge src→dst with weight = transition count, via
+    one LAG window per user — many users, distributed partitions);
+    semantics are standard damped PageRank, d = 0.85.
+
+    Cross-engine exactness WITHOUT float tolerance: ranks live as
+    bigint billionths; each contribution is (r·w) div wout and the
+    damping is (85·x) div 100 — pure integer arithmetic at every step,
+    so five chained iterations stay bit-identical in both engines (the
+    oracle unrolls the same five steps as CTEs). Truncation dust (a few
+    billionths per step) is the price of determinism and is identical
+    on both sides.
+
+    Scale: each iteration is one join edges⋈ranks on src (ranks is one
+    row per NODE — broadcast-sized relative to edges at any web scale)
+    + one partial-aggregable groupBy dst. Five rounds = five shuffles
+    of the EDGE-contribution stream; no driver-side state, no window
+    over the graph, plan depth bounded by the fixed iteration count
+    (the dedup_clusters lineage-cut pattern would apply past ~20
+    rounds)."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("dst"),
+        F.lag("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("src"),
+    )
+    edges = (
+        seq.filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    n = nodes.agg(F.count("*").alias("cnt"))
+    # base teleport mass and the initial uniform rank, in billionths;
+    # cnt rides a broadcast (metadata-sized) so plan build runs no job
+    nb = nodes.join(F.broadcast(n), F.lit(True))
+    r = nb.select(
+        "node", F.expr("1000000000 div cnt").cast("bigint").alias("r")
+    )
+    base = F.expr("(15 * (1000000000 div cnt)) div 100")
+    em = edges.join(outw, "src")
+    for _ in range(5):
+        contrib = (
+            em.join(r.select(F.col("node").alias("src"), "r"), "src")
+            .select("dst", F.expr("(r * w) div wout").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("sc"))
+        )
+        r = (
+            nb.join(contrib, nb.node == contrib.dst, "left")
+            .select(
+                "node",
+                (base + F.expr("(85 * coalesce(sc, 0)) div 100"))
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+    return r.select("node", F.col("r").alias("rank_q"))

@@ -298,3 +298,46 @@ def src_parquet_nested_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", F.col("cust.custkey").alias("nested_custkey")
         )
     )
+
+
+_BINFILES_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_hash
+FROM documents
+WHERE doc_id % 20 = 0
+"""
+
+
+@register("src_binary_files", oracle=_BINFILES_ORACLE, category="A")
+def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source — the ingestion format for raw multimodal
+    objects (images, audio, model shards): one opaque file per object,
+    read as (path, modificationTime, length, content BINARY). The
+    fixture materializes every 20th document's UTF-8 bytes as a file
+    named <doc_id>.bin; the query reads the directory back through the
+    binaryFile reader, recovers doc_id from the path, and proves
+    content integrity byte-for-byte (sha2 over the BINARY column
+    hash-matches sha256 of the source text in the oracle).
+
+    Scale: binaryFile splits BY FILE (one object = one task unit —
+    files never split mid-object, which is the correct unit for media
+    blobs), so a 100 TB media lake parallelizes by object count;
+    pathGlobFilter + partition-dir layout prune at the listing level.
+    The 1/20 projection here only bounds the local fixture; the plan
+    is identical at any fan-out."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    rows = docs.select("doc_id", "text").collect()  # fixture build only:
+    # bounded subset (1/20th), one-time write of the binary lake fixture
+    out = _tmpdir("binfiles")
+    for r in rows:
+        with open(os.path.join(out, f"{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    bf = spark.read.format("binaryFile").load(out)
+    return bf.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("content_hash"),
+    )

@@ -118,7 +118,10 @@ _ARTIFACT_PRIORITY = [
     "agg_string_concat", "fn_regex_extract_all",
     # (3) oracle tweaked in r8 (type-level): re-record
     "agg_histogram",
-    # (4) new in r8 — inserted here as they land:
+    # (4) new in r8 — no artifact row exists anywhere yet:
+    "stream_outer_join", "llm_graph_pagerank", "llm_perplexity_proxy",
+    "llm_dedup_keep_best", "llm_hash_sample", "llm_docfreq_prune",
+    "agg_entropy", "src_binary_files", "fn_levenshtein",
     # consumers of the hardened prefix-sum/global-rank machinery,
     # re-recorded so the determinism fix is driver-evidenced end-to-end:
     "llm_token_budget", "sort_multi_nulls", "win_ntile_pct",

@@ -680,3 +680,117 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_x").alias("sum_x"),
         )
     )
+
+
+_SOJ_ORACLE = """
+WITH e AS (
+  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type
+  FROM events WHERE event_type IN ('purchase', 'signup')),
+p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+s AS (SELECT * FROM e WHERE event_type = 'signup')
+SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+       p.user_id AS user_id
+FROM p LEFT JOIN s
+  ON p.user_id = s.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+"""
+
+
+@register("stream_outer_join", oracle=_SOJ_ORACLE, category="H")
+def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the attribution shape
+    (every purchase, with its in-window signup or NULL) that inner
+    stream joins can't express. Outer rows are the hard part of the
+    streaming surface: Spark may emit a NULL-side result only once the
+    watermark proves no match can still arrive, so an unmatched
+    purchase surfaces not when it is read but when the watermark passes
+    the end of its join window. On an unbounded stream that happens
+    continuously; in a bounded replay the LAST events' outer results
+    would sit in state forever (the watermark never advances past the
+    final batch). The fixture therefore appends FLUSH slices —
+    sentinel signups (user_id −1, never joinable) timestamped 10/20/30
+    days past the data horizon — whose only job is to advance the
+    watermark so state drains; production backfills end with exactly
+    this kind of high-watermark barrier. THREE staggered flush files
+    are needed, not one: the watermark a micro-batch evicts with is
+    computed from the batches BEFORE it, and availableNow stops after
+    the last data batch without running a no-data eviction batch — so
+    the last flush file must arrive in a batch strictly after an
+    earlier flush already advanced the watermark past the horizon
+    (with maxFilesPerTrigger=2 and 4+3 files: (f0,f1),(f2,f3),
+    (fl1,fl2),(fl3) — batch 4 evicts with fl2's watermark). The
+    losslessness argument for the inner join (ts-ordered slices; see
+    stream_stream_join) covers matched rows; the flush barrier covers
+    every outer row — so the drained sink equals the batch LEFT JOIN,
+    hash-exact, sentinels excluded by construction (a left-side-less
+    signup never emits from a LEFT join).
+
+    Scale: identical state bounds to the inner join — the watermark
+    caps per-key state at the interval + delay horizon regardless of
+    stream length; outer-row emission adds no state, only a deferred
+    scan of expiring buckets."""
+    n_files = 4
+
+    def build_dfs():
+        raw = _raw_events(spark, sf_dir).filter(
+            F.col("event_type").isin("purchase", "signup")
+        )
+        lo, hi = raw.agg(F.min("ts"), F.max("ts")).first()
+        span = (hi - lo) // n_files + 1
+        slices = [
+            raw.filter(F.floor((F.col("ts") - F.lit(lo)) / F.lit(span)) == i)
+            for i in range(n_files)
+        ]
+        # each flush point carries BOTH event types: Catalyst pushes the
+        # per-branch type filters BELOW the (per-branch) watermark
+        # collection, and the global watermark is the MIN across
+        # branches — a signup-only sentinel would advance only the
+        # signup branch's watermark while the purchase branch (and so
+        # the min) stayed at the data horizon, never releasing the tail
+        # outer rows (observed: srcrows=0 for the flush batch in the
+        # join plan vs 2 in a plain scan of the same fixture)
+        flushes = [
+            spark.createDataFrame(
+                [
+                    (-1 - 2 * k, hi + (k + 1) * 10 * 86_400 * 1_000_000_000,
+                     -1, "purchase", 0.0, "{}"),
+                    (-2 - 2 * k, hi + (k + 1) * 10 * 86_400 * 1_000_000_000,
+                     -1, "signup", 0.0, "{}"),
+                ],
+                _RAW_SCHEMA,
+            )
+            for k in range(3)
+        ]
+        return slices + flushes
+
+    src = _cached_fixture("souterjoin_v3", sf_dir, n_files + 3, build_dfs)
+    configure(spark)
+    ev = (
+        spark.readStream.schema(_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .withColumn("ts", _ts_col())
+        .withWatermark("ts", "2 hours")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").alias("p")
+    s = ev.filter(F.col("event_type") == "signup").alias("s")
+    joined = p.join(
+        s,
+        (F.col("p.user_id") == F.col("s.user_id"))
+        & (F.col("p.ts") >= F.col("s.ts"))
+        & (F.col("p.ts") <= F.col("s.ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        F.col("p.event_id").alias("purchase_id"),
+        F.col("s.event_id").alias("signup_id"),
+        F.col("p.user_id").alias("user_id"),
+    )
+    # sentinel exclusion happens BATCH-side, on the drained sink: an
+    # in-stream filter on user_id would be pushed below the purchase
+    # branch's watermark collection exactly like the type filters,
+    # re-silencing the sentinels it exists to tolerate. The sentinels
+    # are join-inert for real rows by construction (10 days past the
+    # horizon; they only match each other, eagerly, as inner pairs).
+    return _drain_to_memory(spark, joined, "souterjoin").filter(
+        F.col("user_id") >= 0
+    )
