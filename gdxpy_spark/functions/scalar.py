@@ -972,3 +972,35 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_brand", "p_type", 8).alias("lev_capped"),
         F.levenshtein(F.lower("p_brand"), F.lower("p_type")).alias("lev_ci"),
     )
+
+
+@register(
+    "fn_char_jaccard",
+    oracle="""
+SELECT p_partkey,
+       jaccard(lower(p_name), lower(p_brand)) AS sim
+FROM part
+""",
+    category="G",
+)
+def fn_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-set Jaccard similarity — DuckDB ships it as the
+    `jaccard` scalar; Spark has no native equivalent, so the engine
+    composes it from higher-order array functions (split to chars →
+    distinct → intersect/union cardinalities), staying JVM-side and
+    codegen-friendly — the pattern for porting any set-algebra scalar
+    a dialect lacks. The ratio is an exact small-integer division, so
+    the comparison needs no rounding tolerance.
+
+    Scale: map-only over bounded-length strings; no shuffle."""
+    p = table(spark, sf_dir, "part")
+    ca = F.array_distinct(F.split(F.lower("p_name"), ""))
+    cb = F.array_distinct(F.split(F.lower("p_brand"), ""))
+    ca = F.array_remove(ca, "")
+    cb = F.array_remove(cb, "")
+    inter = F.size(F.array_intersect(ca, cb)).cast("double")
+    union = F.size(F.array_union(ca, cb)).cast("double")
+    return p.select(
+        "p_partkey",
+        (inter / union).alias("sim"),
+    )

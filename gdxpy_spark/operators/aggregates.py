@@ -917,3 +917,96 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("entropy"),
     )
+
+
+_CORR_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY user_id, event_type),
+users AS (SELECT DISTINCT user_id FROM events),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (
+  SELECT u.user_id, t.event_type, COALESCE(c.c, 0) AS c
+  FROM users u CROSS JOIN types t
+  LEFT JOIN counts c ON c.user_id = u.user_id AND c.event_type = t.event_type),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(a.c) AS sx, SUM(b.c) AS sy, SUM(a.c * b.c) AS sxy,
+         SUM(a.c * a.c) AS sxx, SUM(b.c * b.c) AS syy
+  FROM grid a JOIN grid b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type)
+SELECT type_a, type_b, n,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) + 0.0 AS corr
+FROM p
+"""
+
+
+@register("agg_corr_pairs", oracle=_CORR_ORACLE, category="D")
+def agg_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event types' per-user
+    activity — the co-engagement matrix behind "users who purchase also
+    click". The naive corr() aggregate is FLOAT-SUM ORDER-DEPENDENT and
+    silently wrong on densification (a user with zero purchases must
+    enter the purchase series as 0, which an inner pivot drops); here
+    both are fixed structurally: the user × type grid is densified with
+    explicit zeros, every moment (Σx, Σy, Σxy, Σx², Σy²) is an INTEGER
+    sum of bigint counts — order-independent, engine-exact — and only
+    the final closed-form corr is one double expression evaluated on
+    identical integers in both engines (factors cast to double before
+    multiplying: n·Σx² terms overflow bigint at ~10⁹ users · large
+    counts, and IEEE mul/div/sqrt on equal inputs is deterministic).
+
+    Scale: counts is one partial-agg shuffle; the grid is |users|×|types|
+    rows (types is a broadcast of a handful of rows); the pair join is
+    a self-join on user_id — co-partitioned, |types|² fan-out per user,
+    partial-aggregated map-side before the final |types|² row result."""
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(counts, ["user_id", "event_type"], "left")
+        .select("user_id", "event_type", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    a = grid.select(
+        "user_id", F.col("event_type").alias("type_a"), F.col("c").alias("ca")
+    )
+    b = grid.select(
+        "user_id", F.col("event_type").alias("type_b"), F.col("c").alias("cb")
+    )
+    p = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("ca").alias("sx"),
+            F.sum("cb").alias("sy"),
+            F.sum(F.col("ca") * F.col("cb")).alias("sxy"),
+            F.sum(F.col("ca") * F.col("ca")).alias("sxx"),
+            F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return p.select(
+        "type_a",
+        "type_b",
+        "n",
+        (
+            F.round(
+                (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+                / F.sqrt(
+                    (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                    * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("corr"),
+    )

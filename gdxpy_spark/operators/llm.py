@@ -3076,3 +3076,92 @@ def llm_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select("node", F.col("r").alias("rank_q"))
+
+
+@register("llm_bpe_train", oracle=None, category="K")
+def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich 2016) — 10 merge rounds learned
+    from the corpus itself; the inventory's llm_token_bpe applies a
+    fixed tokenization, this op LEARNS the merge table every real
+    pipeline ships alongside its dataset. Each round: count adjacent
+    symbol pairs weighted by word frequency, merge the most frequent
+    pair corpus-wide (deterministic tie-break: count DESC, then left,
+    then right symbol), rewrite symbol sequences greedily
+    left-to-right. Output is the merge table (step, left, right,
+    pair_count) — deterministic end-to-end, pinned against a pure-
+    Python reference BPE in tests/test_r8_ops.py (no SQL oracle: ten
+    argmax-then-rewrite rounds are not expressible as one DuckDB query,
+    so this is rows-only in the driver ledger by declared contract).
+
+    Scale: the working frame is the WORD-FREQUENCY table, not the
+    corpus — one groupBy(word) shrinks 100 TB of text to a vocabulary
+    (Heaps' law: sublinear in corpus size) and every subsequent round
+    runs on (word, freq, symbols) rows. Pair counting is one
+    partial-aggregable shuffle per round; the argmax is orderBy+limit(1)
+    (TopK, no global sort); the rewrite is a per-row JVM higher-order
+    fold (F.aggregate), no Python. localCheckpoint after each rewrite
+    bounds plan depth (10 nested lambda layers otherwise) at a
+    vocab-sized — never corpus-sized — materialization."""
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .withColumn("syms", F.split("word", ""))
+        .withColumn("syms", F.filter("syms", lambda s: s != F.lit("")))
+    )
+    words = words.localCheckpoint(eager=False)
+
+    merges = []
+    for step in range(10):
+        pairs = (
+            words.select(
+                "freq",
+                F.explode(
+                    F.when(
+                        F.size("syms") >= 2,
+                        F.transform(
+                            F.slice("syms", 1, F.size("syms") - 1),
+                            lambda s, i: F.struct(
+                                s.alias("l"),
+                                F.element_at(
+                                    F.col("syms"), (i + 2).cast("int")
+                                ).alias("r"),
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+                ).alias("p"),
+            )
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.col("cnt").desc(), F.col("l").asc(), F.col("r").asc()
+        ).limit(1).collect()
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((step, l, r, int(cnt)))
+        merged = l + r
+        words = words.withColumn(
+            "syms",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(l))
+                    & (x == F.lit(r)),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        ).localCheckpoint(eager=False)
+    return spark.createDataFrame(
+        merges, "step INT, left STRING, right STRING, pair_count BIGINT"
+    )

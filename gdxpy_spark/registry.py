@@ -122,6 +122,7 @@ _ARTIFACT_PRIORITY = [
     "stream_outer_join", "llm_graph_pagerank", "llm_perplexity_proxy",
     "llm_dedup_keep_best", "llm_hash_sample", "llm_docfreq_prune",
     "agg_entropy", "src_binary_files", "fn_levenshtein",
+    "ts_calendar_join", "agg_corr_pairs", "fn_char_jaccard",
     # consumers of the hardened prefix-sum/global-rank machinery,
     # re-recorded so the determinism fix is driver-evidenced end-to-end:
     "llm_token_budget", "sort_multi_nulls", "win_ntile_pct",

@@ -717,8 +717,8 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last data batch without running a no-data eviction batch — so
     the last flush file must arrive in a batch strictly after an
     earlier flush already advanced the watermark past the horizon
-    (with maxFilesPerTrigger=2 and 4+3 files: (f0,f1),(f2,f3),
-    (fl1,fl2),(fl3) — batch 4 evicts with fl2's watermark). The
+    (with maxFilesPerTrigger=3 and 4+3 files: (f0,f1,f2),(f3,fl1,fl2),
+    (fl3) — the final batch evicts with fl2's watermark). The
     losslessness argument for the inner join (ts-ordered slices; see
     stream_stream_join) covers matched rows; the flush barrier covers
     every outer row — so the drained sink equals the batch LEFT JOIN,
@@ -767,7 +767,12 @@ def stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure(spark)
     ev = (
         spark.readStream.schema(_RAW_SCHEMA)
-        .option("maxFilesPerTrigger", "2")
+        # 3 files/trigger over 4+3 files → (f0,f1,f2),(f3,fl1,fl2),(fl3):
+        # still a genuine multi-batch stateful replay (join state crosses
+        # two batch boundaries) and the last batch still evicts with a
+        # flush-advanced watermark, at 3 micro-batch checkpoints instead
+        # of 4 (per-batch state checkpointing is the replay's fixed cost)
+        .option("maxFilesPerTrigger", "3")
         .parquet(src)
         .withColumn("ts", _ts_col())
         .withWatermark("ts", "2 hours")

@@ -856,3 +856,65 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+_CALENDAR_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS lo,
+         CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) AS hi
+  FROM events),
+cal AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds),
+e AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, event_id, user_id
+  FROM events)
+SELECT cal.day,
+       isodow(cal.day) <= 5 AS is_business,
+       CAST(COUNT(e.event_id) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM cal LEFT JOIN e ON e.day = cal.day
+GROUP BY cal.day
+"""
+
+
+@register("ts_calendar_join", oracle=_CALENDAR_ORACLE, category="F")
+def ts_calendar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension join — the reporting primitive a bare GROUP BY
+    date gets wrong: days with ZERO events must still appear (a gap in
+    the fact table is a business fact, not a missing row), and each day
+    carries derived calendar attributes (ISO weekday → business-day
+    flag). The dim is GENERATED in-plan from the fact's own bounds
+    (sequence + explode of a 2-row aggregate) — no calendar file to
+    version, and the generation is metadata-sized however large the
+    fact side grows.
+
+    Scale: the calendar side is tiny by construction (days, not rows)
+    → Spark broadcasts it; the fact side aggregates per day FIRST
+    (partial-agg shuffle on date), so the join moves one row per day,
+    not one per event. distinct-user counts ride the same shuffle."""
+    ev = table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    per_day = (
+        ev.select(F.to_date("ts").alias("day"), "event_id", "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("event_id").alias("_ne"),
+            F.countDistinct("user_id").alias("_nu"),
+        )
+    )
+    # ISO weekday from Spark's 1=Sunday dayofweek: ((dow + 5) % 7) + 1
+    return (
+        cal.join(per_day, "day", "left")
+        .select(
+            "day",
+            (((F.dayofweek("day") + 5) % 7 + 1) <= 5).alias("is_business"),
+            F.coalesce(F.col("_ne"), F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce(F.col("_nu"), F.lit(0)).cast("bigint").alias("n_users"),
+        )
+    )

@@ -127,3 +127,55 @@ def test_docfreq_prune_bounds(spark):
     for r in rows:
         expect = 5 <= r["doc_freq"] <= int(0.6 * n)
         assert r["kept"] == expect
+
+
+# ---------------------------------------------------------------- BPE train
+
+
+def _ref_bpe(word_freqs: dict[str, int], rounds: int = 10):
+    """Pure-Python reference BPE (Sennrich 2016), mirroring the engine's
+    contract exactly: pair counts weighted by word freq, tie-break
+    (count DESC, left ASC, right ASC), greedy left-to-right rewrite."""
+    seqs = {w: list(w) for w in word_freqs}
+    merges = []
+    for step in range(rounds):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in seqs.items():
+            f = word_freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((step, l, r, cnt))
+        merged = l + r
+        for w, syms in seqs.items():
+            out: list[str] = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            seqs[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference_implementation(spark):
+    """The distributed trainer must reproduce the reference BPE merge
+    table exactly — same pairs, same order, same counts — on the real
+    corpus. This is the hash-strength check for a query whose ten
+    argmax-rewrite rounds have no single-SQL oracle."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    wf: dict[str, int] = {}
+    for r in docs:
+        for w in r["text"].split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    expect = _ref_bpe(wf, 10)
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in ALL["llm_bpe_train"].fn(spark, SF_DIR).collect()
+    ]
+    assert got == expect and len(got) == 10
