@@ -884,3 +884,81 @@ def join_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_price"),
         )
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle=EV_CTE
+    + """,
+p AS (SELECT * FROM ev WHERE event_type = 'purchase'),
+s AS (SELECT * FROM ev WHERE event_type = 'signup'),
+prevj AS (
+  SELECT p.event_id AS pid, p.user_id AS user_id, p.ts AS pts,
+         s.event_id AS sid_prev, s.ts AS ts_prev
+  FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts),
+nextj AS (
+  SELECT p.event_id AS pid, s.event_id AS sid_next, s.ts AS ts_next
+  FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts <= s.ts)
+SELECT pid AS purchase_id, user_id,
+       CASE WHEN ts_prev IS NULL THEN sid_next
+            WHEN ts_next IS NULL THEN sid_prev
+            WHEN pts - ts_prev <= ts_next - pts THEN sid_prev
+            ELSE sid_next END AS signup_id
+FROM prevj JOIN nextj USING (pid)
+""",
+    category="C",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-match as-of join: each purchase pairs with the signup
+    closest in time in EITHER direction (tie → the earlier one) — the
+    sensor-alignment / feature-join variant where "latest before" is
+    wrong half the time because the nearest reading may be just after.
+    Same scalable shape as join_asof: union both sides, ONE shuffle on
+    user_id, then two O(n log n) window passes over the same partition
+    order — a forward carry (last signup at-or-before) and a backward
+    carry (first signup at-or-after; the reversed-frame trick from
+    ts_fill_forward) — and a three-way CASE picks the nearer. No
+    candidate explosion, no range join, nothing quadratic per user.
+    The oracle states the same semantics as two DuckDB ASOF joins."""
+    ev = table(spark, sf_dir, "events")
+    sign = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("sid"), F.lit(1).alias("is_signup")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("sid"), F.lit(0).alias("is_signup")
+    )
+    both = sign.unionByName(pur)
+    # forward: at equal ts the signup sorts first (at-or-before includes
+    # same instant); backward: symmetric
+    fw = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_signup").desc(), F.col("sid").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    bw = (
+        W.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("is_signup").desc(), F.col("sid").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sig_ts = F.when(F.col("is_signup") == 1, F.col("ts"))
+    sig_id = F.when(F.col("is_signup") == 1, F.col("sid"))
+    carried = (
+        both.withColumn("sid_prev", F.last(sig_id, ignorenulls=True).over(fw))
+        .withColumn("ts_prev", F.last(sig_ts, ignorenulls=True).over(fw))
+        .withColumn("sid_next", F.last(sig_id, ignorenulls=True).over(bw))
+        .withColumn("ts_next", F.last(sig_ts, ignorenulls=True).over(bw))
+    )
+    # ts is TIMESTAMP_NTZ (unix_micros wants zoned); the session is
+    # pinned UTC so the cast is a wall-clock identity
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+    d_prev = us("ts") - us("ts_prev")
+    d_next = us("ts_next") - us("ts")
+    return carried.filter(F.col("is_signup") == 0).select(
+        F.col("sid").alias("purchase_id"),
+        "user_id",
+        F.when(F.col("ts_prev").isNull(), F.col("sid_next"))
+        .when(F.col("ts_next").isNull(), F.col("sid_prev"))
+        .when(d_prev <= d_next, F.col("sid_prev"))
+        .otherwise(F.col("sid_next"))
+        .alias("signup_id"),
+    )

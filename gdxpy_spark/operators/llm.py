@@ -3165,3 +3165,76 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step INT, left STRING, right STRING, pair_count BIGINT"
     )
+
+
+_HEAVY_ORACLE = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+  FROM documents),
+n AS (SELECT COUNT(*) AS total FROM tok)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+FROM tok, n
+GROUP BY token, n.total
+HAVING COUNT(*) * 200 > n.total
+"""
+
+
+@register("llm_heavy_hitters", oracle=_HEAVY_ORACLE, category="K")
+def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (tokens above 0.5 % of the stream) via the
+    two-phase Misra-Gries pattern — the vocabulary/stopword/anomaly
+    screen that does NOT pay a full-vocabulary shuffle. Phase 1 runs
+    Misra-Gries summaries (k = 400 counters) per partition inside
+    `mapInPandas`: MG guarantees any token with partition frequency
+    > n_p/k survives its partition, and a GLOBALLY heavy token
+    (freq > N/200 > N/k) must be partition-heavy somewhere (pigeonhole:
+    if it fell below n_p/k in every partition its total would be below
+    N/k) — so the union of survivors is a provable candidate SUPERSET,
+    at ≤ k rows per partition (metadata-sized) instead of one row per
+    distinct token. Phase 2 recounts ONLY the candidates exactly (one
+    semi-join + partial agg over the re-scanned stream) and applies the
+    exact threshold — so the result is EXACT and hash-oracle-checkable,
+    while the shuffle never carries the long tail (at 100 TB: billions
+    of distinct tokens pruned to k·partitions candidates).
+
+    Contract note: the candidate set is a superset, never a subset —
+    correctness does not depend on the MG sketch, only the PRUNING
+    does; an adversarial partition order can only make phase 2 recount
+    more candidates."""
+    import pandas as pd
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("token")
+    )
+
+    K = 400
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t in pdf["token"]:
+                if t in counters:
+                    counters[t] += 1
+                elif len(counters) < K:
+                    counters[t] = 1
+                else:
+                    dead = [k for k, v in counters.items() if v == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    cands = tok.mapInPandas(mg, "token STRING").distinct()
+    n = tok.agg(F.count("*").alias("total"))
+    return (
+        tok.join(F.broadcast(cands), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .join(F.broadcast(n), F.lit(True))
+        .filter(F.col("freq") * 200 > F.col("total"))
+        .select("token", "freq")
+    )

@@ -918,3 +918,41 @@ def ts_calendar_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("_nu"), F.lit(0)).cast("bigint").alias("n_users"),
         )
     )
+
+
+_TIME_BUCKET_ORACLE = """
+SELECT time_bucket(INTERVAL 15 MINUTE, CAST(ts AS TIMESTAMP)) AS bucket_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("ts_time_bucket", oracle=_TIME_BUCKET_ORACLE, category="F")
+def ts_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width time bucketing — the batch twin of the streaming
+    tumbling window, via Spark's native `window()` expression (the same
+    bucketing primitive the streaming engine uses, here with no
+    watermark machinery because the input is bounded). DuckDB states
+    the identical semantics as `time_bucket`. Money-exact sums via the
+    DECIMAL quantization discipline; `+ 0.0` normalizes the zero sign
+    on both engines.
+
+    Scale: bucket assignment is a map-side expression (epoch div
+    width); the aggregate is one partial-agg shuffle on (bucket, type).
+    Unlike a calendar join, no dimension is materialized — buckets
+    exist only where events do (pair with ts_gap_fill when empty
+    buckets must appear)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "15 minutes").start.alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            (dsum("value", "_s") + F.lit(0.0)).alias("sum_value"),
+        )
+    )

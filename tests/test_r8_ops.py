@@ -179,3 +179,34 @@ def test_bpe_train_matches_reference_implementation(spark):
         for r in ALL["llm_bpe_train"].fn(spark, SF_DIR).collect()
     ]
     assert got == expect and len(got) == 10
+
+
+# ------------------------------------------------------- heavy hitters
+
+
+def test_heavy_hitters_candidates_are_a_superset_under_any_partitioning(spark):
+    """The MG stage may only PRUNE, never lose a truly-heavy token: the
+    final exact result must be identical when the token stream is
+    repartitioned adversarially (all data in 1 partition; scattered
+    over 64) — partition layout can change the candidate count, never
+    the answer."""
+    base = sorted(
+        tuple(r) for r in ALL["llm_heavy_hitters"].fn(spark, SF_DIR).collect()
+    )
+    assert base
+    # truth from a plain exact count
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tok = docs.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != F.lit(""))).alias(
+            "token"
+        )
+    )
+    n = tok.count()
+    truth = sorted(
+        (r["token"], r["freq"])
+        for r in tok.groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") * 200 > n)
+        .collect()
+    )
+    assert base == truth
