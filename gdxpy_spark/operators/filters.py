@@ -214,3 +214,43 @@ def proj_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile("o_orderstatus", as_str))
         .unionByName(profile("o_orderdate", as_date))
     )
+
+
+_STRUCT_ORACLE = """
+WITH packed AS (
+  SELECT n_nationkey,
+         struct_pack(name := n_name, region := n_regionkey) AS info
+  FROM nation)
+SELECT n_nationkey,
+       info.name AS name,
+       CAST(info.region AS BIGINT) AS region,
+       info.name = upper(info.name) AS is_upper
+FROM packed
+"""
+
+
+@register("proj_struct_pack", oracle=_STRUCT_ORACLE, category="B")
+def proj_struct_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT pack/unpack round-trip — the nested-type projection
+    surface (named_struct ↔ struct_pack): columns packed into a struct
+    mid-plan, fields extracted back by name downstream, plus a derived
+    predicate on an extracted field. Catalyst collapses the pack/unpack
+    pair (nested-schema pruning keeps parquet scans narrow when structs
+    come from storage — pinned separately by src_parquet_nested_prune);
+    this query pins the expression-level semantics both engines share.
+
+    Scale: map-only; struct creation is zero-copy column grouping in
+    Tungsten rows."""
+    n = table(spark, sf_dir, "nation")
+    packed = n.select(
+        "n_nationkey",
+        F.struct(
+            F.col("n_name").alias("name"), F.col("n_regionkey").alias("region")
+        ).alias("info"),
+    )
+    return packed.select(
+        "n_nationkey",
+        F.col("info.name").alias("name"),
+        F.col("info.region").cast("bigint").alias("region"),
+        (F.col("info.name") == F.upper("info.name")).alias("is_upper"),
+    )

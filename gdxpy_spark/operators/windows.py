@@ -510,3 +510,46 @@ def win_median_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         (F.round((lo + hi) / 2, 4) + 0.0).alias("median_price_5"),
     )
+
+
+_RATIO_ORACLE = """
+WITH c AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders)
+SELECT o_custkey, o_orderkey,
+       ROUND(CAST(cents AS DOUBLE)
+             / SUM(cents) OVER (PARTITION BY o_custkey), 6) + 0.0 AS ratio
+FROM c
+"""
+
+
+@register("win_ratio_to_report", oracle=_RATIO_ORACLE, category="E")
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT — each order's share of its customer's total
+    spend (the contribution/mix-shift window every BI layer exposes;
+    neither engine ships the Oracle-SQL builtin, both state it as
+    value / SUM(value) OVER (PARTITION BY ...)). Money is 100-scaled
+    BIGINT cents before the window so the denominator is an exact
+    integer in both engines; the share is one double division on
+    identical integers, rounded with the zero-sign normalized.
+
+    Scale: a frame-less partitioned aggregate window — Spark evaluates
+    it as one hash exchange on the partition key + a single-pass
+    aggregate-then-broadcast within each partition; no global window,
+    no ORDER BY, so no sort at all."""
+    od = table(spark, sf_dir, "orders")
+    c = od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    w = W.partitionBy("o_custkey")
+    return c.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.round(F.col("cents").cast("double") / F.sum("cents").over(w), 6)
+            + F.lit(0.0)
+        ).alias("ratio"),
+    )
