@@ -110,7 +110,11 @@ def main() -> None:
                  "llm_temperature_sample", "llm_e2e_pipeline",
                  # r7 additions over the documents corpus
                  "llm_pii_text", "llm_chunk_overlap",
-                 "llm_incremental_dedup", "llm_zipf_slope"):
+                 "llm_incremental_dedup", "llm_zipf_slope",
+                 # r8 additions over the documents corpus
+                 "llm_heavy_hitters", "llm_perplexity_proxy",
+                 "llm_dedup_keep_best", "llm_hash_sample",
+                 "llm_docfreq_prune", "llm_bpe_train"):
         a = timed(lambda: queries[name].fn(spark, S1))
         b = timed(lambda: queries[name].fn(spark, S10))
         rows.append((name, a, b))
