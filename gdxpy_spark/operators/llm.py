@@ -2959,8 +2959,12 @@ def llm_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("nlp_q"),
     )
+    # lp is vocabulary-sized (Heaps-sublinear in the corpus) — broadcast
+    # it EXPLICITLY: without stats Catalyst sort-merge-joins, shuffling
+    # the full token stream by a low-cardinality key (worst-case skew:
+    # every occurrence of a token lands on one partition)
     per_doc = (
-        tok.join(lp, "token")
+        tok.join(F.broadcast(lp), "token")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_tokens"), F.sum("nlp_q").alias("s"))
     )
@@ -3186,10 +3190,11 @@ def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     screen that does NOT pay a full-vocabulary shuffle. Phase 1 runs
     Misra-Gries summaries (k = 400 counters) per partition inside
     `mapInPandas`: MG guarantees any token with partition frequency
-    > n_p/k survives its partition, and a GLOBALLY heavy token
-    (freq > N/200 > N/k) must be partition-heavy somewhere (pigeonhole:
-    if it fell below n_p/k in every partition its total would be below
-    N/k) — so the union of survivors is a provable candidate SUPERSET,
+    > n_p/(k+1) survives its partition, and a GLOBALLY heavy token
+    (freq > N/200) must have partition frequency > n_p/200 > n_p/(k+1)
+    somewhere (pigeonhole: if it fell below n_p/200 in every partition
+    its total would be below N/200) — so the union of survivors is a
+    provable candidate SUPERSET,
     at ≤ k rows per partition (metadata-sized) instead of one row per
     distinct token. Phase 2 recounts ONLY the candidates exactly (one
     semi-join + partial agg over the re-scanned stream) and applies the
@@ -3213,19 +3218,23 @@ def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     K = 400
 
     def mg(batches):
+        # vectorized MG via summary MERGE (Agarwal et al., "Mergeable
+        # Summaries"): each Arrow batch is collapsed to exact counts
+        # with value_counts (C speed — never per-token Python), added
+        # into the running summary, and when the summary exceeds K
+        # entries the (K+1)-th largest count is subtracted from all and
+        # non-positives dropped. The merged summary keeps the MG bound
+        # (undercount ≤ n_p/(K+1)), so a token with partition frequency
+        # > n_p/(K+1) always survives — the superset guarantee the
+        # recount phase needs, at O(batch vocab) per batch instead of
+        # O(batch tokens).
         counters: dict[str, int] = {}
         for pdf in batches:
-            for t in pdf["token"]:
-                if t in counters:
-                    counters[t] += 1
-                elif len(counters) < K:
-                    counters[t] = 1
-                else:
-                    dead = [k for k, v in counters.items() if v == 1]
-                    for k in counters:
-                        counters[k] -= 1
-                    for k in dead:
-                        del counters[k]
+            for t, w in pdf["token"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(w)
+            if len(counters) > K:
+                kth = sorted(counters.values(), reverse=True)[K]
+                counters = {t: v - kth for t, v in counters.items() if v > kth}
         yield pd.DataFrame({"token": list(counters.keys())})
 
     cands = tok.mapInPandas(mg, "token STRING").distinct()
