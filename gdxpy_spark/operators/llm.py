@@ -3247,3 +3247,54 @@ def llm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("freq") * 200 > F.col("total"))
         .select("token", "freq")
     )
+
+
+_MIXTURE_ORACLE = """
+WITH rates AS (
+  SELECT * FROM (VALUES
+    ('src0', 0.8), ('src1', 0.8), ('src2', 0.8), ('src3', 0.8),
+    ('src4', 0.4), ('src5', 0.4), ('src6', 0.4), ('src7', 0.4),
+    ('src8', 0.4), ('src9', 0.4)
+  ) AS t(source, rate)),
+d AS (
+  SELECT doc_id, lang, documents.source AS source, n_chars,
+         COALESCE(rate, 0.1) AS rate,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          % 1000000) / 1000000.0 AS u
+  FROM documents LEFT JOIN rates ON documents.source = rates.source)
+SELECT doc_id, lang, source, n_chars
+FROM d WHERE u < rate
+"""
+
+
+@register("llm_dataset_mixture", oracle=_MIXTURE_ORACLE, category="K")
+def llm_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset MIXTURE sampling — the Pile/Dolma data-mixing step: each
+    source gets a target sampling rate (high-quality sources kept at
+    80 %, mid at 40 %, unlisted long-tail at 10 %) and membership is
+    decided by the same deterministic per-row hash-uniform as
+    llm_hash_sample (md5(doc_id) → u ∈ [0,1), compare to the source's
+    rate) — so the mixture is reproducible bit-for-bit across engines,
+    retries and cluster sizes, and composes with incremental ingestion.
+    The rate table is a literal VALUES relation joined as a broadcast
+    (the real pipeline reads it from a mixture config).
+
+    Scale: map-only after a broadcast rate lookup; no shuffle, the
+    filter pushes nothing across the wire, and per-source realized
+    rates converge to targets by md5 uniformity (tested)."""
+    docs = table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [(f"src{i}", 0.8 if i < 4 else 0.4) for i in range(10)],
+        "source STRING, rate DOUBLE",
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1_000_000
+    ) / 1_000_000.0
+    return (
+        docs.join(F.broadcast(rates), "source", "left")
+        .withColumn("rate", F.coalesce("rate", F.lit(0.1)))
+        .filter(u < F.col("rate"))
+        .select("doc_id", "lang", "source", "n_chars")
+    )

@@ -489,3 +489,70 @@ def mm_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.expr(f"(cum - n_bytes) div {budget}") * F.lit(budget)
         ).alias("offset_in_shard"),
     )
+
+
+_PATCH_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         n_chars % 640 + 64 AS w,
+         doc_id % 480 + 48 AS h
+  FROM documents)
+SELECT doc_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(CEIL(CAST(w AS DOUBLE) / 16) AS INT) AS nx,
+       CAST(CEIL(CAST(h AS DOUBLE) / 16) AS INT) AS ny,
+       CAST(CEIL(CAST(w AS DOUBLE) / 16) * CEIL(CAST(h AS DOUBLE) / 16)
+            AS BIGINT) AS n_patches,
+       CAST(CEIL(CAST(w AS DOUBLE) / 16) * CEIL(CAST(h AS DOUBLE) / 16)
+            AS BIGINT) + 1 AS n_tokens
+FROM m
+"""
+
+
+@register("mm_patch_grid", oracle=_PATCH_ORACLE, category="MM")
+def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-transformer PATCH GRID accounting — for every image, the
+    16×16 patch tiling (⌈w/16⌉ × ⌈h/16⌉) and the resulting sequence
+    length (+1 CLS token): the numbers a multimodal training pipeline
+    needs BEFORE any pixel is decoded, to budget tokens, pack batches
+    (mm_shard_pack's byte budget has a token-budget twin here) and
+    reject images whose sequence would overflow the context. Dimensions
+    come from the real binary header via the same vectorized
+    mapInPandas parse as mm_image_meta — proving the bytes — and the
+    oracle recomputes the grid from the header-generating functions.
+
+    Scale: map-only; the binary is length-checked and header-sliced,
+    never shuffled or decoded."""
+    media = media_table(spark, sf_dir)
+
+    def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        hdr_t = np.dtype(
+            [("magic", "S4"), ("fmt", "u1"), ("w", "<u4"), ("h", "<u4"), ("fps", "u1")]
+        )
+        for pdf in it:
+            blobs = [bytes(b) for b in pdf["media"]]
+            hdr = np.frombuffer(b"".join(b[:14] for b in blobs), dtype=hdr_t)
+            assert (hdr["magic"] == _MAGIC).all(), "bad media header"
+            w = hdr["w"].astype("int64")
+            h = hdr["h"].astype("int64")
+            nx = -(-w // 16)
+            ny = -(-h // 16)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(dtype="int64"),
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "nx": nx.astype("int32"),
+                    "ny": ny.astype("int32"),
+                    "n_patches": nx * ny,
+                    "n_tokens": nx * ny + 1,
+                }
+            )
+
+    return media.mapInPandas(
+        parse,
+        schema="doc_id BIGINT, width INT, height INT, nx INT, ny INT,"
+        " n_patches BIGINT, n_tokens BIGINT",
+    )

@@ -210,3 +210,20 @@ def test_heavy_hitters_candidates_are_a_superset_under_any_partitioning(spark):
         .collect()
     )
     assert base == truth
+
+
+def test_dataset_mixture_rates_converge_to_targets(spark):
+    """md5-uniform membership must realize each source's target rate
+    (±40 % relative at corpus size) and be identical across reruns."""
+    out = ALL["llm_dataset_mixture"].fn(spark, SF_DIR)
+    a = {r["doc_id"] for r in out.collect()}
+    b = {r["doc_id"] for r in ALL["llm_dataset_mixture"].fn(spark, SF_DIR).collect()}
+    assert a == b
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tot = {r["source"]: r["n"] for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    kept = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    for src, n in tot.items():
+        i = int(src.removeprefix("src"))
+        want = 0.8 if i < 4 else (0.4 if i < 10 else 0.1)  # unlisted tail
+        got = kept.get(src, 0) / n
+        assert abs(got - want) < 0.4 * want + 0.1, (src, got, want)
