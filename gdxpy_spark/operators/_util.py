@@ -346,6 +346,13 @@ def _keyed_with_pid(df, order_cols):
         keyed, key_names, specs, shuffle_partitions(df.sparkSession)
     )
     part = keyed.withColumn("_gpid", _bucket_pid(key_cols, specs, bounds))
+    # NOTE on branch sharing: the counts branch and the window branch
+    # each compute the upstream (an explicit shared repartition(_gpid)
+    # was tried in r8 and measured SLOWER — AQE did not reuse the
+    # exchange across the window and aggregate consumers, so it added a
+    # full-row shuffle on top of the recompute). The counts branch
+    # partial-aggregates map-side, so its recompute ships only
+    # metadata; callers with an expensive upstream cache it themselves.
     return part, _sort_orders(key_cols, specs), key_names
 
 

@@ -40,7 +40,11 @@ def get_spark(
         # with it off is a hard error
         .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 206-query bench sessions accumulate heap pressure late in the
+        # run (r8: machinery queries read 2-3x their isolated cost past
+        # query ~180 at 8g while a clean 16g window matched isolated);
+        # 16g is still ~12% of the 128 GiB box
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
