@@ -341,3 +341,51 @@ def src_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.sha2(F.col("content"), 256).alias("content_hash"),
     )
+
+
+_ZSTD_ORACLE = """
+SELECT p_partkey, p_name, p_brand, CAST(p_size AS INT) AS p_size
+FROM part
+"""
+
+
+@register("src_parquet_zstd", oracle=_ZSTD_ORACLE, category="A")
+def src_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec round-trip: part → parquet(ZSTD) → read back. Codec choice
+    is a first-order cost lever at 100 TB (zstd ≈ snappy decode speed
+    at ~30 % better ratio — less IO, smaller shuffle spills, and the
+    default in modern lakehouses); the reader sniffs the codec from the
+    page headers, so mixed-codec directories read transparently. Oracle
+    is the source scan: the round-trip must be lossless."""
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", F.col("p_size").cast("int").alias("p_size")
+    )
+    out = _tmpdir("pq_zstd")
+    part.write.mode("overwrite").option("compression", "zstd").parquet(out)
+    return spark.read.parquet(out)
+
+
+_CSV_GZ_ORACLE = """
+SELECT CAST(r_regionkey AS INT) AS r_regionkey, r_name
+FROM region
+"""
+
+
+@register("src_csv_gzip", oracle=_CSV_GZ_ORACLE, category="A")
+def src_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-compressed CSV round-trip — the wire format crawl dumps and
+    legacy exports actually arrive in. The scale caveat this op
+    documents is structural: gzip is NOT splittable, so one .csv.gz =
+    one task regardless of size — a 100 TB ingest must arrive as many
+    files (as crawl dumps do) or be re-compressed to a splittable
+    codec/format on first touch; the read-side plan here is identical
+    either way. Oracle = source scan (lossless round-trip)."""
+    region = table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").cast("int").alias("r_regionkey"), "r_name"
+    )
+    out = _tmpdir("csv_gz")
+    region.write.mode("overwrite").option("header", True).option(
+        "compression", "gzip"
+    ).csv(out)
+    schema = "r_regionkey INT, r_name STRING"
+    return spark.read.schema(schema).option("header", True).csv(out)
