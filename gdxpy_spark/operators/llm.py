@@ -3298,3 +3298,92 @@ def llm_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u < F.col("rate"))
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+_WARC_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS content_len,
+       TRUE AS len_ok,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+@register("llm_warc_parse", oracle=_WARC_ORACLE, category="K")
+def llm_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-style record-stream ingestion — the actual first step of a
+    crawl pipeline: multi-record container files (record = version
+    line, headers, blank line, body) split into documents and
+    length-validated against the Content-Length header. The fixture
+    writes the corpus as 8 WARC-ish container files (one multi-line
+    record per doc, concatenated by the text sink); the reader takes
+    whole files (`wholetext` — the per-file unit real WARC readers use,
+    which is why crawl dumps cap containers at ~1 GiB), splits records
+    on the version line, and parses entirely JVM-side (regexp_extract +
+    dynamic substring — no Python in the parse path). len_ok
+    cross-checks the declared Content-Length against the parsed body's
+    octet length, which is the integrity check a real ingest runs per
+    record; the oracle recomputes everything from the source table, so
+    the whole container round-trip is hash-verified.
+
+    Scale: one task per container file (bounded by container size, not
+    corpus size), record fan-out via explode inside the task, then
+    map-only parsing; no shuffle until whatever aggregation follows."""
+    docs = table(spark, sf_dir, "documents")
+    rec = docs.select(
+        F.concat(
+            F.lit("WARC/1.0\nWARC-Record-ID: "),
+            F.col("doc_id").cast("string"),
+            F.lit("\nContent-Length: "),
+            F.octet_length("text").cast("string"),
+            F.lit("\n\n"),
+            F.col("text"),
+        ).alias("value")
+    )
+    out = _warc_dir(sf_dir)
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
+        rec.repartition(8).write.mode("overwrite").text(out)
+    raw = spark.read.text(out, wholetext=True)
+    recs = raw.select(
+        F.explode(F.split("value", r"WARC/1\.0\n")).alias("rec")
+    ).filter(F.col("rec") != "")
+    parsed = recs.select(
+        F.regexp_extract("rec", r"WARC-Record-ID: (\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.regexp_extract("rec", r"Content-Length: (\d+)", 1)
+        .cast("bigint")
+        .alias("content_len"),
+        F.expr("substring(rec, instr(rec, '\n\n') + 2, "
+               "CAST(regexp_extract(rec, 'Content-Length: (\\\\d+)', 1) AS INT))")
+        .alias("body"),
+    )
+    return parsed.select(
+        "doc_id",
+        "content_len",
+        (F.octet_length("body") == F.col("content_len")).alias("len_ok"),
+        F.size(F.filter(F.split("body", " "), lambda x: x != F.lit("")))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+
+
+def _warc_dir(sf_dir: str) -> str:
+    """Content-addressed fixture dir for the WARC container files (same
+    discipline as the replay fixtures: keyed to the source bytes so a
+    regenerated dataset can't serve a stale container set)."""
+    import os
+    import tempfile
+
+    from gdxpy_spark.operators._util import files_fingerprint
+
+    fp = files_fingerprint([os.path.join(sf_dir, "documents.parquet")])
+    d = os.path.join(
+        tempfile.gettempdir(), "gdxpy_spark_io",
+        f"warc_v1_{os.path.basename(sf_dir.rstrip('/'))}_{fp}",
+    )
+    os.makedirs(d, exist_ok=True)
+    return d

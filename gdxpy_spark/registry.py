@@ -126,7 +126,7 @@ _ARTIFACT_PRIORITY = [
     "join_asof_nearest", "ts_time_bucket", "llm_heavy_hitters",
     "win_ratio_to_report", "proj_struct_pack",
     "mm_patch_grid", "llm_dataset_mixture",
-    "src_parquet_zstd", "src_csv_gzip",
+    "src_parquet_zstd", "src_csv_gzip", "llm_warc_parse",
     # consumers of the hardened prefix-sum/global-rank machinery,
     # re-recorded so the determinism fix is driver-evidenced end-to-end:
     "llm_token_budget", "sort_multi_nulls", "win_ntile_pct",
