@@ -326,13 +326,26 @@ def _tuple_after(cols, bvals, specs):
 
 def _bucket_pid(key_cols, specs, bounds):
     """Deterministic bucket id: the number of boundaries the key sorts
-    strictly after. Monotone w.r.t. the total order by construction, a
-    pure literal expression (whole-stage codegen, no shuffle, identical
-    on every branch/attempt)."""
-    pid = F.lit(0)
-    for b in bounds:
-        pid = pid + F.when(_tuple_after(key_cols, b, specs), 1).otherwise(0)
-    return pid.cast("int")
+    strictly after — computed by a BINARY-SEARCH expression tree over
+    the sorted boundary literals. A linear chain of B comparisons costs
+    O(B) per row, and B tracks shuffle_partitions: on a 2000-partition
+    cluster every row of the table would evaluate ~2000 multi-column
+    comparisons. The WHEN tree short-circuits to O(log B) comparisons
+    per row (boundaries are sorted in the spec order, and strictly-
+    after is monotone over them, so the usual bisection argument
+    applies). Still a pure literal expression — no shuffle, identical
+    on every branch and every attempt."""
+
+    def tree(lo: int, hi: int):
+        # resolves pid within [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2  # after bounds[mid] ⇒ pid ≥ mid+1
+        return F.when(
+            _tuple_after(key_cols, bounds[mid], specs), tree(mid + 1, hi)
+        ).otherwise(tree(lo, mid))
+
+    return tree(0, len(bounds)).cast("int")
 
 
 def _keyed_with_pid(df, order_cols):

@@ -935,9 +935,14 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").asc(), F.col("is_signup").desc(), F.col("sid").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # bw's sid tiebreak is ASC so that among EQUAL-ts signups the carry
+    # (last() in scan order) picks the LARGEST sid on BOTH passes — the
+    # engine is internally consistent under ts collisions. The DuckDB
+    # ASOF oracle leaves right-side ts ties unspecified (same caveat as
+    # join_asof); collisions don't occur in this data, noted in tests.
     bw = (
         W.partitionBy("user_id")
-        .orderBy(F.col("ts").desc(), F.col("is_signup").desc(), F.col("sid").desc())
+        .orderBy(F.col("ts").desc(), F.col("is_signup").desc(), F.col("sid").asc())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     sig_ts = F.when(F.col("is_signup") == 1, F.col("ts"))

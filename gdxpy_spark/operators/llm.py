@@ -2869,7 +2869,7 @@ WITH tok AS (
 df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq FROM tok GROUP BY token),
 n AS (SELECT COUNT(*) AS n_docs FROM documents)
 SELECT token, doc_freq,
-       doc_freq >= 5 AND doc_freq <= CAST(0.6 * n_docs AS BIGINT) AS kept
+       doc_freq >= 5 AND doc_freq * 10 <= 6 * n_docs AS kept
 FROM df, n
 """
 
@@ -2900,9 +2900,12 @@ def llm_docfreq_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.join(F.broadcast(n), F.lit(True)).select(
         "token",
         "doc_freq",
+        # integer form of doc_freq <= 0.6*n_docs: a double threshold
+        # truncates in Spark's CAST but rounds in DuckDB's, so the two
+        # engines would disagree whenever 0.6*n_docs is non-integral
         (
             (F.col("doc_freq") >= 5)
-            & (F.col("doc_freq") <= (F.lit(0.6) * F.col("n_docs")).cast("bigint"))
+            & (F.col("doc_freq") * 10 <= 6 * F.col("n_docs"))
         ).alias("kept"),
     )
 
@@ -3302,7 +3305,7 @@ def llm_dataset_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WARC_ORACLE = """
 SELECT doc_id,
-       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS content_len,
+       CAST(length(text) AS BIGINT) AS content_len,
        TRUE AS len_ok,
        CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
             AS BIGINT) AS n_tokens
@@ -3327,6 +3330,14 @@ def llm_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     record; the oracle recomputes everything from the source table, so
     the whole container round-trip is hash-verified.
 
+    Framing honesty: this demo container declares Content-Chars
+    (CHARACTER count) because Spark's string substring slices by
+    characters — real WARC declares Content-LENGTH in BYTES, and a
+    byte-accurate parser must slice the BINARY column instead (and
+    frame records by declared length, not by delimiter split, since a
+    body may legally contain the version line). Both generalizations
+    keep this exact plan shape.
+
     Scale: one task per container file (bounded by container size, not
     corpus size), record fan-out via explode inside the task, then
     map-only parsing; no shuffle until whatever aggregation follows."""
@@ -3335,17 +3346,29 @@ def llm_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.lit("WARC/1.0\nWARC-Record-ID: "),
             F.col("doc_id").cast("string"),
-            F.lit("\nContent-Length: "),
-            F.octet_length("text").cast("string"),
+            F.lit("\nContent-Chars: "),
+            F.length("text").cast("string"),
             F.lit("\n\n"),
             F.col("text"),
         ).alias("value")
     )
     out = _warc_dir(sf_dir)
     import os as _os
+    import uuid as _uuid
 
-    if not _os.path.exists(_os.path.join(out, "_SUCCESS")):
-        rec.repartition(8).write.mode("overwrite").text(out)
+    def _complete(d: str) -> bool:
+        return _os.path.exists(_os.path.join(d, "_SUCCESS"))
+
+    if not _complete(out):
+        # same discipline as the replay fixtures: build privately,
+        # publish atomically — two concurrent sessions (bench +
+        # selfcheck run per round) must never overwrite each other
+        # mid-write or serve a half-populated container dir
+        from gdxpy_spark.operators._util import atomic_publish
+
+        build = f"{out}.build_{_uuid.uuid4().hex[:8]}"
+        rec.repartition(8).write.mode("overwrite").text(build)
+        atomic_publish(build, out, is_complete=_complete)
     raw = spark.read.text(out, wholetext=True)
     recs = raw.select(
         F.explode(F.split("value", r"WARC/1\.0\n")).alias("rec")
@@ -3354,17 +3377,17 @@ def llm_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("rec", r"WARC-Record-ID: (\d+)", 1)
         .cast("bigint")
         .alias("doc_id"),
-        F.regexp_extract("rec", r"Content-Length: (\d+)", 1)
+        F.regexp_extract("rec", r"Content-Chars: (\d+)", 1)
         .cast("bigint")
         .alias("content_len"),
         F.expr("substring(rec, instr(rec, '\n\n') + 2, "
-               "CAST(regexp_extract(rec, 'Content-Length: (\\\\d+)', 1) AS INT))")
+               "CAST(regexp_extract(rec, 'Content-Chars: (\\\\d+)', 1) AS INT))")
         .alias("body"),
     )
     return parsed.select(
         "doc_id",
         "content_len",
-        (F.octet_length("body") == F.col("content_len")).alias("len_ok"),
+        (F.length("body") == F.col("content_len")).alias("len_ok"),
         F.size(F.filter(F.split("body", " "), lambda x: x != F.lit("")))
         .cast("bigint")
         .alias("n_tokens"),
@@ -3381,9 +3404,9 @@ def _warc_dir(sf_dir: str) -> str:
     from gdxpy_spark.operators._util import files_fingerprint
 
     fp = files_fingerprint([os.path.join(sf_dir, "documents.parquet")])
-    d = os.path.join(
-        tempfile.gettempdir(), "gdxpy_spark_io",
-        f"warc_v1_{os.path.basename(sf_dir.rstrip('/'))}_{fp}",
+    parent = os.path.join(tempfile.gettempdir(), "gdxpy_spark_io")
+    os.makedirs(parent, exist_ok=True)
+    # the dir itself is created by atomic_publish's rename — never here
+    return os.path.join(
+        parent, f"warc_v2_{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
     )
-    os.makedirs(d, exist_ok=True)
-    return d

@@ -33,6 +33,32 @@ _MAGIC = b"GXMM"
 _FORMATS = ("png", "jpeg", "webp")
 
 
+def _read_hdr_t():
+    """The 14-byte read-side header view (magic | fmt u8 | w u32 | h u32
+    | fps u8; the 2 pad bytes before the payload are not parsed). ONE
+    definition shared by every header-parsing operator — the write-side
+    16-byte layout lives in media_table; changing either means changing
+    both, and the magic assert catches a drifted reader immediately."""
+    import numpy as np
+
+    hdr_t = np.dtype(
+        [("magic", "S4"), ("fmt", "u1"), ("w", "<u4"), ("h", "<u4"), ("fps", "u1")]
+    )
+    assert hdr_t.itemsize == 14
+    return hdr_t
+
+
+def parse_headers(blobs):
+    """Vectorized header parse for a batch of media blobs: one
+    frombuffer over the concatenated fixed-width headers — payloads are
+    never copied. Returns the structured array; raises on bad magic."""
+    import numpy as np
+
+    hdr = np.frombuffer(b"".join(b[:14] for b in blobs), dtype=_read_hdr_t())
+    assert (hdr["magic"] == _MAGIC).all(), "bad media header"
+    return hdr
+
+
 def decode_real(payload: bytes, fmt: str):
     """Production decode hook — requires PIL/libav, absent here (STUB)."""
     try:
@@ -123,17 +149,10 @@ def mm_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        hdr_t = np.dtype(
-            [("magic", "S4"), ("fmt", "u1"), ("w", "<u4"), ("h", "<u4"), ("fps", "u1")]
-        )
-        assert hdr_t.itemsize == 14
         fmts = np.array(_FORMATS)
         for pdf in it:
             blobs = [bytes(b) for b in pdf["media"]]
-            # one frombuffer over the concatenated fixed-width headers —
-            # the variable-length payloads are never copied, only len()'d
-            hdr = np.frombuffer(b"".join(b[:14] for b in blobs), dtype=hdr_t)
-            assert (hdr["magic"] == _MAGIC).all(), "bad media header"
+            hdr = parse_headers(blobs)
             lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=len(blobs))
             yield pd.DataFrame(
                 {
@@ -526,15 +545,9 @@ def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = media_table(spark, sf_dir)
 
     def parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        hdr_t = np.dtype(
-            [("magic", "S4"), ("fmt", "u1"), ("w", "<u4"), ("h", "<u4"), ("fps", "u1")]
-        )
         for pdf in it:
             blobs = [bytes(b) for b in pdf["media"]]
-            hdr = np.frombuffer(b"".join(b[:14] for b in blobs), dtype=hdr_t)
-            assert (hdr["magic"] == _MAGIC).all(), "bad media header"
+            hdr = parse_headers(blobs)
             w = hdr["w"].astype("int64")
             h = hdr["h"].astype("int64")
             nx = -(-w // 16)

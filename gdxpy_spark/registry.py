@@ -153,7 +153,7 @@ _ARTIFACT_PRIORITY = [
     "join_asof_tolerance",
     "join_dynamic_partition_prune",
     # weak (rows-only) last: a window slot on them records no hash row
-    "agg_approx_topk", "agg_hll_rollup",
+    "llm_bpe_train", "agg_approx_topk", "agg_hll_rollup",
     # r6 window follows (already recorded r06):
     "fn_string_basic", "fn_string_regex", "fn_date_parts", "fn_date_arith",
     "fn_timestamp_unix", "fn_math", "fn_conditional", "fn_cast",
