@@ -419,6 +419,13 @@ def global_row_number(
     `order_cols` must be a total order (include a unique tiebreak) for
     the rank to be deterministic; specs are str/Column (asc) or
     (col, "desc"[, "nulls_first"|"nulls_last"]) tuples.
+    `df` must be DETERMINISTIC across recomputations: the counts branch
+    and the window branch each evaluate the upstream plan independently
+    (see _keyed_with_pid's branch-sharing note), so a nondeterministic
+    frame — sample() without a seed, first()/limit-derived rows, an
+    unstable external source — can disagree between branches and yield
+    ranks that are not a permutation of 1..n, with no error raised.
+    Cache (or checkpoint) such a frame before calling.
     tests/test_plans.py::test_global_row_number_deterministic_pid pins
     AQE-on/off and fresh-recompute agreement plus the no-single-
     partition-window property."""
@@ -464,7 +471,11 @@ def global_running_sum(
 
     `order_cols` must be a total order for a deterministic result.
     `value_col` must be integral or decimal if the caller needs
-    cross-engine exactness (float prefix sums are order-dependent)."""
+    cross-engine exactness (float prefix sums are order-dependent).
+    `df` must be DETERMINISTIC across recomputations — the totals and
+    window branches each re-evaluate the upstream independently (same
+    contract and remedy as global_row_number: cache nondeterministic
+    frames first)."""
     part, sorders, key_names = _keyed_with_pid(df, order_cols)
     w = (
         Window.partitionBy("_gpid")

@@ -841,8 +841,16 @@ def blocked_jaccard_auto(
     big = replicated.filter(F.col("bucket").isin(big_buckets)).select(
         "doc_id", "bucket", *side, F.explode("tokens").alias("token")
     )
+    # re-pick chunking over the SMALL remainder only (r8 advice): the
+    # global n_chunks was sized from ALL groups' pair work, so when the
+    # big buckets dominate that sum the small path would be over-chunked
+    # — up to 16× token replication for groups with little pair work.
+    big_set = set(big_buckets)
+    small_chunks = _pick_row_chunks(
+        spark, [r for r in pre_rows if r["bucket"] not in big_set]
+    )
     return blocked_jaccard_pandas(
-        spark, small, threshold, n_chunks=n_chunks
+        spark, small, threshold, n_chunks=small_chunks
     ).unionByName(bitmask_jaccard_pairs(spark, big, threshold))
 
 
@@ -2717,8 +2725,8 @@ d AS (
   SELECT th, COUNT(*) AS copies FROM h GROUP BY th)
 SELECT h.source,
        COUNT(*) AS n_docs,
-       SUM(h.n_chars) AS n_chars,
-       SUM(h.ntok) AS n_tokens,
+       CAST(SUM(h.n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(h.ntok) AS BIGINT) AS n_tokens,
        COUNT(DISTINCT h.lang) AS n_langs,
        COUNT(*) FILTER (WHERE d.copies > 1) AS n_dup_docs,
        MIN(h.n_chars) AS min_chars,
@@ -3322,21 +3330,22 @@ def llm_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes the corpus as 8 WARC-ish container files (one multi-line
     record per doc, concatenated by the text sink); the reader takes
     whole files (`wholetext` — the per-file unit real WARC readers use,
-    which is why crawl dumps cap containers at ~1 GiB), splits records
-    on the version line, and parses entirely JVM-side (regexp_extract +
-    dynamic substring — no Python in the parse path). len_ok
-    cross-checks the declared Content-Length against the parsed body's
-    octet length, which is the integrity check a real ingest runs per
-    record; the oracle recomputes everything from the source table, so
-    the whole container round-trip is hash-verified.
+    which is why crawl dumps cap containers at ~1 GiB), frames records
+    BY DECLARED LENGTH (the _WARC_FOLD aggregate below: a version line
+    only opens a record when it sits exactly at the previous record's
+    declared body end, so a body that legally contains 'WARC/1.0\\n'
+    parses correctly instead of mis-framing — r8 advice), and parses
+    entirely JVM-side (regexp_extract + dynamic substring — no Python
+    in the parse path). len_ok cross-checks the declared length against
+    the sliced body's length, which is the integrity check a real
+    ingest runs per record; the oracle recomputes everything from the
+    source table, so the whole container round-trip is hash-verified.
 
     Framing honesty: this demo container declares Content-Chars
     (CHARACTER count) because Spark's string substring slices by
     characters — real WARC declares Content-LENGTH in BYTES, and a
-    byte-accurate parser must slice the BINARY column instead (and
-    frame records by declared length, not by delimiter split, since a
-    body may legally contain the version line). Both generalizations
-    keep this exact plan shape.
+    byte-accurate parser must slice the BINARY column instead. That
+    generalization keeps this exact plan shape.
 
     Scale: one task per container file (bounded by container size, not
     corpus size), record fan-out via explode inside the task, then
@@ -3370,28 +3379,73 @@ def llm_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         rec.repartition(8).write.mode("overwrite").text(build)
         atomic_publish(build, out, is_complete=_complete)
     raw = spark.read.text(out, wholetext=True)
-    recs = raw.select(
-        F.explode(F.split("value", r"WARC/1\.0\n")).alias("rec")
-    ).filter(F.col("rec") != "")
-    parsed = recs.select(
-        F.regexp_extract("rec", r"WARC-Record-ID: (\d+)", 1)
-        .cast("bigint")
-        .alias("doc_id"),
-        F.regexp_extract("rec", r"Content-Chars: (\d+)", 1)
-        .cast("bigint")
-        .alias("content_len"),
-        F.expr("substring(rec, instr(rec, '\n\n') + 2, "
-               "CAST(regexp_extract(rec, 'Content-Chars: (\\\\d+)', 1) AS INT))")
-        .alias("body"),
+    return parse_warc_containers(raw)
+
+
+def parse_warc_containers(raw: DataFrame) -> DataFrame:
+    """Length-framed WARC-ish container parse over whole-file rows
+    (column `value` = one container file's full text). Split out of
+    llm_warc_parse so the adversarial-body framing test can drive it
+    over a hand-built container (see _WARC_FOLD's framing contract)."""
+    frags = raw.select("value", F.split("value", r"WARC/1\.0\n").alias("frags"))
+    return frags.select(F.explode(F.expr(_WARC_FOLD)).alias("r")).select(
+        "r.doc_id", "r.content_len", "r.len_ok", "r.n_tokens"
     )
-    return parsed.select(
-        "doc_id",
-        "content_len",
-        (F.length("body") == F.col("content_len")).alias("len_ok"),
-        F.size(F.filter(F.split("body", " "), lambda x: x != F.lit("")))
-        .cast("bigint")
-        .alias("n_tokens"),
-    )
+
+
+# Declared-length record framing (r8 advice): a single JVM-side fold
+# over the version-line-split fragments. The version line is only a
+# CANDIDATE boundary — a fragment starts a true record iff its file
+# position equals the previous record's declared body end (acc.nxt);
+# fragments that begin inside a declared body span are consumed as body
+# content. The body itself is sliced from the ORIGINAL file string by
+# the declared Content-Chars, so a body legally containing
+# 'WARC/1.0\n' parses correctly instead of mis-framing. Position
+# arithmetic: the candidate delimiter starts at acc.cc+1 and occupies 9
+# chars; the fragment's char k sits at file position acc.cc+9+k; the
+# body begins 2 chars past the header's blank line (instr(f,'\n\n')),
+# i.e. at acc.cc + instr + 11; the text sink terminates every record
+# row with '\n' (the container's record separator), so the next record
+# opens at declared body end + 1. Per-file work is linear in file chars
+# (one bounded header probe + one body slice per record) plus the
+# record-struct array append — still one task per container file,
+# map-only, no Python.
+_WARC_FOLD = r"""
+aggregate(
+  slice(frags, 2, size(frags) - 1),
+  named_struct(
+    'cc', CAST(length(frags[0]) AS BIGINT),
+    'nxt', CAST(1 AS BIGINT),
+    'recs', CAST(array() AS ARRAY<STRUCT<
+      doc_id: BIGINT, content_len: BIGINT, len_ok: BOOLEAN, n_tokens: BIGINT>>)
+  ),
+  (acc, f) -> IF(
+    acc.cc + 1 = acc.nxt,
+    named_struct(
+      'cc', acc.cc + 9 + length(f),
+      'nxt', acc.cc + instr(f, '\n\n') + 12
+             + CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1) AS BIGINT),
+      'recs', array_append(acc.recs, named_struct(
+        'doc_id',
+          CAST(regexp_extract(f, 'WARC-Record-ID: (\\d+)', 1) AS BIGINT),
+        'content_len',
+          CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1) AS BIGINT),
+        'len_ok',
+          length(substring(value, CAST(acc.cc + instr(f, '\n\n') + 11 AS INT),
+            CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1) AS INT)))
+          = CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1) AS BIGINT),
+        'n_tokens',
+          CAST(size(filter(split(
+            substring(value, CAST(acc.cc + instr(f, '\n\n') + 11 AS INT),
+              CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1) AS INT)),
+            ' '), x -> x <> '')) AS BIGINT)
+      ))
+    ),
+    named_struct('cc', acc.cc + 9 + length(f), 'nxt', acc.nxt, 'recs', acc.recs)
+  ),
+  acc -> acc.recs
+)
+"""
 
 
 def _warc_dir(sf_dir: str) -> str:

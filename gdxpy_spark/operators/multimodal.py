@@ -454,8 +454,8 @@ def mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARD_ORACLE = """
 WITH s AS (
   SELECT doc_id, n_chars + 16 AS n_bytes,
-         SUM(n_chars + 16) OVER (ORDER BY doc_id
-             ROWS UNBOUNDED PRECEDING) AS cum
+         CAST(SUM(n_chars + 16) OVER (ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
   FROM documents)
 SELECT doc_id, n_bytes,
        (cum - n_bytes) // 65536 AS shard_id,

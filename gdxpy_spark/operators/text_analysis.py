@@ -752,7 +752,7 @@ pts AS (
 m AS (
   SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
          SUM(x * y) AS sxy, SUM(x * x) AS sxx,
-         SUM(freq) AS n_tokens
+         CAST(SUM(freq) AS BIGINT) AS n_tokens
   FROM pts)
 SELECT n AS n_types, n_tokens,
        ROUND(CAST(n * sxy - sx * sy AS DOUBLE)

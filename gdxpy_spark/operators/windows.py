@@ -403,17 +403,18 @@ def win_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH r AS (
   SELECT o_custkey,
-         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
   FROM orders GROUP BY o_custkey),
 c AS (
   SELECT o_custkey, rev_cents,
-         SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey ASC
-                              ROWS UNBOUNDED PRECEDING) AS cum,
-         SUM(rev_cents) OVER () AS total
+         CAST(SUM(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(SUM(rev_cents) OVER () AS BIGINT) AS total
   FROM r)
 SELECT (cum * 10 + total - 1) // total AS decile,
        COUNT(*) AS n_customers,
-       SUM(rev_cents) AS decile_rev_cents
+       CAST(SUM(rev_cents) AS BIGINT) AS decile_rev_cents
 FROM c
 GROUP BY decile
 """,

@@ -15,6 +15,15 @@ from pyspark.sql import SparkSession
 from gdxpy_spark.tables import configure
 
 
+def _default_driver_mem() -> str:
+    """min(16 GiB, half of host RAM), floor 2 GiB, as a JVM -Xmx string."""
+    try:
+        host_gib = (os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")) / 2**30
+    except (ValueError, OSError, AttributeError):  # non-POSIX fallback
+        host_gib = 16.0
+    return f"{max(2, min(16, int(host_gib // 2)))}g"
+
+
 def get_spark(
     app: str = "gdxpy_spark",
     cpus: int | None = None,
@@ -42,9 +51,12 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         # 206-query bench sessions accumulate heap pressure late in the
         # run (r8: machinery queries read 2-3x their isolated cost past
-        # query ~180 at 8g while a clean 16g window matched isolated);
-        # 16g is still ~12% of the 128 GiB box
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # query ~180 at 8g while a clean 16g window matched isolated).
+        # The default clamps to half of detected host RAM, capped at
+        # 16g, so the library still launches on small hosts (r8
+        # advice): the 128 GiB bench box gets 16g, an 8 GiB laptop 4g.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_driver_mem())
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

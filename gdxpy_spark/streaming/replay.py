@@ -584,7 +584,7 @@ if _has_protobuf():  # pragma: no cover - env-gated (no protobuf here)
 _FEB_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(ROUND(value * 10) AS BIGINT)) AS sum_x
+       CAST(SUM(CAST(ROUND(value * 10) AS BIGINT)) AS BIGINT) AS sum_x
 FROM events
 GROUP BY event_type
 """

@@ -733,9 +733,10 @@ WITH s AS (
          CAST(ROUND(value * 10) AS BIGINT) AS x
   FROM events)
 SELECT event_id, user_id,
-       SUM(x) OVER (
+       CAST(SUM(x) OVER (
          PARTITION BY user_id ORDER BY epoch_s
-         RANGE BETWEEN 172800 PRECEDING AND CURRENT ROW) AS trail_2d_sum,
+         RANGE BETWEEN 172800 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS trail_2d_sum,
        COUNT(*) OVER (
          PARTITION BY user_id ORDER BY epoch_s
          RANGE BETWEEN 172800 PRECEDING AND CURRENT ROW) AS trail_2d_n

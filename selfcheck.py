@@ -81,16 +81,29 @@ def main() -> None:
             srows = [tuple(r[c] for c in scols) for r in sdf.collect()]
             rec["spark_rows"] = len(srows)
             if q.oracle:
-                rel = con.execute(q.oracle)
-                dn = [d[0] for d in rel.description]
+                # Arrow fetch, NOT fetchall(): the driver compares
+                # through pandas/Arrow, where DuckDB HUGEINT/DECIMAL
+                # render differently from int64 — a fetchall() ledger
+                # is blind to that class (r8 verdict item #3).
+                from gdxpy_spark.oracle_types import type_mismatches
+
+                dtbl = con.execute(q.oracle).arrow()
+                dn = list(dtbl.column_names)
                 didx = [dn.index(c) for c in sorted(dn)]
-                drows = [tuple(r[i] for i in didx) for r in rel.fetchall()]
+                dcols_py = [c.to_pylist() for c in dtbl.columns]
+                drows = [tuple(r[i] for i in didx)
+                         for r in zip(*dcols_py)] if dtbl.num_rows else []
+                tmm = type_mismatches(sdf.schema, dtbl.schema)
                 rec["oracle_rows"] = len(drows)
                 rec["rows_match"] = len(srows) == len(drows)
                 rec["schema_match"] = scols == sorted(dn)
+                rec["type_match"] = not tmm
+                if tmm:
+                    rec["type_defects"] = tmm[:8]
                 rec["hash_match"] = _hash_rows(scols, srows) == _hash_rows(
                     sorted(dn), drows)
-                ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+                ok = (rec["rows_match"] and rec["schema_match"]
+                      and rec["type_match"] and rec["hash_match"])
             else:
                 rec["rows_returned"] = len(srows) >= 0
                 ok = True

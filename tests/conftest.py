@@ -62,16 +62,30 @@ def _rows_to_multiset(rows, col_order):
 
 
 def assert_frames_match(spark_df, duck_rel, name=""):
-    """Order-insensitive, column-name-keyed exact comparison."""
+    """Order-insensitive, column-name-keyed exact comparison.
+
+    DuckDB values are fetched through Arrow — the driver's fetch path —
+    NOT fetchall(): a fetchall() harness renders DuckDB HUGEINT/DECIMAL
+    as Python ints and is structurally blind to the type-promotion
+    class that kept six oracles driver-red for two rounds (r8 verdict).
+    The Arrow schema also feeds a column-by-column render-family guard
+    so any future uncast SUM() fails HERE, loudly, before the driver.
+    """
+    from gdxpy_spark.oracle_types import type_mismatches
+
+    d_tbl = duck_rel.arrow()
     s_cols = list(spark_df.columns)
-    d_cols = [d[0] for d in duck_rel.description]
+    d_cols = list(d_tbl.column_names)
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column mismatch spark={sorted(s_cols)} duck={sorted(d_cols)}"
     )
+    tmm = type_mismatches(spark_df.schema, d_tbl.schema)
+    assert not tmm, f"{name}: oracle/engine result-type guard: {tmm}"
     s_order = [s_cols.index(c) for c in sorted(s_cols)]
     d_order = [d_cols.index(c) for c in sorted(d_cols)]
     s_rows = [tuple(r) for r in spark_df.collect()]
-    d_rows = duck_rel.fetchall()
+    d_rows = list(zip(*(c.to_pylist() for c in d_tbl.columns))) \
+        if d_tbl.num_rows else []
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count spark={len(s_rows)} duck={len(d_rows)}"
     )

@@ -25,6 +25,29 @@ def test_oracle_parity(spark, duck, name):
     assert_frames_match(sdf, rel, name=name)
 
 
+def test_oracle_no_promoted_types(duck):
+    """Registry-wide DuckDB-only guard (fast — DESCRIBE plans, never
+    executes): no oracle may emit HUGEINT/UHUGEINT/DECIMAL. DuckDB
+    auto-promotes any uncast SUM(<integer>) to HUGEINT (int128), which
+    the driver's pandas/Arrow fetch renders as float64/decimal128 —
+    value-hash red against Spark's int64 even when every value is
+    identical. Exactly six oracles slipped through in r7/r8 and were
+    the ONLY driver hash-fails of both rounds (VERDICT r8). The
+    full cross-engine family check (Spark schema vs Arrow fetch
+    schema) runs inside assert_frames_match on every parity test;
+    this sweep is the zero-Spark early tripwire for the same class.
+    """
+    bad = []
+    for name in ORACLE_NAMES:
+        for col, typ, *_ in duck.execute(
+            "DESCRIBE " + ALL[name].oracle
+        ).fetchall():
+            u = typ.upper()
+            if "HUGEINT" in u or "DECIMAL" in u:
+                bad.append((name, col, typ))
+    assert not bad, f"promotion-prone oracle column types: {bad}"
+
+
 @pytest.mark.parametrize("name", WEAK_SMOKE)
 def test_weak_smoke(spark, name):
     q = ALL[name]
