@@ -1004,3 +1004,63 @@ def fn_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         (inter / union).alias("sim"),
     )
+
+
+_IP_CIDR_ORACLE = """
+WITH ip AS (
+  SELECT c_custkey,
+         c_custkey % 223 + 1 AS o1,
+         (c_custkey * 7) % 256 AS o2,
+         (c_custkey * 13) % 256 AS o3,
+         (c_custkey * 31) % 256 AS o4
+  FROM customer),
+n AS (
+  SELECT c_custkey,
+         CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+           || CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS ip_str,
+         CAST(o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS BIGINT) AS ip_num
+  FROM ip)
+SELECT c_custkey, ip_str, ip_num,
+       CASE WHEN ip_num >> 24 = 10 THEN '10.0.0.0/8'
+            WHEN ip_num >> 20 = (172 * 256 + 16) THEN '172.16.0.0/12'
+            WHEN ip_num >> 16 = (192 * 256 + 168) THEN '192.168.0.0/16'
+            ELSE 'public' END AS subnet
+FROM n
+"""
+
+
+@register("fn_ip_cidr", oracle=_IP_CIDR_ORACLE, category="B")
+def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 PARSE + CIDR CLASSIFICATION — octets → dotted string →
+    packed uint32 → RFC-1918 membership via PREFIX SHIFTS (ip >> (32-p)
+    == prefix >> (32-p)): the log-enrichment scalar behind bot
+    filtering, geo joins, and PII scoping of crawl data. The 0x-shift
+    form is the actual CIDR algorithm (not a string prefix hack), and
+    every step is exact integer/string math — map-only, codegen'd,
+    scan-fused; a CIDR TABLE (vs the 3 fixed blocks here) would
+    broadcast and range-join on (ip_num >> suffix_bits). Synthetic
+    octets are pure functions of c_custkey so the oracle reconstructs
+    them bit-for-bit."""
+    c = table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    o1, o2, o3, o4 = (
+        (k % 223 + 1),
+        (k * 7) % 256,
+        (k * 13) % 256,
+        (k * 31) % 256,
+    )
+    ip_num = (o1 * 16777216 + o2 * 65536 + o3 * 256 + o4).cast("bigint")
+    return c.select(
+        "c_custkey",
+        F.concat_ws(
+            ".",
+            o1.cast("string"), o2.cast("string"),
+            o3.cast("string"), o4.cast("string"),
+        ).alias("ip_str"),
+        ip_num.alias("ip_num"),
+        F.when(F.shiftright(ip_num, 24) == 10, "10.0.0.0/8")
+        .when(F.shiftright(ip_num, 20) == 172 * 256 + 16, "172.16.0.0/12")
+        .when(F.shiftright(ip_num, 16) == 192 * 256 + 168, "192.168.0.0/16")
+        .otherwise("public")
+        .alias("subnet"),
+    )

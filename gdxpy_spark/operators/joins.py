@@ -967,3 +967,106 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("sid_next"))
         .alias("signup_id"),
     )
+
+
+_GEO_RADIUS_ORACLE = """
+WITH pts AS (
+  SELECT c_custkey AS k,
+         CAST((c_custkey % 180) * 1000000 - 89500000 AS BIGINT) AS ilat,
+         CAST(((c_custkey * 7) % 360) * 1000000 - 179500000 AS BIGINT) AS ilon
+  FROM customer),
+cells AS (
+  SELECT k, ilat, ilon,
+         (ilat + 90000000) // 2000000 AS cr,
+         (ilon + 180000000) // 2000000 AS cc
+  FROM pts),
+probe AS (
+  SELECT c.k, c.ilat, c.ilon, c.cr + dr.d AS cr, c.cc + dc.d AS cc
+  FROM cells c,
+       (VALUES (-1), (0), (1)) dr(d),
+       (VALUES (-1), (0), (1)) dc(d))
+SELECT a.k AS k1, b.k AS k2,
+       CAST((a.ilat - b.ilat) * (a.ilat - b.ilat)
+          + (a.ilon - b.ilon) * (a.ilon - b.ilon) AS BIGINT) AS dist2
+FROM probe a
+JOIN cells b ON a.cr = b.cr AND a.cc = b.cc AND a.k < b.k
+WHERE (a.ilat - b.ilat) * (a.ilat - b.ilat)
+    + (a.ilon - b.ilon) * (a.ilon - b.ilon) <= 4000000000000
+"""
+
+
+@register("join_geo_radius", oracle=_GEO_RADIUS_ORACLE, category="C")
+def join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPATIAL RADIUS SELF-JOIN via grid-cell bucketing — "find all
+    pairs of points within distance R" without the all-pairs cross
+    join. Coordinates are the synthetic customer positions from
+    fn_geo_haversine, held as exact MICRODEGREE BIGINTs so the planar
+    squared distance and the R² threshold (R = 2°, the local-scale
+    regime where the flat-earth approximation holds) are pure integer
+    comparisons — bitwise identical across engines, no transcendental
+    near-boundary flips (the haversine kernel stays available as the
+    in-bucket verifier where true great-circle distances matter).
+
+    The plan IS the operator: points land in R×R grid cells; one side
+    replicates to its 3×3 cell neighborhood (a 9× explode of the
+    POINTS, not the pairs); the join is a single EQUI-join on the cell
+    id; the exact distance predicate prunes in-cell false candidates.
+    Every candidate pair within R shares a probe cell by construction
+    (|Δrow|, |Δcol| ≤ 1), appears exactly once (probe a × home b with
+    a.k < b.k), and pair work is local to a cell neighborhood — the
+    O(n²) cross join becomes O(n·density). At 100 TB the same plan
+    holds with a finer grid (or S2/geohash cells) and AQE skew-splits
+    urban-density hot cells; degenerate hot cells would salt the probe
+    side. DuckDB runs the identical grid algebra; a brute-force
+    O(n²) differential twin pins both at small SF in pytest."""
+    cust = table(spark, sf_dir, "customer")
+    cell = 2_000_000  # grid pitch = R, in microdegrees
+    r2 = F.lit(4_000_000_000_000)  # R² = (2e6 µdeg)²
+    pts = cust.select(
+        F.col("c_custkey").alias("k"),
+        ((F.col("c_custkey") % 180) * 1_000_000 - 89_500_000)
+        .cast("bigint")
+        .alias("ilat"),
+        (((F.col("c_custkey") * 7) % 360) * 1_000_000 - 179_500_000)
+        .cast("bigint")
+        .alias("ilon"),
+    )
+    # integer `div` (not double /): exact cell boundaries at any
+    # magnitude; the shifted operands are always positive here
+    cells = pts.select(
+        "k", "ilat", "ilon",
+        F.expr(f"(ilat + 90000000) div {cell}").alias("cr"),
+        F.expr(f"(ilon + 180000000) div {cell}").alias("cc"),
+    )
+    # 9-cell probe replication: explode a constant 3x3 offset array --
+    # a literal, not data (offsets stay whole-stage-codegen'd)
+    probe = cells.select(
+        "k", "ilat", "ilon",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("cr") + dr).alias("cr"), (F.col("cc") + dc).alias("cc")
+                )
+                for dr in (-1, 0, 1)
+                for dc in (-1, 0, 1)
+            ])
+        ).alias("cell"),
+    ).select("k", "ilat", "ilon", "cell.cr", "cell.cc")
+    a, b = probe.alias("a"), cells.alias("b")
+    dlat = F.col("a.ilat") - F.col("b.ilat")
+    dlon = F.col("a.ilon") - F.col("b.ilon")
+    dist2 = dlat * dlat + dlon * dlon
+    return (
+        a.join(
+            b,
+            (F.col("a.cr") == F.col("b.cr"))
+            & (F.col("a.cc") == F.col("b.cc"))
+            & (F.col("a.k") < F.col("b.k")),
+        )
+        .filter(dist2 <= r2)
+        .select(
+            F.col("a.k").alias("k1"),
+            F.col("b.k").alias("k2"),
+            dist2.cast("bigint").alias("dist2"),
+        )
+    )

@@ -569,3 +569,57 @@ def mm_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id BIGINT, width INT, height INT, nx INT, ny INT,"
         " n_patches BIGINT, n_tokens BIGINT",
     )
+
+
+_MMDEDUP_ORACLE = """
+WITH h AS (
+  SELECT doc_id, sha256(substr(text, 1, 128)) AS head_sha,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents)
+SELECT head_sha,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(doc_id) AS canonical_doc,
+       CAST(SUM(CAST(n_bytes AS BIGINT)) AS BIGINT) AS dup_payload_bytes
+FROM h
+GROUP BY head_sha
+HAVING COUNT(*) > 1
+"""
+
+
+@register("mm_exact_dedup", oracle=_MMDEDUP_ORACLE, category="MM")
+def mm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIA DEDUP BY CONTENT-HEAD DIGEST — hash the first 128 PAYLOAD
+    bytes (past the 16-byte container header), so the same content
+    re-wrapped with different container metadata still collapses: the
+    cheap first pass a LAION-style media pipeline runs before full-
+    stream hashing (a head digest reads one block per object instead
+    of streaming terabytes, and false head-collisions are resolved by
+    a full hash over only the surviving groups — at this corpus'
+    construction, head-identical implies template-identical). Emits
+    one row per duplicated head: copies, canonical keeper (min
+    doc_id), and the byte volume the group holds — the storage-savings
+    report of a dedup dry-run.
+
+    The binary column never survives the map stage: sha2 runs scan-
+    side and only the 64-hex digest + byte count shuffle (the
+    llm_exact_dedup discipline, on binary). The oracle recomputes the
+    digests from the source text — valid because payload bytes ARE the
+    utf-8 text by the media_table construction AND the corpus is pure
+    ASCII (byte slicing == char slicing; asserted in tests), and
+    DuckDB 1.0 has no sha256(BLOB) — hashing the text proves the
+    payload round-tripped through the container exactly."""
+    media = media_table(spark, sf_dir)
+    h = media.select(
+        "doc_id",
+        F.sha2(F.expr("substring(media, 17, 128)"), 256).alias("head_sha"),
+        (F.length("media") - 16).cast("bigint").alias("n_bytes"),
+    )
+    return (
+        h.groupBy("head_sha")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.sum("n_bytes").cast("bigint").alias("dup_payload_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gdxpy_spark.operators._util import r4, shuffle_partitions
+from gdxpy_spark.operators._util import r4, shuffle_partitions, word_shingles
 from gdxpy_spark.operators.llm import blocked_jaccard_auto
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
@@ -823,4 +823,189 @@ def llm_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 0.0
             ).alias("zipf_slope"),
         )
+    )
+
+
+_BOILER_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+              || ' ' || t[i+4] AS g
+  FROM toks, unnest(range(1, len(t) - 3)) AS u(i)
+  WHERE len(t) >= 5)
+SELECT g AS shingle,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       MIN(doc_id) AS first_doc
+FROM sh
+GROUP BY g
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("llm_boilerplate_ngrams", oracle=_BOILER_ORACLE, category="K")
+def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOILERPLATE DETECTION — 5-gram shingles appearing in ≥2 DISTINCT
+    documents, with document frequency and the earliest carrier: the
+    corpus-level signal behind nav-bar / cookie-banner / template
+    stripping (CCNet and RefinedWeb run exactly this shape at line
+    granularity; this corpus has no line structure, so the shingle IS
+    the unit). Per-doc shingling is in-array (word_shingles zip_with —
+    no per-position slice allocation), the per-doc DISTINCT collapses
+    within-document repeats map-side via array_distinct BEFORE the
+    explode, and the df count is one partial-aggregable groupBy on the
+    shingle. At 100 TB the groupBy key would be xxhash64(shingle) with
+    the text kept only on the surviving ≥threshold rows (the exact
+    swap llm_fingerprint makes); at test scale the text key keeps the
+    oracle honest."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(F.size(t) >= 5, word_shingles(t, 5)).otherwise(
+                    F.array().cast("array<string>")
+                )
+            )
+        ).alias("shingle"),
+    )
+    return (
+        grams.groupBy("shingle")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+
+
+_VOCAB_COV_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tokn
+  FROM documents),
+tok2 AS (SELECT doc_id, source, tokn FROM tok WHERE tokn <> ''),
+vocab AS (
+  SELECT tokn FROM tok2 GROUP BY tokn HAVING COUNT(*) >= 100)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE v.tokn IS NULL) AS BIGINT) AS n_oov,
+       ROUND(CAST(COUNT(*) FILTER (WHERE v.tokn IS NULL) AS DOUBLE)
+             / COUNT(*), 6) + 0.0 AS oov_rate
+FROM tok2 LEFT JOIN vocab v USING (tokn)
+GROUP BY source
+"""
+
+
+@register("llm_vocab_coverage", oracle=_VOCAB_COV_ORACLE, category="K")
+def llm_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE / OOV RATE per source — the tokenizer-fit
+    gauge run before committing a vocab to a training mix (a source
+    whose OOV rate spikes fragments into byte-fallback tokens and
+    silently eats sequence budget). Vocab = tokens with corpus
+    frequency ≥ 100 (a frequency floor, not a top-K: no global rank
+    machinery needed, deterministic under ties by construction). The
+    vocab table is vocabulary-sized, so the membership probe is an
+    explicitly BROADCAST left join onto the token stream (the
+    llm_perplexity_proxy lesson: Catalyst sort-merge-joins this and
+    skews on hot tokens); the per-source rollup is one partial-agg
+    groupBy. One corpus pass builds the vocab, one scores — both
+    token-granular, neither shuffles text beyond the token column."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != F.lit(""))).alias(
+            "tokn"
+        ),
+    )
+    vocab = (
+        tok.groupBy("tokn")
+        .agg(F.count("*").alias("_f"))
+        .filter(F.col("_f") >= 100)
+        .select("tokn", F.lit(1).alias("_inv"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tokn", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            (
+                F.round(
+                    F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)).cast(
+                        "double"
+                    )
+                    / F.count("*"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("oov_rate"),
+        )
+    )
+
+
+_MLM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+masked AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         list_transform(range(1, len(t) + 1),
+           i -> CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                  CAST(i AS VARCHAR) || ':' || t[i]), 1, 2)
+                          < '26'
+                     THEN '<mask>' ELSE t[i] END) AS m
+  FROM toks)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(m, x -> x = '<mask>')) AS BIGINT) AS n_masked,
+       array_to_string(m, ' ') AS masked_text
+FROM masked
+"""
+
+
+@register("llm_mlm_mask", oracle=_MLM_ORACLE, category="K")
+def llm_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLM-STYLE DETERMINISTIC MASKING — replace ~15 % of tokens with a
+    sentinel, selected by md5(doc_id:position:token) hex-prefix
+    < '26' (0x26/0x100 ≈ 14.8 %): the masked-language-model corruption
+    step, made REPRODUCIBLE — the mask is a pure function of the
+    example, not an RNG stream, so re-runs, resumed jobs, and
+    train/debug reads of the same doc mask identically (and the choice
+    of hex-prefix comparison over modulo matches the registry's
+    hash-sampling family: llm_hash_sample, llm_train_split).
+
+    Everything stays IN-ARRAY: split → indexed transform → re-join; no
+    explode, no shuffle at all — a map-only plan whose cost is one md5
+    per token, embarrassingly parallel at any corpus size. Spark's
+    transform index is 0-based and DuckDB's list positions are 1-based;
+    both sides key the hash on the 1-BASED position."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    mask_tok = lambda x, i: F.when(  # noqa: E731
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"),
+                    (i + 1).cast("string"), F.lit(":"), x,
+                )
+            ),
+            1, 2,
+        )
+        < "26",
+        F.lit("<mask>"),
+    ).otherwise(x)
+    return docs.select(
+        "doc_id", F.transform(t, mask_tok).alias("m")
+    ).select(
+        "doc_id",
+        F.size("m").cast("bigint").alias("n_tokens"),
+        F.size(F.filter("m", lambda x: x == F.lit("<mask>")))
+        .cast("bigint")
+        .alias("n_masked"),
+        F.array_join("m", " ").alias("masked_text"),
     )

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gdxpy_spark.operators._util import dec, dsum, sql_dsum
+from gdxpy_spark.operators._util import davg, dec, dsum, sql_davg, sql_dsum
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
 
@@ -210,4 +210,212 @@ def tpch_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
+    )
+
+
+_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_base_price')},
+       {sql_dsum(_REV, 'sum_disc_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {sql_davg('l_quantity', 'avg_qty')},
+       {sql_davg('l_extendedprice', 'avg_price')},
+       {sql_davg('l_discount', 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("tpch_q1_shape", oracle=_Q1_ORACLE, category="Q")
+def tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1 (pricing summary report): THE canonical scan-and-aggregate —
+    eight aggregates over the full fact table grouped by two low-
+    cardinality flags. Plan shape is the best case Spark has: one scan
+    with the date filter and 6-column pruning pushed into parquet, all
+    eight aggregates partial (map-side combine into 6 groups), ONE
+    metadata-sized shuffle, whole-stage codegen end to end. Money math
+    rides per-row DECIMAL casts (dsum/davg) so the sums are order-
+    independent and hash-identical across engines at any parallelism.
+    At 100 TB this plan's cost is the scan — nothing else survives the
+    map side."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"),
+        dsum("l_extendedprice", "sum_base_price"),
+        dsum(disc_price, "sum_disc_price"),
+        dsum(charge, "sum_charge"),
+        davg("l_quantity", "avg_qty"),
+        davg("l_extendedprice", "avg_price"),
+        davg("l_discount", "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+_Q6_ORACLE = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("tpch_q6_shape", oracle=_Q6_ORACLE, category="Q")
+def tpch_q6_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 (forecast revenue change): a pure filter-and-sum — the
+    predicate-pushdown benchmark. All three range predicates (date,
+    discount band, quantity cap) are scan-level PushedFilters, so
+    parquet row-group min/max statistics prune I/O before a single row
+    decodes; the aggregate is a one-row global sum (partial map-side,
+    no groupBy shuffle at all). tests/test_plans.py pins the pushdown.
+    At 100 TB with date-partitioned or shipdate-sorted layout this
+    query reads a fraction of the table — the plan, not the code, is
+    the optimization."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_linestatus,
+       COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+         AS high_line_count,
+       COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+"""
+
+
+@register("tpch_q12_shape", oracle=_Q12_ORACLE, category="Q")
+def tpch_q12_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 (shipping modes / late lines, adapted — the driver schema has
+    no l_shipmode, so l_linestatus is the mode dimension and 'late' is
+    ship > order + 60 days): the conditional-count-after-join shape.
+    The year filter pushes to the lineitem scan; the late predicate is
+    a post-join comparison between columns of the two sides (Catalyst
+    cannot push it, which is the point of the shape); the counts are
+    partial-aggregable CASE sums over a 2-group key. One orderkey
+    shuffle — at 100 TB co-located bucketing on orderkey (see
+    join_bucketed_colocated) removes it."""
+    od = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+_Q14_ORACLE = f"""
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST({_REV} AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST({_REV} AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0
+         AS promo_revenue_pct,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+@register("tpch_q14_shape", oracle=_Q14_ORACLE, category="Q")
+def tpch_q14_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 (promotion effect): percent of quarterly revenue from promo
+    parts — the conditional-ratio-after-dimension-join shape. part is
+    broadcast (dimension-sized at every scale factor: |part| grows
+    with SF but stays ~1e-3 of lineitem; at true 100 TB it would be a
+    shuffle-free bucketed join instead), the quarter filter pushes to
+    the fact scan, and both sums are exact decimals with ONE double
+    division at the end (+0.0 canonicalizes the zero corner) — the
+    ratio hashes identically on both engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = table(spark, sf_dir, "part")
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.round(
+                    100.0
+                    * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,6)"))).cast("double")
+                    / F.sum(rev).cast("double"),
+                    4,
+                )
+                + 0.0
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q19_ORACLE = f"""
+SELECT {sql_dsum(_REV, 'revenue')}, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+
+@register("tpch_q19_shape", oracle=_Q19_ORACLE, category="Q")
+def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 (discounted revenue): the disjunctive-predicate join — three
+    OR'd conjunction blocks mixing fact-side (quantity) and dim-side
+    (brand, size) columns. Catalyst extracts the common single-side
+    residuals: the brand/size union pushes to the part scan and the
+    quantity envelope (1..40) to the lineitem scan, so both inputs
+    shrink BEFORE the broadcast join and only the cross-side OR is
+    evaluated post-join. The revenue sum is decimal-exact. This shape
+    is the classic test that an optimizer doesn't give up on OR."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    blocks = (
+        ((b == "Brand#1") & s.between(1, 10) & (q >= 1) & (q <= 20))
+        | ((b == "Brand#2") & s.between(5, 25) & (q >= 10) & (q <= 30))
+        | ((b == "Brand#3") & s.between(20, 50) & (q >= 20) & (q <= 40))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(blocks)
+        .agg(dsum(rev, "revenue"), F.count("*").alias("n_lines"))
     )

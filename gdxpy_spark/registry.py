@@ -79,6 +79,7 @@ def load_all() -> None:
         multimodal,
         tpch_shapes,
         gdx_composites,
+        graphs,
     )
     from gdxpy_spark.sources import gdx_queries  # noqa: F401
     from gdxpy_spark.operators import (  # noqa: F401
@@ -95,30 +96,33 @@ def load_all() -> None:
 
 
 # Driver artifacts (CORRECTNESS_r*.json) cap at ~50 entries, truncating in
-# queries() iteration order. Round 8 front-loads, in this order:
-# (1) the FIVE r07 hash-FAILs — recorded in a contention-corrupted driver
-#     window (judge reran 25/25 green) and now carrying the r8 machinery
-#     hardening (deterministic bucket-pid prefix sums; batch_id-keyed
-#     idempotent foreachBatch) — the ledger must show them green again;
-# (2) the ELEVEN oracle IDs that have never had a driver row (late-r7
-#     additions that sat past the 50-row cap) — one rotation closes the
-#     driver ledger at 187/187 oracle IDs;
-# (3) oracle-changed-in-r8 IDs (llm_corpus_card token rule,
-#     agg_histogram bucket_lo type) — a stale green row proves nothing
-#     about the new oracle (corpus_card/histogram appear in (1)/(2));
-# (4) new-in-r8 queries; then the already-recorded remainder.
+# queries() iteration order. Round 9 front-loads, in this order:
+# (1) the SIX r07/r08 hash-FAILs whose oracles carried the HUGEINT type
+#     defect (uncast integer SUMs — r8 verdict root cause), now fixed
+#     with explicit BIGINT casts: the ledger must finally show them
+#     green to close at 209-of-209 oracle IDs... minus the r9 additions;
+# (2) the THIRTEEN new r9 queries — no artifact row exists anywhere yet;
+# (3) r9 behavior-touched IDs: llm_warc_parse (declared-length framing
+#     rewrite) and llm_length_blocking (small-remainder re-chunking) —
+#     a stale green row predates the new code;
+# (4) the r8 window follows (recorded green r08), then older history.
 _ARTIFACT_PRIORITY = [
-    # (1) r07 hash-FAILs, re-record on hardened machinery:
+    # (1) HUGEINT-oracle fixes, re-record green:
     "llm_zipf_slope", "win_pareto_concentration", "win_time_range_frame",
-    "mm_shard_pack", "stream_foreach_batch",
-    # (2) never driver-recorded oracle IDs (closes the ledger):
-    "ts_seasonal_profile", "llm_corpus_card", "set_reconcile_report",
+    "mm_shard_pack", "stream_foreach_batch", "llm_corpus_card",
+    # (2) new in r9:
+    "tpch_q1_shape", "tpch_q6_shape", "tpch_q12_shape", "tpch_q14_shape",
+    "tpch_q19_shape", "join_geo_radius", "graph_triangles", "ts_ewma",
+    "llm_boilerplate_ngrams", "llm_vocab_coverage", "llm_mlm_mask",
+    "mm_exact_dedup", "fn_ip_cidr",
+    # (3) implementation changed in r9:
+    "llm_warc_parse", "llm_length_blocking",
+    # (4) r8 window (recorded green r08):
+    "ts_seasonal_profile", "set_reconcile_report",
     "proj_profile_stats", "udf_arrow_scalar", "fn_geo_haversine",
     "fn_format_strings", "fn_base64_binary", "agg_bitmask_sets",
     "agg_string_concat", "fn_regex_extract_all",
-    # (3) oracle tweaked in r8 (type-level): re-record
     "agg_histogram",
-    # (4) new in r8 — no artifact row exists anywhere yet:
     "stream_outer_join", "llm_graph_pagerank", "llm_perplexity_proxy",
     "llm_dedup_keep_best", "llm_hash_sample", "llm_docfreq_prune",
     "agg_entropy", "src_binary_files", "fn_levenshtein",
@@ -126,9 +130,7 @@ _ARTIFACT_PRIORITY = [
     "join_asof_nearest", "ts_time_bucket", "llm_heavy_hitters",
     "win_ratio_to_report", "proj_struct_pack",
     "mm_patch_grid", "llm_dataset_mixture",
-    "src_parquet_zstd", "src_csv_gzip", "llm_warc_parse",
-    # consumers of the hardened prefix-sum/global-rank machinery,
-    # re-recorded so the determinism fix is driver-evidenced end-to-end:
+    "src_parquet_zstd", "src_csv_gzip",
     "llm_token_budget", "sort_multi_nulls", "win_ntile_pct",
     "gdx_uel_dictionary", "llm_train_split", "llm_sample_stratified",
     "join_bucketed_colocated",

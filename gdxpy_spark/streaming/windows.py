@@ -957,3 +957,65 @@ def ts_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dsum("value", "_s") + F.lit(0.0)).alias("sum_value"),
         )
     )
+
+
+_EWMA_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(value AS DOUBLE) AS x
+  FROM events),
+seq AS (
+  SELECT user_id,
+         list(x ORDER BY ts, event_id) AS xs
+  FROM ev GROUP BY user_id)
+SELECT user_id,
+       CAST(len(xs) AS BIGINT) AS n_events,
+       ROUND(list_reduce(xs, (acc, x) -> 0.25 * x + 0.75 * acc), 6) + 0.0
+         AS ewma
+FROM seq
+"""
+
+
+@register("ts_ewma", oracle=_EWMA_ORACLE, category="I")
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIALLY WEIGHTED MOVING AVERAGE per key — the recursive
+    smoother (y_t = α·x_t + (1-α)·y_{t-1}) behind anomaly baselines and
+    online feature decay. SQL window frames cannot express the
+    recursion (every prefix would need its own geometric re-weighting),
+    so the engine folds each key's time-ordered value sequence with a
+    JVM higher-order `aggregate` over `sort_array(collect_list(...))` —
+    one shuffle on user_id, no UDF, no driver state. α = 0.25 and
+    1-α = 0.75 are EXACT binary fractions and both engines fold in the
+    identical (ts, event_id) order, so every intermediate double is
+    bit-identical — the fold is deterministic without float tolerance
+    (the closed-form Σ α(1-α)^k rewrite was rejected: powers overflow/
+    underflow at long horizons and reorder the arithmetic).
+
+    Scale: state per key is one double; the collected sequence is one
+    user's history (the same per-key-bounded assumption every
+    session-window operator makes — a key whose history outgrows a task
+    would move to the incremental streaming form, which is this exact
+    fold applied per micro-batch with the carry in the state store).
+    The struct sort is in-array (no secondary shuffle), and the fold is
+    whole-stage-codegen'd."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", F.col("value").alias("x")))
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.size("s").cast("bigint").alias("n_events"),
+        (
+            F.round(
+                F.aggregate(
+                    F.slice(F.transform("s", lambda e: e.x), 2, F.size("s") - 1),
+                    F.element_at(F.transform("s", lambda e: e.x), 1).cast("double"),
+                    lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("ewma"),
+    )

@@ -28,7 +28,9 @@ def build_10x(spark) -> None:
 
     from gdxpy_spark.tables import table
 
-    if os.path.exists(S10 + "/documents.parquet"):
+    # the guard keys on the LAST table this builder learned to write
+    # (r9 added relational/event tables) so a pre-r9 cached dir rebuilds
+    if os.path.exists(S10 + "/events.parquet"):
         return
     docs = table(spark, S1, "documents")
     big = None
@@ -44,6 +46,32 @@ def build_10x(spark) -> None:
         c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
         big_e = c if big_e is None else big_e.unionByName(c)
     big_e.repartition(8).write.mode("overwrite").parquet(S10 + "/embeddings.parquet")
+    # r9: relational/event tables for the graph/spatial/ts/TPC-H probes.
+    # Key shifts keep each copy disjoint (graph = 10 disjoint components,
+    # geo = 10 fresh lattice sweeps, events = 10x users with the same
+    # per-user history length) — volume scales 10x, per-key state doesn't.
+    li = table(spark, S1, "lineitem")
+    big_l = None
+    for i in range(10):
+        c = li.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * 100_000_000)
+        ).withColumn("l_partkey", F.col("l_partkey") + F.lit(i * 10_000_000))
+        big_l = c if big_l is None else big_l.unionByName(c)
+    big_l.repartition(32).write.mode("overwrite").parquet(S10 + "/lineitem.parquet")
+    cu = table(spark, S1, "customer")
+    big_c = None
+    for i in range(10):
+        c = cu.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * 1_000_000))
+        big_c = c if big_c is None else big_c.unionByName(c)
+    big_c.repartition(8).write.mode("overwrite").parquet(S10 + "/customer.parquet")
+    ev = table(spark, S1, "events")
+    big_v = None
+    for i in range(10):
+        c = ev.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * 100_000_000)
+        ).withColumn("user_id", F.col("user_id") + F.lit(i * 1_000_000))
+        big_v = c if big_v is None else big_v.unionByName(c)
+    big_v.repartition(16).write.mode("overwrite").parquet(S10 + "/events.parquet")
 
 
 def main() -> None:
@@ -114,7 +142,13 @@ def main() -> None:
                  # r8 additions over the documents corpus
                  "llm_heavy_hitters", "llm_perplexity_proxy",
                  "llm_dedup_keep_best", "llm_hash_sample",
-                 "llm_docfreq_prune", "llm_bpe_train"):
+                 "llm_docfreq_prune", "llm_bpe_train",
+                 # r9 additions (documents + relational/event tables;
+                 # build_10x ships 10x lineitem/customer/events too)
+                 "llm_boilerplate_ngrams", "llm_vocab_coverage",
+                 "llm_mlm_mask", "mm_exact_dedup", "graph_triangles",
+                 "join_geo_radius", "ts_ewma", "tpch_q1_shape",
+                 "tpch_q6_shape"):
         a = timed(lambda: queries[name].fn(spark, S1))
         b = timed(lambda: queries[name].fn(spark, S10))
         rows.append((name, a, b))

@@ -333,3 +333,68 @@ def test_skew_salted_join_shuffles_not_broadcasts(spark):
     assert "ShuffledHashJoin" in plan, plan
     assert "BroadcastHashJoin" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_tpch_q6_pushdown_all_predicates(spark):
+    """Q6 is the pushdown benchmark: date range, discount band, and
+    quantity cap must ALL reach the parquet scan, and the scan must
+    prune to the 4 referenced columns."""
+    df = _df(spark, "tpch_q6_shape")
+    pf = pushed_filters(df)
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf, pf
+    rs = read_schema(df)
+    assert "l_orderkey" not in rs and "l_returnflag" not in rs, rs
+
+
+def test_tpch_q19_pushes_or_residuals(spark):
+    """The disjunctive-predicate join must broadcast the dimension and
+    push the single-side OR residuals: the part scan gets the brand
+    union, the lineitem scan the quantity envelope."""
+    df = _df(spark, "tpch_q19_shape")
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    pf = pushed_filters(df)
+    assert "p_brand" in pf, f"brand residual not pushed: {pf}"
+    assert "l_quantity" in pf, f"quantity envelope not pushed: {pf}"
+
+
+def test_geo_radius_is_equi_join(spark):
+    """The grid-cell spatial join must be a hash/sort-merge EQUI join on
+    the cell id — a BNLJ/Cartesian here means the grid bucketing
+    regressed to all-pairs."""
+    plan = formatted_plan(_df(spark, "join_geo_radius"))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+
+
+def test_graph_triangles_equi_joins_only(spark):
+    """Orientation + id-canonicalized closing probe keep every join an
+    equi-join; an OR-condition probe would fall back to BNLJ and
+    explode at scale."""
+    plan = formatted_plan(_df(spark, "graph_triangles"))
+    assert "Cartesian" not in plan, plan
+    # the only nested-loop joins allowed are the literal-TRUE glue
+    # between the three ONE-ROW count legs (2 of them; formatted_plan
+    # prints every node twice — tree + detail section); every
+    # edge-sized join (degree attach ×2, wedge build, closing probe)
+    # must be a hash/sort-merge equi join
+    assert plan.count("BroadcastNestedLoopJoin") <= 4, plan
+    equi = sum(
+        plan.count(k)
+        for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert equi >= 4, f"expected >=4 equi joins, plan:\n{plan}"
+
+
+def test_mlm_mask_is_shuffle_free(spark):
+    plan = formatted_plan(_df(spark, "llm_mlm_mask"))
+    assert "Exchange" not in plan, (
+        "llm_mlm_mask must be map-only; found a shuffle:\n" + plan
+    )
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    plan = formatted_plan(_df(spark, "llm_vocab_coverage"))
+    assert "BroadcastHashJoin" in plan, (
+        "vocabulary membership probe must broadcast (llm_perplexity_proxy"
+        " lesson — sort-merge on hot tokens skews):\n" + plan
+    )

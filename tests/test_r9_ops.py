@@ -8,6 +8,7 @@ import pyarrow as pa
 import pytest
 
 from gdxpy_spark.oracle_types import arrow_family, spark_family, type_mismatches
+from tests.conftest import SF_DIR
 
 
 # ---- oracle_types guard: does it actually catch the r7/r8 classes? --------
@@ -133,3 +134,132 @@ def test_default_driver_mem_clamps(monkeypatch):
     assert got.endswith("g")
     gib = int(got[:-1])
     assert 2 <= gib <= 16
+
+
+# ---- r9 operator semantics --------------------------------------------------
+
+
+def test_geo_radius_matches_brute_force(spark):
+    """The grid-cell join must equal the O(n²) all-pairs reference —
+    a pair straddling a cell boundary that the 3×3 probe missed, or a
+    duplicate from double-counted probe cells, fails here."""
+    from gdxpy_spark import registry
+
+    got = sorted(
+        tuple(r)
+        for r in registry.all_queries()["join_geo_radius"]
+        .fn(spark, SF_DIR)
+        .collect()
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/customer.parquet')"
+    )
+    brute = sorted(
+        con.execute(
+            """
+WITH pts AS (
+  SELECT c_custkey AS k,
+         CAST((c_custkey % 180) * 1000000 - 89500000 AS BIGINT) AS ilat,
+         CAST(((c_custkey * 7) % 360) * 1000000 - 179500000 AS BIGINT) AS ilon
+  FROM customer)
+SELECT a.k, b.k,
+       (a.ilat-b.ilat)*(a.ilat-b.ilat) + (a.ilon-b.ilon)*(a.ilon-b.ilon)
+FROM pts a JOIN pts b ON a.k < b.k
+WHERE (a.ilat-b.ilat)*(a.ilat-b.ilat) + (a.ilon-b.ilon)*(a.ilon-b.ilon)
+      <= 4000000000000
+"""
+        ).fetchall()
+    )
+    assert got == brute and len(got) > 0
+
+
+def test_triangles_match_unoriented_count(spark):
+    """Degree-oriented counting must equal the naive a<b<c closure /1 —
+    i.e. each triangle generated and found exactly once."""
+    from gdxpy_spark import registry
+
+    row = (
+        registry.all_queries()["graph_triangles"]
+        .fn(spark, SF_DIR)
+        .collect()[0]
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/lineitem.parquet')"
+    )
+    naive = con.execute(
+        """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+e AS (SELECT DISTINCT a.l_partkey pa, b.l_partkey pb
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+SELECT COUNT(*) FROM e e1
+JOIN e e2 ON e2.pa = e1.pb
+JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+"""
+    ).fetchone()[0]
+    assert row.n_triangles == naive and naive > 0
+
+
+def test_ewma_matches_python_fold(spark):
+    """The JVM fold must equal a per-user Python fold over the same
+    (ts, event_id)-ordered values — bit-exact before the final round."""
+    from gdxpy_spark.tables import table as t
+
+    ev = t(spark, SF_DIR, "events").select("user_id", "ts", "event_id", "value")
+    rows = ev.collect()
+    seqs = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(float(r.value))
+    expect = {}
+    for u, xs in seqs.items():
+        acc = xs[0]
+        for x in xs[1:]:
+            acc = 0.25 * x + 0.75 * acc
+        expect[u] = (len(xs), round(acc, 6) + 0.0)
+    from gdxpy_spark import registry
+
+    got = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in registry.all_queries()["ts_ewma"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_documents_ascii_invariant(spark):
+    """mm_exact_dedup's oracle slices CHARS while the engine slices
+    payload BYTES; they coincide only while the corpus stays pure
+    ASCII — pin the assumption the docstring states."""
+    from gdxpy_spark.tables import table as t
+
+    docs = t(spark, SF_DIR, "documents")
+    import pyspark.sql.functions as F
+
+    n_bad = docs.filter(
+        F.octet_length("text") != F.length("text")
+    ).count()
+    assert n_bad == 0
+
+
+def test_mlm_mask_rate_and_reassembly(spark):
+    from gdxpy_spark import registry
+
+    df = registry.all_queries()["llm_mlm_mask"].fn(spark, SF_DIR)
+    rows = df.collect()
+    tot = sum(r.n_tokens for r in rows)
+    masked = sum(r.n_masked for r in rows)
+    # 0x26/0x100 = 14.84 % expected; allow a generous band
+    assert 0.12 < masked / tot < 0.18
+    for r in rows[:20]:
+        toks = r.masked_text.split(" ")
+        assert len(toks) == r.n_tokens
+        assert sum(1 for x in toks if x == "<mask>") == r.n_masked
