@@ -65,6 +65,19 @@ PICKS = [
      "keyless range join (r7): time quantized to window-sized buckets "
      "turns the inequality into a hash EQUI join + residual — no "
      "BroadcastNestedLoop anywhere"),
+    ("tpch_q6_shape",
+     "Q6 (r9): the pushdown benchmark — date range, discount band and "
+     "quantity cap ALL in PushedFilters; 4-column ReadSchema; one-row "
+     "partial-agg sum, no groupBy shuffle"),
+    ("join_geo_radius",
+     "grid-bucketed spatial radius join (r9): 3x3 probe replication is "
+     "a literal explode; the join is a hash EQUI join on the cell id "
+     "with the exact integer distance as residual — no cross join, no "
+     "BNLJ"),
+    ("graph_triangles",
+     "triangle counting (r9): degree-ordered orientation (out-degree "
+     "<= O(sqrt m)) then wedge + closing-edge probes as equi joins; "
+     "the only nested-loop joins glue the three ONE-ROW count legs"),
 ]
 
 DETAIL_KEYS = ("PushedFilters", "PartitionFilters", "ReadSchema",
