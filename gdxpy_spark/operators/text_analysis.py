@@ -1009,3 +1009,219 @@ def llm_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_masked"),
         F.array_join("m", " ").alias("masked_text"),
     )
+
+
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+tf AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS dl,
+         CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf1,
+         CAST(len(list_filter(t, x -> x = 'hash')) AS BIGINT) AS tf2,
+         CAST(len(list_filter(t, x -> x = 'window')) AS BIGINT) AS tf3
+  FROM toks),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dl) AS BIGINT) AS sdl,
+         CAST(COUNT(*) FILTER (WHERE tf1 > 0) AS BIGINT) AS df1,
+         CAST(COUNT(*) FILTER (WHERE tf2 > 0) AS BIGINT) AS df2,
+         CAST(COUNT(*) FILTER (WHERE tf3 > 0) AS BIGINT) AS df3
+  FROM tf)
+SELECT doc_id, dl, tf1, tf2, tf3,
+       ROUND(
+         ln((CAST(n AS DOUBLE) - df1 + 0.5) / (df1 + 0.5) + 1.0)
+           * (tf1 * CAST(2.2 AS DOUBLE))
+           / (tf1 + CAST(1.2 AS DOUBLE)
+                    * (0.25 + 0.75 * dl * n / CAST(sdl AS DOUBLE)))
+       + ln((CAST(n AS DOUBLE) - df2 + 0.5) / (df2 + 0.5) + 1.0)
+           * (tf2 * CAST(2.2 AS DOUBLE))
+           / (tf2 + CAST(1.2 AS DOUBLE)
+                    * (0.25 + 0.75 * dl * n / CAST(sdl AS DOUBLE)))
+       + ln((CAST(n AS DOUBLE) - df3 + 0.5) / (df3 + 0.5) + 1.0)
+           * (tf3 * CAST(2.2 AS DOUBLE))
+           / (tf3 + CAST(1.2 AS DOUBLE)
+                    * (0.25 + 0.75 * dl * n / CAST(sdl AS DOUBLE)))
+       , 4) + 0.0 AS bm25
+FROM tf, stats
+"""
+
+
+@register("llm_bm25_score", oracle=_BM25_ORACLE, category="K")
+def llm_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 RETRIEVAL SCORING against a fixed 3-term query — the lexical
+    ranking function behind corpus search, hard-negative mining, and
+    the retrieval side of RAG data curation (k1 = 1.2, b = 0.75,
+    Robertson/Lucene idf = ln((N-df+0.5)/(df+0.5)+1)). Everything
+    upstream of the final expression is EXACT integers: per-doc term
+    frequencies and doc length are in-array counts (no explode), df/N/
+    Σdl are one metadata-sized aggregate broadcast back as a 1-row
+    cross join. The score itself is one fixed double expression —
+    three idf·tf·norm terms added in literal order, never a float
+    AGGREGATE — so both engines produce bit-identical doubles (same
+    discipline as ts_interpolate/llm_token_budget; ROUND(.,4)+0.0
+    absorbs the zero corner). The dl·n/Σdl length norm is written
+    with ONE double division so no engine reassociates it.
+
+    Scale: tf extraction is map-only and scan-fused; the stats row is
+    broadcast; scoring is map-only — the whole plan is one corpus pass
+    with a metadata aggregate, embarrassingly parallel. A multi-term /
+    query-table variant becomes a broadcast join on term instead of
+    three literal filters (llm_tfidf has that shape)."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    t1, t2, t3 = _BM25_TERMS
+    tf = docs.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("dl"),
+        F.size(F.filter(t, lambda x: x == F.lit(t1))).cast("bigint").alias("tf1"),
+        F.size(F.filter(t, lambda x: x == F.lit(t2))).cast("bigint").alias("tf2"),
+        F.size(F.filter(t, lambda x: x == F.lit(t3))).cast("bigint").alias("tf3"),
+    )
+    stats = tf.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dl").cast("bigint").alias("sdl"),
+        F.sum((F.col("tf1") > 0).cast("bigint")).cast("bigint").alias("df1"),
+        F.sum((F.col("tf2") > 0).cast("bigint")).cast("bigint").alias("df2"),
+        F.sum((F.col("tf3") > 0).cast("bigint")).cast("bigint").alias("df3"),
+    )
+
+    def term(tfc, dfc):
+        idf = F.log(
+            (F.col("n").cast("double") - F.col(dfc) + 0.5) / (F.col(dfc) + 0.5)
+            + 1.0
+        )
+        norm = 0.25 + 0.75 * F.col("dl") * F.col("n") / F.col("sdl").cast(
+            "double"
+        )
+        return idf * (F.col(tfc) * 2.2) / (F.col(tfc) + 1.2 * norm)
+
+    return tf.join(F.broadcast(stats), F.lit(True)).select(
+        "doc_id", "dl", "tf1", "tf2", "tf3",
+        (
+            F.round(term("tf1", "df1") + term("tf2", "df2") + term("tf3", "df3"), 4)
+            + F.lit(0.0)
+        ).alias("bm25"),
+    )
+
+
+_GOPHER_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id, n, g
+  FROM toks,
+       (VALUES (2), (3), (4), (5), (6)) sizes(n),
+       unnest(range(1, len(t) - n + 2)) AS u(i),
+       LATERAL (SELECT array_to_string(t[i:i+n-1], ' ') AS g)
+  WHERE len(t) >= n),
+pg AS (
+  SELECT doc_id, n, g, COUNT(*) AS m, CAST(length(g) AS BIGINT) AS gl
+  FROM grams GROUP BY doc_id, n, g),
+per_n AS (
+  SELECT doc_id, n,
+         SUM(m * gl) AS total_mass,
+         MAX(m * gl) AS top_mass,
+         COALESCE(SUM(m * gl) FILTER (WHERE m >= 2), 0) AS dup_mass
+  FROM pg GROUP BY doc_id, n)
+SELECT doc_id,
+       ROUND(1.0 * MAX(CASE WHEN n = 2 THEN top_mass END)
+             / MAX(CASE WHEN n = 2 THEN total_mass END), 4) AS top2_frac,
+       ROUND(1.0 * MAX(CASE WHEN n = 3 THEN top_mass END)
+             / MAX(CASE WHEN n = 3 THEN total_mass END), 4) AS top3_frac,
+       ROUND(1.0 * MAX(CASE WHEN n = 4 THEN top_mass END)
+             / MAX(CASE WHEN n = 4 THEN total_mass END), 4) AS top4_frac,
+       ROUND(1.0 * MAX(CASE WHEN n = 5 THEN dup_mass END)
+             / MAX(CASE WHEN n = 5 THEN total_mass END), 4) AS dup5_frac,
+       ROUND(1.0 * MAX(CASE WHEN n = 6 THEN dup_mass END)
+             / MAX(CASE WHEN n = 6 THEN total_mass END), 4) AS dup6_frac
+FROM per_n
+GROUP BY doc_id
+HAVING COUNT(*) = 5
+"""
+
+
+@register("llm_gopher_rep_stats", oracle=_GOPHER_ORACLE, category="K")
+def llm_gopher_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER REPETITION SIGNALS (Rae et al. 2021, table A1 family) —
+    per document, the character-mass concentration of repeated n-grams:
+    for n ∈ {2,3,4} the share held by the HEAVIEST n-gram (top_frac),
+    for n ∈ {5,6} the share held by all DUPLICATED n-grams (dup_frac).
+    Character mass of a gram = occurrences × gram string length; the
+    top-gram is the one with the largest mass (a deterministic MAX over
+    m·len — Gopher's 'most common n-gram' argmax is tie-ambiguous
+    across engines, this is the same signal with a total order;
+    occurrence mass double-counts overlapping coverage on both engines
+    identically). Docs shorter than 6 tokens are excluded (no n=6
+    row). llm_repetition_filter carries the position-counted bigram
+    rule; this is the full multi-n character-weighted panel.
+
+    Plan: ONE explode carrying an n tag for all five gram sizes (grams
+    built in-array via word_shingles — no per-position slice churn),
+    one partial-aggregable groupBy (doc, n, gram), one (doc, n) rollup,
+    and a 5-way conditional pivot to columns — two shuffles total,
+    everything partial-aggregable, nothing single-partition."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    def tag(n):
+        # single-arg lambda via factory: a 2-param lambda (even with a
+        # default) is bound as (element, index) by Spark's HOF arity rules
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = docs.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.array(*[
+                    F.when(
+                        F.size(t) >= n,
+                        F.transform(word_shingles(t, n), tag(n)),
+                    ).otherwise(F.array().cast(
+                        "array<struct<n:int,g:string>>"
+                    ))
+                    for n in (2, 3, 4, 5, 6)
+                ])
+            )
+        ).alias("x"),
+    ).select("doc_id", "x.n", "x.g")
+    pg = (
+        tagged.groupBy("doc_id", "n", "g")
+        .agg(F.count("*").alias("m"))
+        .select(
+            "doc_id", "n",
+            (F.col("m") * F.length("g").cast("bigint")).alias("mass"),
+            (F.col("m") >= 2).alias("dup"),
+        )
+    )
+    per_n = pg.groupBy("doc_id", "n").agg(
+        F.sum("mass").alias("total_mass"),
+        F.max("mass").alias("top_mass"),
+        F.coalesce(
+            F.sum(F.when(F.col("dup"), F.col("mass"))), F.lit(0)
+        ).alias("dup_mass"),
+    )
+
+    def pick(n, col):
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    def frac(n, col, alias):
+        return F.round(
+            1.0 * pick(n, col) / pick(n, "total_mass"), 4
+        ).alias(alias)
+
+    return (
+        per_n.groupBy("doc_id")
+        .agg(
+            frac(2, "top_mass", "top2_frac"),
+            frac(3, "top_mass", "top3_frac"),
+            frac(4, "top_mass", "top4_frac"),
+            frac(5, "dup_mass", "dup5_frac"),
+            frac(6, "dup_mass", "dup6_frac"),
+            F.count("*").alias("_nn"),
+        )
+        .filter(F.col("_nn") == 5)
+        .drop("_nn")
+    )

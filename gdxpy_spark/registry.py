@@ -114,7 +114,8 @@ _ARTIFACT_PRIORITY = [
     "tpch_q1_shape", "tpch_q6_shape", "tpch_q12_shape", "tpch_q14_shape",
     "tpch_q19_shape", "join_geo_radius", "graph_triangles", "ts_ewma",
     "llm_boilerplate_ngrams", "llm_vocab_coverage", "llm_mlm_mask",
-    "mm_exact_dedup", "fn_ip_cidr",
+    "mm_exact_dedup", "fn_ip_cidr", "graph_degree_topk", "llm_bm25_score",
+    "llm_gopher_rep_stats", "ts_autocorr",
     # (3) implementation changed in r9:
     "llm_warc_parse", "llm_length_blocking",
     # (4) r8 window (recorded green r08):

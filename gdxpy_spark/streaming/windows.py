@@ -1019,3 +1019,84 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("ewma"),
     )
+
+
+_AUTOCORR_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         CAST(ROUND(value * 10) AS BIGINT) AS x
+  FROM events),
+lagged AS (
+  SELECT user_id, event_id, ts, x,
+         LAG(x) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS y
+  FROM ev),
+pairs AS (SELECT * FROM lagged WHERE y IS NOT NULL),
+m AS (
+  SELECT user_id, event_id,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+  FROM pairs
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id, n,
+       CASE WHEN n >= 3 AND (n * sxx - sx * sx) > 0
+                 AND (n * syy - sy * sy) > 0
+            THEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                              * CAST(n * syy - sy * sy AS DOUBLE)), 4) + 0.0
+            END AS autocorr
+FROM m
+"""
+
+
+@register("ts_autocorr", oracle=_AUTOCORR_ORACLE, category="I")
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING LAG-1 AUTOCORRELATION per key — the regime-change
+    detector (a metric that suddenly starts predicting itself signals
+    stuck sensors, retry storms, bot traffic): Pearson r between each
+    user's value series and its one-step lag over a trailing 20-pair
+    window. The ts_zscore_anomaly exactness recipe extended to a
+    BIVARIATE statistic: values are quantized once to BIGINT tenths,
+    all six window moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    integer ROWS-frame sums, and r is ONE fixed double expression at
+    the end (NULL below 3 pairs or under zero variance — no 0/0).
+
+    Scale: one shuffle partitioning by user_id covers the lag AND the
+    rolling window (same partition order reused); frames are ROWS-
+    bounded so each task holds one key's rows with O(1) running state
+    per moment. Nothing global, nothing single-partition — the exact
+    shape that survives a billion keys."""
+    ev = table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * 10).cast("bigint")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "user_id", "event_id", "ts", x.alias("x")
+    ).withColumn("y", F.lag("x").over(wo))
+    pairs = lagged.filter(F.col("y").isNotNull())
+    wf = wo.rowsBetween(-19, W.currentRow)
+    m = pairs.select(
+        "user_id", "event_id",
+        F.count("*").over(wf).cast("bigint").alias("n"),
+        F.sum("x").over(wf).cast("bigint").alias("sx"),
+        F.sum("y").over(wf).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(wf).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wf).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(wf).cast("bigint").alias("syy"),
+    )
+    nvar_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    nvar_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    return m.select(
+        "user_id", "event_id", "n",
+        F.when(
+            (F.col("n") >= 3) & (nvar_x > 0) & (nvar_y > 0),
+            F.round(
+                num / F.sqrt(nvar_x.cast("double") * nvar_y.cast("double")), 4
+            )
+            + F.lit(0.0),
+        ).alias("autocorr"),
+    )

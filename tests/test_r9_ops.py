@@ -263,3 +263,29 @@ def test_mlm_mask_rate_and_reassembly(spark):
         toks = r.masked_text.split(" ")
         assert len(toks) == r.n_tokens
         assert sum(1 for x in toks if x == "<mask>") == r.n_masked
+
+
+def test_bm25_stats_join_is_tiny_glue(spark):
+    """BM25's only joins are the 1-row stats glue: no sort-merge join,
+    no data-sized shuffle beyond the single metadata aggregate."""
+    from gdxpy_spark import registry
+    from gdxpy_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(
+        registry.all_queries()["llm_bm25_score"].fn(spark, SF_DIR)
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_autocorr_reuses_one_partition_order(spark):
+    """The lag pass and the rolling-moment pass must share ONE user_id
+    exchange — a second shuffle between them means the frames lost the
+    partition order."""
+    from gdxpy_spark import registry
+    from gdxpy_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(
+        registry.all_queries()["ts_autocorr"].fn(spark, SF_DIR)
+    )
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # tree+detail
