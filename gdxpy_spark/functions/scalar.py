@@ -1022,7 +1022,7 @@ n AS (
   FROM ip)
 SELECT c_custkey, ip_str, ip_num,
        CASE WHEN ip_num >> 24 = 10 THEN '10.0.0.0/8'
-            WHEN ip_num >> 20 = (172 * 256 + 16) THEN '172.16.0.0/12'
+            WHEN ip_num >> 20 = (172 * 16 + 1) THEN '172.16.0.0/12'
             WHEN ip_num >> 16 = (192 * 256 + 168) THEN '192.168.0.0/16'
             ELSE 'public' END AS subnet
 FROM n
@@ -1059,7 +1059,10 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ip_str"),
         ip_num.alias("ip_num"),
         F.when(F.shiftright(ip_num, 24) == 10, "10.0.0.0/8")
-        .when(F.shiftright(ip_num, 20) == 172 * 256 + 16, "172.16.0.0/12")
+        # >>20 keeps the top 12 bits: (172 << 4) | (16 >> 4) = 172·16 + 1
+        # (the first review shipped 172·256+16, a dead branch — pinned by
+        # test_ip_cidr_every_branch_reachable)
+        .when(F.shiftright(ip_num, 20) == 172 * 16 + 1, "172.16.0.0/12")
         .when(F.shiftright(ip_num, 16) == 192 * 256 + 168, "192.168.0.0/16")
         .otherwise("public")
         .alias("subnet"),

@@ -3336,10 +3336,14 @@ def llm_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared body end, so a body that legally contains 'WARC/1.0\\n'
     parses correctly instead of mis-framing — r8 advice), and parses
     entirely JVM-side (regexp_extract + dynamic substring — no Python
-    in the parse path). len_ok cross-checks the declared length against
-    the sliced body's length, which is the integrity check a real
-    ingest runs per record; the oracle recomputes everything from the
-    source table, so the whole container round-trip is hash-verified.
+    in the parse path). len_ok verifies the declared length lands the
+    next boundary exactly on EOF or another version line — the framing
+    integrity check a real ingest runs per record — and a failing
+    record flips the fold into resync-at-next-candidate mode so one
+    corrupt header costs one record, not the container tail (see
+    _WARC_FOLD's contract below); the oracle recomputes everything
+    from the source table, so the container round-trip is
+    hash-verified.
 
     Framing honesty: this demo container declares Content-Chars
     (CHARACTER count) because Spark's string substring slices by
@@ -3406,10 +3410,28 @@ def parse_warc_containers(raw: DataFrame) -> DataFrame:
 # body begins 2 chars past the header's blank line (instr(f,'\n\n')),
 # i.e. at acc.cc + instr + 11; the text sink terminates every record
 # row with '\n' (the container's record separator), so the next record
-# opens at declared body end + 1. Per-file work is linear in file chars
-# (one bounded header probe + one body slice per record) plus the
-# record-struct array append — still one task per container file,
-# map-only, no Python.
+# opens at declared body end + 1.
+#
+# len_ok is a REAL framing-integrity check: the declared length must
+# land the next boundary exactly on end-of-file or on another version
+# line (a tautological slice-length==declared check passes whenever
+# enough file remains — it only ever failed at EOF). A record whose
+# declared length fails that check (or whose Content-Chars header is
+# missing → content_len = -1) records len_ok = false AND flips the
+# fold into RESYNC mode (nxt = -1): the next candidate fragment is
+# accepted as a record start, so one corrupt header costs one record,
+# not the container tail. (A mis-declared record whose own body
+# contains the delimiter can resync to a false boundary — that
+# ambiguity is inherent to any delimiter-resynchronizing parser.)
+#
+# Cost note: each record append copies the accumulated recs array —
+# O(records²) struct copies per container file. Sub-second up to the
+# tens of thousands of records per container this engine's fixtures
+# and typical ~100 MB WARC shards carry; for containers near the 1 GiB
+# cap with 10⁵+ records the production form is the same sequential
+# parse as a streaming mapPartitions over a binary chunk reader, which
+# is O(records). The fold stays because it keeps the demo parse
+# whole-stage JVM with zero Python and zero extra shuffles.
 _WARC_FOLD = r"""
 aggregate(
   slice(frags, 2, size(frags) - 1),
@@ -3420,24 +3442,44 @@ aggregate(
       doc_id: BIGINT, content_len: BIGINT, len_ok: BOOLEAN, n_tokens: BIGINT>>)
   ),
   (acc, f) -> IF(
-    acc.cc + 1 = acc.nxt,
+    acc.cc + 1 = acc.nxt OR acc.nxt = -1,
     named_struct(
       'cc', acc.cc + 9 + length(f),
-      'nxt', acc.cc + instr(f, '\n\n') + 12
-             + CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1) AS BIGINT),
+      'nxt', IF(
+        COALESCE(CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1)
+                      AS BIGINT), -1) >= 0
+        AND (acc.cc + instr(f, '\n\n') + 12
+               + CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1) AS BIGINT)
+             = length(value) + 1
+             OR substring(value,
+                  CAST(acc.cc + instr(f, '\n\n') + 12
+                       + CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1)
+                              AS BIGINT) AS INT), 9) = 'WARC/1.0\n'),
+        acc.cc + instr(f, '\n\n') + 12
+          + CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1) AS BIGINT),
+        CAST(-1 AS BIGINT)),
       'recs', array_append(acc.recs, named_struct(
         'doc_id',
           CAST(regexp_extract(f, 'WARC-Record-ID: (\\d+)', 1) AS BIGINT),
         'content_len',
-          CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1) AS BIGINT),
+          COALESCE(CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1)
+                        AS BIGINT), -1),
         'len_ok',
-          length(substring(value, CAST(acc.cc + instr(f, '\n\n') + 11 AS INT),
-            CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1) AS INT)))
-          = CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1) AS BIGINT),
+          COALESCE(CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1)
+                        AS BIGINT), -1) >= 0
+          AND (acc.cc + instr(f, '\n\n') + 12
+                 + CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1)
+                        AS BIGINT)
+               = length(value) + 1
+               OR substring(value,
+                    CAST(acc.cc + instr(f, '\n\n') + 12
+                         + CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1)
+                                AS BIGINT) AS INT), 9) = 'WARC/1.0\n'),
         'n_tokens',
           CAST(size(filter(split(
             substring(value, CAST(acc.cc + instr(f, '\n\n') + 11 AS INT),
-              CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1) AS INT)),
+              CAST(GREATEST(COALESCE(CAST(regexp_extract(f,
+                'Content-Chars: (\\d+)', 1) AS BIGINT), -1), 0) AS INT)),
             ' '), x -> x <> '')) AS BIGINT)
       ))
     ),

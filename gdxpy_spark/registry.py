@@ -101,7 +101,7 @@ def load_all() -> None:
 #     defect (uncast integer SUMs — r8 verdict root cause), now fixed
 #     with explicit BIGINT casts: the ledger must finally show them
 #     green to close at 209-of-209 oracle IDs... minus the r9 additions;
-# (2) the THIRTEEN new r9 queries — no artifact row exists anywhere yet;
+# (2) the SEVENTEEN new r9 queries — no artifact row exists anywhere yet;
 # (3) r9 behavior-touched IDs: llm_warc_parse (declared-length framing
 #     rewrite) and llm_length_blocking (small-remainder re-chunking) —
 #     a stale green row predates the new code;

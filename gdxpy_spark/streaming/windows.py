@@ -1004,14 +1004,20 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("ts", "event_id", F.col("value").alias("x")))
         ).alias("s")
     )
-    return seq.select(
+    # project the value array ONCE: Catalyst does not CSE higher-order
+    # expressions, so referencing transform(s, e->e.x) in both the slice
+    # and the init would evaluate it twice per row
+    xs = seq.select(
+        "user_id", F.transform("s", lambda e: e.x).alias("xs")
+    )
+    return xs.select(
         "user_id",
-        F.size("s").cast("bigint").alias("n_events"),
+        F.size("xs").cast("bigint").alias("n_events"),
         (
             F.round(
                 F.aggregate(
-                    F.slice(F.transform("s", lambda e: e.x), 2, F.size("s") - 1),
-                    F.element_at(F.transform("s", lambda e: e.x), 1).cast("double"),
+                    F.slice("xs", 2, F.size("xs") - 1),
+                    F.element_at("xs", 1).cast("double"),
                     lambda acc, x: F.lit(0.25) * x + F.lit(0.75) * acc,
                 ),
                 6,

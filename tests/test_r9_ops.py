@@ -289,3 +289,53 @@ def test_autocorr_reuses_one_partition_order(spark):
         registry.all_queries()["ts_autocorr"].fn(spark, SF_DIR)
     )
     assert plan.count("Exchange hashpartitioning") <= 2, plan  # tree+detail
+
+
+def test_ip_cidr_every_branch_reachable(spark):
+    """The /12 branch shipped with a dead comparison constant
+    (172·256+16 instead of (172<<4)|1) that parity could not catch —
+    both engines carried the same bug. Pin reachability: at sf0.01 the
+    synthetic octets hit 10/8, 172.16/12 and public (192.168/16 needs
+    o2=168 exactly, which first occurs at larger keys — checked
+    arithmetically, not asserted here)."""
+    from gdxpy_spark import registry
+
+    rows = registry.all_queries()["fn_ip_cidr"].fn(spark, SF_DIR).collect()
+    subnets = {r.subnet for r in rows}
+    assert {"10.0.0.0/8", "172.16.0.0/12", "public"} <= subnets, subnets
+    # spot-check the CIDR algebra for one known member of each block
+    for r in rows:
+        o1 = int(r.ip_str.split(".")[0])
+        o2 = int(r.ip_str.split(".")[1])
+        if o1 == 172 and 16 <= o2 <= 31:
+            assert r.subnet == "172.16.0.0/12", r
+        elif o1 == 10:
+            assert r.subnet == "10.0.0.0/8", r
+        elif o1 == 192 and o2 == 168:
+            assert r.subnet == "192.168.0.0/16", r
+
+
+def test_warc_misdeclared_length_resyncs(spark):
+    """A record with an over-declared Content-Chars must record
+    len_ok=false (its declared boundary lands mid-text, not on a
+    version line or EOF) and the parser must RESYNC so the following
+    record still parses — one corrupt header costs one record, not
+    the container tail."""
+    from gdxpy_spark.operators.llm import parse_warc_containers
+
+    good1 = "first body"
+    bad_body = "corrupted record body"
+    good2 = "tail body survives"
+    container = (
+        f"WARC/1.0\nWARC-Record-ID: 1\nContent-Chars: {len(good1)}\n\n{good1}\n"
+        # declared length +7: boundary check fails, parser resyncs
+        f"WARC/1.0\nWARC-Record-ID: 2\nContent-Chars: {len(bad_body) + 7}\n\n{bad_body}\n"
+        f"WARC/1.0\nWARC-Record-ID: 3\nContent-Chars: {len(good2)}\n\n{good2}\n"
+    )
+    raw = spark.createDataFrame([(container,)], "value string")
+    got = {r.doc_id: (r.len_ok, r.n_tokens) for r in
+           parse_warc_containers(raw).collect()}
+    assert got[1] == (True, 2)
+    assert got[2][0] is False          # integrity check caught it
+    assert got[3] == (True, 3)         # tail recovered via resync
+    assert set(got) == {1, 2, 3}
