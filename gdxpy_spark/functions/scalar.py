@@ -1067,3 +1067,57 @@ def fn_ip_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("public")
         .alias("subnet"),
     )
+
+
+_COLLATE_ORACLE = """
+WITH v AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS label
+  FROM documents)
+SELECT lower(label) AS label_lc,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(label) AS min_raw_form
+FROM v
+GROUP BY lower(label)
+"""
+
+
+@register("fn_collate_group", oracle=_COLLATE_ORACLE, category="B")
+def fn_collate_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION-AWARE GROUPING (Spark 4 collations): group a mixed-case
+    label under the UTF8_LCASE collation so 'WEB' and 'web' land in one
+    group WITHOUT rewriting every predicate through lower() — the way
+    entity names, language tags, and email domains actually get
+    normalized in ingest pipelines (collation keeps the ORIGINAL bytes
+    available; a lower() projection destroys them). The mixed-case
+    input is derived deterministically (even doc_ids upper-case their
+    source). Output keys are re-rendered through lower() and the
+    representative via binary MIN because a collated group's "first"
+    raw value is partition-order-dependent — the one nondeterminism
+    collation introduces, solved the same way on both engines. The
+    oracle is the classic lower()-rewrite, proving the collated plan
+    computes exactly the classic semantics.
+
+    Scale: the collation is hash-aware (Spark hashes the collation key,
+    so the groupBy stays one partial-agg shuffle — no sort-based
+    fallback); at 100 TB this beats the lower() rewrite wherever the
+    original form must survive to the output."""
+    docs = table(spark, sf_dir, "documents")
+    label = F.when(
+        F.col("doc_id") % 2 == 0, F.upper("source")
+    ).otherwise(F.col("source"))
+    v = docs.select(F.collate(label, "UTF8_LCASE").alias("label"))
+    return (
+        v.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min(F.collate(F.col("label"), "UTF8_BINARY")).alias(
+                "min_raw_form"
+            ),
+        )
+        .select(
+            F.lower(F.col("label")).cast("string").alias("label_lc"),
+            "n_docs",
+            F.col("min_raw_form").cast("string").alias("min_raw_form"),
+        )
+    )

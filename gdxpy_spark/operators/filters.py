@@ -254,3 +254,45 @@ def proj_struct_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("info.region").cast("bigint").alias("region"),
         (F.col("info.name") == F.upper("info.name")).alias("is_upper"),
     )
+
+
+@register(
+    "sql_pipe_query",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderstatus <> 'F'
+GROUP BY o_orderpriority
+""",
+    category="B",
+)
+def sql_pipe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE SYNTAX (Spark 4 / SQL:2023 `|>` chains, per the
+    "SQL Has Problems" pipe-syntax proposal adopted by Spark 4.0): the
+    same logical plan a SELECT would build, written as a linear
+    pipeline — FROM |> WHERE |> EXTEND |> AGGREGATE. The engine accepts
+    BOTH surfaces; the oracle states the identical query as classic SQL,
+    so the hash check proves pipe-syntax parsing reaches the same plan.
+    Catalyst treats each |> stage as a normal logical node: the WHERE
+    still pushes to the parquet scan and the AGGREGATE is still
+    partial-before-shuffle — syntax, not semantics."""
+    ev = table(spark, sf_dir, "orders")
+    ev.createOrReplaceTempView("gdxps_pipe_orders")
+    return spark.sql(
+        """
+        FROM gdxps_pipe_orders
+        |> WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderstatus <> 'F'
+        |> EXTEND CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(cents) AS BIGINT) AS revenue_cents
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, revenue_cents
+        """
+    )

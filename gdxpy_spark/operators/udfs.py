@@ -209,3 +209,75 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         slugify("s_name").alias("slug"),
         F.length("s_name").cast("int").alias("name_len"),
     )
+
+
+@register(
+    "udtf_table_arg",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+  FROM events),
+ordered AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM ev)
+SELECT user_id,
+       CAST(MAX(n) AS BIGINT) AS n_events,
+       MAX(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+       MAX(CASE WHEN rn = n THEN event_type END) AS last_type
+FROM ordered
+GROUP BY user_id
+""",
+    category="I",
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE ARGUMENT (Spark 4's polymorphic table
+    function surface): `my_udtf(TABLE(...) PARTITION BY user_id ORDER BY
+    ts, event_id)` hands the UDTF one WHOLE ordered partition per key —
+    the sanctioned escape hatch for per-key sequence logic that neither
+    window frames nor aggregates express (custom session models, CRF
+    decoding, per-user replay). Here the UDTF emits each user's event
+    count and first/last event type, so a plain SQL oracle can verify
+    that partitioning AND intra-partition ordering actually reached the
+    Python process (first/last are order-sensitive).
+
+    Scale: the TABLE argument's PARTITION BY is a real hash exchange —
+    each Python worker sees one key's rows at a time (terminate() fires
+    per partition); state per key is O(1) here and bounded by the
+    per-key history in general — the same contract as applyInPandas,
+    with the UDTF's streaming row iterator instead of a materialized
+    pandas frame."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "user_id BIGINT, n_events BIGINT, first_type STRING, last_type STRING"
+    ))
+    class UserSpan:
+        def __init__(self):
+            self._uid = None
+            self._n = 0
+            self._first = None
+            self._last = None
+
+        def eval(self, row):
+            self._uid = row["user_id"]
+            if self._n == 0:
+                self._first = row["event_type"]
+            self._last = row["event_type"]
+            self._n += 1
+
+        def terminate(self):
+            if self._n:
+                yield (self._uid, self._n, self._first, self._last)
+
+    ev = table(spark, sf_dir, "events")
+    ev.select("user_id", "ts", "event_id", "event_type").createOrReplaceTempView(
+        "gdxps_udtf_events"
+    )
+    spark.udtf.register("gdxps_user_span", UserSpan)
+    return spark.sql(
+        "SELECT * FROM gdxps_user_span("
+        "TABLE(gdxps_udtf_events) PARTITION BY user_id ORDER BY (ts, event_id))"
+    )

@@ -101,7 +101,7 @@ def load_all() -> None:
 #     defect (uncast integer SUMs — r8 verdict root cause), now fixed
 #     with explicit BIGINT casts: the ledger must finally show them
 #     green to close at 209-of-209 oracle IDs... minus the r9 additions;
-# (2) the SEVENTEEN new r9 queries — no artifact row exists anywhere yet;
+# (2) the TWENTY-ONE new r9 queries — no artifact row exists anywhere yet;
 # (3) r9 behavior-touched IDs: llm_warc_parse (declared-length framing
 #     rewrite) and llm_length_blocking (small-remainder re-chunking) —
 #     a stale green row predates the new code;
@@ -115,7 +115,8 @@ _ARTIFACT_PRIORITY = [
     "tpch_q19_shape", "join_geo_radius", "graph_triangles", "ts_ewma",
     "llm_boilerplate_ngrams", "llm_vocab_coverage", "llm_mlm_mask",
     "mm_exact_dedup", "fn_ip_cidr", "graph_degree_topk", "llm_bm25_score",
-    "llm_gopher_rep_stats", "ts_autocorr",
+    "llm_gopher_rep_stats", "ts_autocorr", "sql_pipe_query",
+    "fn_collate_group", "udtf_table_arg", "ts_vwap_hourly",
     # (3) implementation changed in r9:
     "llm_warc_parse", "llm_length_blocking",
     # (4) r8 window (recorded green r08):

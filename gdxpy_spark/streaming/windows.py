@@ -1106,3 +1106,66 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0),
         ).alias("autocorr"),
     )
+
+
+_VWAP_ORACLE = """
+WITH ev AS (
+  SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS hr,
+         event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS price_cents,
+         event_id % 10 + 1 AS vol
+  FROM events)
+SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+       event_type,
+       CAST(SUM(vol) AS BIGINT) AS total_vol,
+       CAST((200 * SUM(price_cents * vol) + SUM(vol))
+            // (2 * SUM(vol)) AS BIGINT) / 10000.0 AS vwap
+FROM ev
+GROUP BY hr, event_type
+"""
+
+
+@register("ts_vwap_hourly", oracle=_VWAP_ORACLE, category="I")
+def ts_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOURLY VWAP per instrument (event_type as the symbol, value as
+    price, a deterministic synthetic lot size as volume) — the
+    volume-weighted average price every market-data pipeline
+    materializes next to OHLC (ts_ohlc_hourly). Exactness recipe:
+    price quantized ONCE to integer cents, the volume-weighted sum
+    Σ(price·vol) and Σvol as exact integer partial aggregates, and the
+    4-decimal rounding done in INTEGER arithmetic — half-up as
+    (200·Σpv + Σv) div (2·Σv), positive inputs — because the ratio is
+    a terminating decimal that can land exactly ON a double ROUND(.,4)
+    tie, where the engines' last-ulp renderings disagree (caught live:
+    48.31625 → 48.3163 vs 48.3162). The only float op left is one
+    division by 10⁴ of the same integer on both sides.
+
+    Scale: bucket assignment is map-side; one partial-agg shuffle on
+    (hour, symbol) — the same shape as ts_time_bucket, with the
+    weighted numerator riding the same combine."""
+    ev = table(spark, sf_dir, "events")
+    price = F.round(F.col("value") * 100).cast("bigint")
+    vol = (F.col("event_id") % 10 + 1).cast("bigint")
+    return (
+        ev.select(
+            F.window("ts", "1 hour").start.alias("hr"),
+            "event_type",
+            price.alias("price_cents"),
+            vol.alias("vol"),
+        )
+        .groupBy("hr", "event_type")
+        .agg(
+            F.sum("vol").cast("bigint").alias("total_vol"),
+            (
+                F.expr(
+                    "(200 * sum(price_cents * vol) + sum(vol))"
+                    " div (2 * sum(vol))"
+                ).cast("bigint")
+                / F.lit(10000.0)
+            ).alias("vwap"),
+        )
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type", "total_vol", "vwap",
+        )
+    )

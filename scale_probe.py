@@ -149,7 +149,8 @@ def main() -> None:
                  "llm_mlm_mask", "mm_exact_dedup", "graph_triangles",
                  "join_geo_radius", "ts_ewma", "tpch_q1_shape",
                  "tpch_q6_shape", "graph_degree_topk", "llm_bm25_score",
-                 "llm_gopher_rep_stats", "ts_autocorr"):
+                 "llm_gopher_rep_stats", "ts_autocorr", "udtf_table_arg",
+                 "ts_vwap_hourly", "fn_collate_group"):
         a = timed(lambda: queries[name].fn(spark, S1))
         b = timed(lambda: queries[name].fn(spark, S10))
         rows.append((name, a, b))
