@@ -3415,7 +3415,20 @@ def parse_warc_containers(raw: DataFrame) -> DataFrame:
 # len_ok is a REAL framing-integrity check: the declared length must
 # land the next boundary exactly on end-of-file or on another version
 # line (a tautological slice-length==declared check passes whenever
-# enough file remains — it only ever failed at EOF). A record whose
+# enough file remains — it only ever failed at EOF). The check runs in
+# two tiers: a delimiter-free correctly-declared record satisfies
+# flen = hdr + decl + 2 EXACTLY (header through the blank line + body +
+# the sink's '\n' terminator) — pure fragment arithmetic, no file
+# access; only fragments failing that (in-body delimiter or corruption)
+# pay the substring probe at the declared boundary. The tiering matters
+# because Spark strings are UTF-8: substring(value, pos, ..) on a
+# multi-MB container SCANS O(pos) chars to find the offset, and two
+# probes per record measured 1.1 s → 3.5 s at sf0.1 before the fast
+# path brought it back to ~1.1 s. Per-fragment header fields (flen,
+# hdr, doc id, declared length) are hoisted into ONE transform pass so
+# each regexp runs once per fragment, not once per fold reference
+# (lambda bodies are never common-subexpression-eliminated). A record
+# whose
 # declared length fails that check (or whose Content-Chars header is
 # missing → content_len = -1) records len_ok = false AND flips the
 # fold into RESYNC mode (nxt = -1): the next candidate fragment is
@@ -3434,56 +3447,48 @@ def parse_warc_containers(raw: DataFrame) -> DataFrame:
 # whole-stage JVM with zero Python and zero extra shuffles.
 _WARC_FOLD = r"""
 aggregate(
-  slice(frags, 2, size(frags) - 1),
+  transform(slice(frags, 2, size(frags) - 1), f -> named_struct(
+    'flen', CAST(length(f) AS BIGINT),
+    'hdr', CAST(instr(f, '\n\n') AS BIGINT),
+    'did', CAST(NULLIF(regexp_extract(f, 'WARC-Record-ID: (\\d+)', 1), '')
+                AS BIGINT),
+    'decl', COALESCE(CAST(NULLIF(regexp_extract(f, 'Content-Chars: (\\d+)', 1),
+                                 '') AS BIGINT), -1))),
   named_struct(
     'cc', CAST(length(frags[0]) AS BIGINT),
     'nxt', CAST(1 AS BIGINT),
     'recs', CAST(array() AS ARRAY<STRUCT<
       doc_id: BIGINT, content_len: BIGINT, len_ok: BOOLEAN, n_tokens: BIGINT>>)
   ),
-  (acc, f) -> IF(
+  (acc, m) -> IF(
     acc.cc + 1 = acc.nxt OR acc.nxt = -1,
     named_struct(
-      'cc', acc.cc + 9 + length(f),
+      'cc', acc.cc + 9 + m.flen,
       'nxt', IF(
-        COALESCE(CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1)
-                      AS BIGINT), -1) >= 0
-        AND (acc.cc + instr(f, '\n\n') + 12
-               + CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1) AS BIGINT)
-             = length(value) + 1
-             OR substring(value,
-                  CAST(acc.cc + instr(f, '\n\n') + 12
-                       + CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1)
-                              AS BIGINT) AS INT), 9) = 'WARC/1.0\n'),
-        acc.cc + instr(f, '\n\n') + 12
-          + CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1) AS BIGINT),
+        m.decl >= 0
+        AND (m.flen = m.hdr + m.decl + 2
+             OR acc.cc + m.hdr + 12 + m.decl = length(value) + 1
+             OR substring(value, CAST(acc.cc + m.hdr + 12 + m.decl AS INT), 9)
+                = 'WARC/1.0\n'),
+        acc.cc + m.hdr + 12 + m.decl,
         CAST(-1 AS BIGINT)),
       'recs', array_append(acc.recs, named_struct(
-        'doc_id',
-          CAST(regexp_extract(f, 'WARC-Record-ID: (\\d+)', 1) AS BIGINT),
-        'content_len',
-          COALESCE(CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1)
-                        AS BIGINT), -1),
+        'doc_id', m.did,
+        'content_len', m.decl,
         'len_ok',
-          COALESCE(CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1)
-                        AS BIGINT), -1) >= 0
-          AND (acc.cc + instr(f, '\n\n') + 12
-                 + CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1)
-                        AS BIGINT)
-               = length(value) + 1
-               OR substring(value,
-                    CAST(acc.cc + instr(f, '\n\n') + 12
-                         + CAST(regexp_extract(f, 'Content-Chars: (\\d+)', 1)
-                                AS BIGINT) AS INT), 9) = 'WARC/1.0\n'),
+          m.decl >= 0
+          AND (m.flen = m.hdr + m.decl + 2
+               OR acc.cc + m.hdr + 12 + m.decl = length(value) + 1
+               OR substring(value, CAST(acc.cc + m.hdr + 12 + m.decl AS INT), 9)
+                  = 'WARC/1.0\n'),
         'n_tokens',
           CAST(size(filter(split(
-            substring(value, CAST(acc.cc + instr(f, '\n\n') + 11 AS INT),
-              CAST(GREATEST(COALESCE(CAST(regexp_extract(f,
-                'Content-Chars: (\\d+)', 1) AS BIGINT), -1), 0) AS INT)),
+            substring(value, CAST(acc.cc + m.hdr + 11 AS INT),
+              CAST(GREATEST(m.decl, 0) AS INT)),
             ' '), x -> x <> '')) AS BIGINT)
       ))
     ),
-    named_struct('cc', acc.cc + 9 + length(f), 'nxt', acc.nxt, 'recs', acc.recs)
+    named_struct('cc', acc.cc + 9 + m.flen, 'nxt', acc.nxt, 'recs', acc.recs)
   ),
   acc -> acc.recs
 )
