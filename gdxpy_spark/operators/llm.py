@@ -3433,7 +3433,12 @@ def parse_warc_containers(raw: DataFrame) -> DataFrame:
 # missing → content_len = -1) records len_ok = false AND flips the
 # fold into RESYNC mode (nxt = -1): the next candidate fragment is
 # accepted as a record start, so one corrupt header costs one record,
-# not the container tail. (A mis-declared record whose own body
+# not the container tail. HEAD corruption gets the same treatment
+# (r9 advice): a container whose first bytes are NOT a version line
+# (leading garbage, corrupted first delimiter) starts the fold in
+# resync mode — the first candidate fragment after the garbage is
+# accepted — instead of position-rejecting every fragment and silently
+# yielding zero records. (A mis-declared record whose own body
 # contains the delimiter can resync to a false boundary — that
 # ambiguity is inherent to any delimiter-resynchronizing parser.)
 #
@@ -3456,7 +3461,7 @@ aggregate(
                                  '') AS BIGINT), -1))),
   named_struct(
     'cc', CAST(length(frags[0]) AS BIGINT),
-    'nxt', CAST(1 AS BIGINT),
+    'nxt', IF(length(frags[0]) = 0, CAST(1 AS BIGINT), CAST(-1 AS BIGINT)),
     'recs', CAST(array() AS ARRAY<STRUCT<
       doc_id: BIGINT, content_len: BIGINT, len_ok: BOOLEAN, n_tokens: BIGINT>>)
   ),

@@ -1123,21 +1123,22 @@ pg AS (
   FROM grams GROUP BY doc_id, n, g),
 per_n AS (
   SELECT doc_id, n,
-         SUM(m * gl) AS total_mass,
-         MAX(m * gl) AS top_mass,
-         COALESCE(SUM(m * gl) FILTER (WHERE m >= 2), 0) AS dup_mass
+         CAST(SUM(m * gl) AS BIGINT) AS total_mass,
+         CAST(MAX(m * gl) AS BIGINT) AS top_mass,
+         CAST(COALESCE(SUM(m * gl) FILTER (WHERE m >= 2), 0) AS BIGINT)
+           AS dup_mass
   FROM pg GROUP BY doc_id, n)
 SELECT doc_id,
-       ROUND(1.0 * MAX(CASE WHEN n = 2 THEN top_mass END)
-             / MAX(CASE WHEN n = 2 THEN total_mass END), 4) AS top2_frac,
-       ROUND(1.0 * MAX(CASE WHEN n = 3 THEN top_mass END)
-             / MAX(CASE WHEN n = 3 THEN total_mass END), 4) AS top3_frac,
-       ROUND(1.0 * MAX(CASE WHEN n = 4 THEN top_mass END)
-             / MAX(CASE WHEN n = 4 THEN total_mass END), 4) AS top4_frac,
-       ROUND(1.0 * MAX(CASE WHEN n = 5 THEN dup_mass END)
-             / MAX(CASE WHEN n = 5 THEN total_mass END), 4) AS dup5_frac,
-       ROUND(1.0 * MAX(CASE WHEN n = 6 THEN dup_mass END)
-             / MAX(CASE WHEN n = 6 THEN total_mass END), 4) AS dup6_frac
+       ROUND(CAST(MAX(CASE WHEN n = 2 THEN top_mass END) AS DOUBLE)
+             / MAX(CASE WHEN n = 2 THEN total_mass END), 4) + 0.0 AS top2_frac,
+       ROUND(CAST(MAX(CASE WHEN n = 3 THEN top_mass END) AS DOUBLE)
+             / MAX(CASE WHEN n = 3 THEN total_mass END), 4) + 0.0 AS top3_frac,
+       ROUND(CAST(MAX(CASE WHEN n = 4 THEN top_mass END) AS DOUBLE)
+             / MAX(CASE WHEN n = 4 THEN total_mass END), 4) + 0.0 AS top4_frac,
+       ROUND(CAST(MAX(CASE WHEN n = 5 THEN dup_mass END) AS DOUBLE)
+             / MAX(CASE WHEN n = 5 THEN total_mass END), 4) + 0.0 AS dup5_frac,
+       ROUND(CAST(MAX(CASE WHEN n = 6 THEN dup_mass END) AS DOUBLE)
+             / MAX(CASE WHEN n = 6 THEN total_mass END), 4) + 0.0 AS dup6_frac
 FROM per_n
 GROUP BY doc_id
 HAVING COUNT(*) = 5
@@ -1224,8 +1225,14 @@ def llm_gopher_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.max(F.when(F.col("n") == n, F.col(col)))
 
     def frac(n, col, alias):
-        return F.round(
-            1.0 * pick(n, col) / pick(n, "total_mass"), 4
+        # exact BIGINT masses, ONE double division, round, -0.0-normalize
+        # — the same expression shape as the oracle (r9 advice: no
+        # decimal intermediates on either side)
+        return (
+            F.round(
+                pick(n, col).cast("double") / pick(n, "total_mass"), 4
+            )
+            + F.lit(0.0)
         ).alias(alias)
 
     return (

@@ -32,6 +32,10 @@ def arrow_family(t: pa.DataType) -> str:
         return "DECIMAL"  # HUGEINT/DECIMAL leak — always a guard failure
     if pa.types.is_integer(t):
         return "int"
+    if pa.types.is_float32(t) or pa.types.is_float16(t):
+        # narrower floats render with precision loss vs a float64 twin
+        # (0.1f prints 0.10000000149...) — own family (r9 advice)
+        return "float32"
     if pa.types.is_floating(t):
         return "float"
     if pa.types.is_string(t) or pa.types.is_large_string(t):
@@ -41,7 +45,9 @@ def arrow_family(t: pa.DataType) -> str:
     if pa.types.is_date(t):
         return "date"
     if pa.types.is_timestamp(t):
-        return "ts"
+        # tz-aware renders with a UTC-offset suffix where naive doesn't
+        # (r9 advice) — a TIMESTAMPTZ vs timestamp_ntz pair must fail
+        return "ts_tz" if t.tz is not None else "ts"
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):
         return "bytes"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
@@ -64,11 +70,14 @@ _SPARK_SIMPLE = {
     "short": "int",
     "byte": "int",
     "double": "float",
-    "float": "float",
+    # FloatType collects with float32 precision loss — own family
+    "float": "float32",
     "string": "str",
     "boolean": "bool",
     "date": "date",
-    "timestamp": "ts",
+    # TimestampType is session-tz-adjusted (renders tz-aware through
+    # Arrow); only TIMESTAMP_NTZ pairs with a naive DuckDB TIMESTAMP
+    "timestamp": "ts_tz",
     "timestamp_ntz": "ts",
     "binary": "bytes",
     "void": "null",

@@ -96,30 +96,37 @@ def load_all() -> None:
 
 
 # Driver artifacts (CORRECTNESS_r*.json) cap at ~50 entries, truncating in
-# queries() iteration order. Round 9 front-loads, in this order:
-# (1) the SIX r07/r08 hash-FAILs whose oracles carried the HUGEINT type
-#     defect (uncast integer SUMs — r8 verdict root cause), now fixed
-#     with explicit BIGINT casts: the ledger must finally show them
-#     green to close at 209-of-209 oracle IDs... minus the r9 additions;
-# (2) the TWENTY-ONE new r9 queries — no artifact row exists anywhere yet;
-# (3) r9 behavior-touched IDs: llm_warc_parse (declared-length framing
-#     rewrite) and llm_length_blocking (small-remainder re-chunking) —
-#     a stale green row predates the new code;
-# (4) the r8 window follows (recorded green r08), then older history.
+# queries() iteration order. Round 10 front-loads, in this order:
+# (1) the THREE weak IDs with ZERO driver-artifact rows after nine
+#     rounds (r9 verdict "What's wrong" #1): they sat at the back
+#     because a window slot on them records no hash row — the right
+#     call while oracles were red, the wrong one now that everything
+#     else is green. The ledger should show rows-only evidence for
+#     every registered ID at least once;
+# (2) the new r10 queries — no artifact row exists anywhere yet;
+# (3) r10 behavior-touched ID: llm_warc_parse (head-corruption resync —
+#     a container with leading garbage now degrades like mid-container
+#     corruption instead of silently dropping every record);
+# (4) the r9 window follows (recorded green r09), then older history.
 _ARTIFACT_PRIORITY = [
-    # (1) HUGEINT-oracle fixes, re-record green:
+    # (1) never-windowed weak IDs — close the ledger at 250/250:
+    "llm_bpe_train", "agg_approx_topk", "agg_hll_rollup",
+    # (2) new in r10:
+    "tpch_q4_shape", "tpch_q13_shape", "tpch_q21_shape", "tpch_q22_shape",
+    "llm_ann_ivf_served", "llm_bpe_apply",
+    # (3) implementation changed in r10:
+    "llm_warc_parse",
+    # (4) r9 window (recorded green r09):
     "llm_zipf_slope", "win_pareto_concentration", "win_time_range_frame",
     "mm_shard_pack", "stream_foreach_batch", "llm_corpus_card",
-    # (2) new in r9:
     "tpch_q1_shape", "tpch_q6_shape", "tpch_q12_shape", "tpch_q14_shape",
     "tpch_q19_shape", "join_geo_radius", "graph_triangles", "ts_ewma",
     "llm_boilerplate_ngrams", "llm_vocab_coverage", "llm_mlm_mask",
     "mm_exact_dedup", "fn_ip_cidr", "graph_degree_topk", "llm_bm25_score",
     "llm_gopher_rep_stats", "ts_autocorr", "sql_pipe_query",
     "fn_collate_group", "udtf_table_arg", "ts_vwap_hourly",
-    # (3) implementation changed in r9:
-    "llm_warc_parse", "llm_length_blocking",
-    # (4) r8 window (recorded green r08):
+    "llm_length_blocking",
+    # r8 window (recorded green r08):
     "ts_seasonal_profile", "set_reconcile_report",
     "proj_profile_stats", "udf_arrow_scalar", "fn_geo_haversine",
     "fn_format_strings", "fn_base64_binary", "agg_bitmask_sets",
@@ -156,8 +163,6 @@ _ARTIFACT_PRIORITY = [
     "join_range_bucketed",
     "join_asof_tolerance",
     "join_dynamic_partition_prune",
-    # weak (rows-only) last: a window slot on them records no hash row
-    "llm_bpe_train", "agg_approx_topk", "agg_hll_rollup",
     # r6 window follows (already recorded r06):
     "fn_string_basic", "fn_string_regex", "fn_date_parts", "fn_date_arith",
     "fn_timestamp_unix", "fn_math", "fn_conditional", "fn_cast",

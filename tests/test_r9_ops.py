@@ -47,8 +47,8 @@ def test_type_guard_flags_decimal_and_family_mismatch(spark):
 def test_type_guard_passes_clean_families(spark):
     sdf = spark.sql(
         "SELECT 1L AS i, 1.5D AS f, 'x' AS s, true AS b, "
-        "DATE '2020-01-01' AS d, TIMESTAMP '2020-01-01 00:00:00' AS t, "
-        "array(1L, 2L) AS arr"
+        "DATE '2020-01-01' AS d, TIMESTAMP_NTZ '2020-01-01 00:00:00' AS t, "
+        "array(1L, 2L) AS arr, array(CAST(1.5 AS FLOAT)) AS e"
     )
     arrow = pa.schema(
         [
@@ -59,9 +59,30 @@ def test_type_guard_passes_clean_families(spark):
             ("d", pa.date32()),
             ("t", pa.timestamp("us")),
             ("arr", pa.list_(pa.int32())),
+            ("e", pa.list_(pa.float32())),  # embeddings: float32 BOTH sides
         ]
     )
     assert type_mismatches(sdf.schema, arrow) == []
+
+
+def test_type_guard_splits_tz_and_float32(spark):
+    """r9 advice: tz-aware vs naive timestamps and float32 vs float64
+    render differently under the driver's canonical value text (UTC
+    offset suffix; float32 precision loss) — the guard must flag both
+    pairs instead of collapsing them into one family."""
+    sdf = spark.sql(
+        "SELECT TIMESTAMP '2020-01-01 00:00:00' AS t, "
+        "CAST(1.5 AS FLOAT) AS f"
+    )
+    arrow = pa.schema([("t", pa.timestamp("us")), ("f", pa.float64())])
+    mm = type_mismatches(sdf.schema, arrow)
+    flagged = {m.split(":")[0] for m in mm}
+    assert flagged == {"t", "f"}, mm
+    # and the matched-on-both-sides variants stay clean
+    arrow_tz = pa.schema(
+        [("t", pa.timestamp("us", tz="UTC")), ("f", pa.float32())]
+    )
+    assert type_mismatches(sdf.schema, arrow_tz) == []
 
 
 def test_family_mappers_cover_unknowns():
