@@ -419,3 +419,237 @@ def tpch_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(blocks)
         .agg(dsum(rev, "revenue"), F.count("*").alias("n_lines"))
     )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@register("tpch_q4_shape", oracle=_Q4_ORACLE, category="Q")
+def tpch_q4_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 (order priority checking, adapted — the driver schema has no
+    l_commitdate/l_receiptdate, so 'the order was filled late' is
+    l_shipdate > o_orderdate + 30 days): the canonical EXISTS
+    SEMI-JOIN. The quarter filter pushes to the orders scan; the EXISTS
+    decorrelates to ONE left-semi join on orderkey carrying the
+    correlated date predicate as a join condition — each order row
+    survives at most once no matter how many late lineitems it has, so
+    no post-join dedup is needed. Plan shape (pinned in
+    tests/test_r10_ops.py): LeftSemi hash/merge join, never a per-row
+    BroadcastNestedLoop; the count is a partial-aggregable 5-group
+    rollup. At 100 TB the only wide shuffle is the orderkey semi join,
+    which co-locates with the lineitem layout's bucketing."""
+    od = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = (li.l_orderkey == od.o_orderkey) & (
+        li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        od.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+_Q13_ORACLE = """
+WITH c_orders AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey
+   AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+"""
+
+
+@register("tpch_q13_shape", oracle=_Q13_ORACLE, category="Q")
+def tpch_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 (customer order-count distribution, adapted — no o_comment
+    column, so the 'special requests' exclusion is a priority NOT IN):
+    THE left-outer skew classic. Every customer survives the LEFT
+    OUTER join — zero-order customers land in the c_count=0 group via
+    COUNT(o_orderkey)'s null-skipping — and the second tiny aggregate
+    histograms the counts.
+
+    Plan posture for 100 TB (pinned in tests/test_r10_ops.py): orders
+    is FACT-SIZED and must never be the broadcast build side — the
+    join is hinted MERGE, so it stays a SortMergeJoin shuffling both
+    sides on custkey at any scale (AQE would happily broadcast orders
+    at sf0.01 and fall over at sf1000). The first groupBy(c_custkey)
+    reuses the join's custkey partitioning — no third exchange — and
+    the custdist rollup is metadata-sized. Customer-key skew (one
+    giant customer) is AQE skew-join territory; the orderpriority
+    filter pushes to the orders scan."""
+    cust = table(spark, sf_dir, "customer")
+    od = table(spark, sf_dir, "orders").filter(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return (
+        cust.join(od.hint("merge"), cust.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+_Q21_ORACLE = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 25
+"""
+
+
+@register("tpch_q21_shape", oracle=_Q21_ORACLE, category="Q")
+def tpch_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 (suppliers who kept orders waiting, adapted — 'late' is
+    l_shipdate > o_orderdate + 60 days): the hardest decorrelation
+    shape in the suite — a double-correlated EXISTS / NOT-EXISTS
+    lineitem self-join. The oracle keeps the correlated form; the
+    Spark plan decorrelates BOTH subqueries into one per-order
+    aggregate pass instead of per-row probes:
+
+      per (orderkey, suppkey): n_rows, late row count        (agg 1)
+      per orderkey: n_supp, n_late_supp                      (agg 2)
+      EXISTS(other supplier)          ⟺ n_supp >= 2
+      NOT EXISTS(other LATE supplier) ⟺ n_late_supp = 1
+      numwait contribution = the supplier's own late rows.
+
+    One lineitem scan, one orderkey-keyed orders join (status filter
+    pushed to the orders scan), two partial-aggregable shuffles that
+    SHARE the orderkey partitioning, a broadcast supplier join for the
+    name, and a TakeOrderedAndProject top-25 (numwait DESC, unique
+    s_name tiebreak). Never a BroadcastNestedLoopJoin — pinned in
+    tests/test_r10_ops.py. At 100 TB this is the aggregate-
+    decorrelation pattern every engine needs for multi-EXISTS shapes:
+    candidate volume is |lineitem|, not |lineitem|² probe pairs."""
+    sup = table(spark, sf_dir, "supplier")
+    od = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = table(spark, sf_dir, "lineitem")
+    joined = li.join(
+        od.hint("merge").select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).cast("bigint").alias("is_late"),
+    )
+    per_supp = joined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum("is_late").alias("late_rows")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum((F.col("late_rows") > 0).cast("bigint")).alias("n_late_supp"),
+    )
+    waiting = (
+        per_supp.filter(F.col("late_rows") > 0)
+        .join(per_order.hint("merge"), "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(sup), waiting.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("late_rows").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(25)
+    )
+
+
+_Q22_ORACLE = """
+WITH cust_c AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer),
+bal AS (
+  SELECT CAST(SUM(bal_c) AS BIGINT) AS total_c,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cust_c WHERE bal_c > 0)
+SELECT c_mktsegment AS segment,
+       COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 4)
+         AS totacctbal
+FROM cust_c, bal
+WHERE bal_c * cnt > total_c
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+"""
+
+
+@register("tpch_q22_shape", oracle=_Q22_ORACLE, category="Q")
+def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 (global sales opportunity, adapted — no c_phone, so the
+    country-code grouping becomes the market segment, and this
+    generator gives every customer SOME order, so 'never ordered'
+    becomes LAPSED: no order since 2000-01-01). Two classic sub-shapes
+    at once: a SCALAR SUBQUERY threshold (acctbal above the mean
+    positive balance) and a NOT EXISTS anti-join against orders, whose
+    date predicate pushes to the orders scan before the anti join.
+
+    Exactness: the mean is never divided — c_acctbal > total/cnt is
+    cross-multiplied to c_acctbal·cnt > total over exact BIGINT cents,
+    so no engine pair can disagree within an ulp of the threshold (AVG
+    returns DOUBLE in DuckDB but decimal in Spark, and Spark trims the
+    scale of a decimal×bigint product at precision 38 — division and
+    decimal products are the traps, integer multiplication is exact).
+    The 1-row threshold broadcast-crosses onto customer; NOT EXISTS is
+    a left-anti join on custkey (id-only projection of orders rides
+    the shuffle); the rollup is segment-sized. At 100 TB the anti join
+    shuffles customer against orders' custkey projection —
+    co-locatable with a custkey-bucketed layout — and everything else
+    is metadata. (Cents·count stays under int64 to ~10¹⁰ customers.)"""
+    cust = table(spark, sf_dir, "customer").withColumn(
+        "bal_c", F.round(F.col("c_acctbal") * 100).cast("bigint")
+    )
+    od = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        .select("o_custkey")
+    )
+    bal = cust.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("total_c"),
+        F.count("*").alias("cnt"),
+    )
+    rich = cust.join(F.broadcast(bal)).filter(
+        F.col("bal_c") * F.col("cnt") > F.col("total_c")
+    )
+    return (
+        rich.join(od, rich.c_custkey == od.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )
