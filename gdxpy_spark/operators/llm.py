@@ -1409,6 +1409,151 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Content-addressed location of the PERSISTED IVF index for one
+    dataset (same discipline as the replay/WARC fixture caches: keyed
+    to the source bytes so a regenerated embeddings table can never be
+    served a stale index; bump the v-tag when the index LAYOUT
+    changes)."""
+    import os
+    import tempfile
+
+    from gdxpy_spark.operators._util import files_fingerprint
+
+    fp = files_fingerprint([os.path.join(sf_dir, "embeddings.parquet")])
+    parent = os.path.join(tempfile.gettempdir(), "gdxpy_spark_io")
+    os.makedirs(parent, exist_ok=True)
+    return os.path.join(
+        parent, f"ivf_v1_{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
+    )
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once half of the IVF serving split: fit the coarse
+    quantizer (MLlib KMeans, fixed seed — same spec as llm_ann_ivf)
+    and PERSIST the index as two parquet layouts under one
+    atomically-published dir:
+
+      centers/  — the 16 coarse centroids (metadata-sized),
+      cells/    — (vec_id, embedding, norm) PARTITIONED BY cell, so a
+                  serving probe that touches nprobe of k cells prunes
+                  the untouched partitions at scan level.
+
+    Idempotent and content-fingerprinted: every later call (any
+    session) sees the _SUCCESS markers and returns without fitting —
+    the production build-once/query-many contract that
+    tests/test_r10_ops.py pins by making KMeans.fit raise on the
+    second call."""
+    import os
+    import uuid as _uuid
+
+    from gdxpy_spark.operators._util import atomic_publish
+
+    out = _ivf_index_dir(sf_dir)
+
+    def _complete(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "centers", "_SUCCESS")) and (
+            os.path.exists(os.path.join(d, "cells", "_SUCCESS"))
+        )
+
+    if not _complete(out):
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        e = table(spark, sf_dir, "embeddings").withColumn(
+            "fvec", array_to_vector(F.col("embedding").cast("array<double>"))
+        )
+        model = KMeans(k=16, seed=42, featuresCol="fvec", predictionCol="cell").fit(e)
+        indexed = _with_norm(
+            model.transform(e).select("vec_id", "embedding", "cell")
+        )
+        centers = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            "cell INT, center ARRAY<DOUBLE>",
+        )
+        build = f"{out}.build_{_uuid.uuid4().hex[:8]}"
+        centers.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(build, "centers")
+        )
+        indexed.write.mode("overwrite").partitionBy("cell").parquet(
+            os.path.join(build, "cells")
+        )
+        atomic_publish(build, out, is_complete=_complete)
+    return out
+
+
+@register("llm_ann_ivf_served", oracle=None, category="K")  # weak: approximate
+def llm_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, SERVED from a persisted index (build-once/query-many —
+    the production RAG serving shape llm_ann_ivf doesn't exercise: that
+    op refits KMeans on every call, this one never fits at query time).
+    The index — coarse centroids + cell-partitioned vector assignments,
+    with norms precomputed at build — is materialized once per dataset
+    fingerprint by _ensure_ivf_index; the serving plan is pure
+    DataFrame ops over the persisted layouts: rank the 16 broadcast
+    centroids per query (nprobe=2), equi-join the probed cells against
+    the cell-partitioned index, exact cosine, top-1 per query.
+
+    Scale: the serving cost is nprobe/k of the corpus per query batch,
+    the index side scans only probed cell partitions (partition-level
+    pruning from the partitionBy(cell) layout), and the build cost
+    amortizes over every query until the data changes. Same spec as
+    llm_ann_ivf (k=16, seed=42, nprobe=2), so served results are
+    pinned EQUAL to the rebuild-per-query op in tests/test_r10_ops.py,
+    recall floors ride the existing test_ann.py machinery, and the
+    no-refit contract is pinned by poisoning KMeans.fit after the
+    first build."""
+    import os
+
+    idx = _ensure_ivf_index(spark, sf_dir)
+    centers = spark.read.parquet(os.path.join(idx, "centers"))
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+
+    q = _with_norm(table(spark, sf_dir, "embeddings"))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("center"),
+            lambda v, c: (v.cast("double") - c) * (v.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    probes = (
+        q.crossJoin(F.broadcast(centers))
+        .withColumn("d2", dist)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("vec_id", "embedding", "norm", "cell")
+    )
+    qa = probes.alias("q")
+    xa = cells.alias("x")
+    cand = qa.join(
+        xa,
+        (F.col("q.cell") == F.col("x.cell"))
+        & (F.col("q.vec_id") != F.col("x.vec_id")),
+    ).select(
+        F.col("q.vec_id").alias("vec_id"),
+        F.col("x.vec_id").alias("nn_id"),
+        (
+            _dot(F.col("q.embedding"), F.col("x.embedding"))
+            / (F.col("q.norm") * F.col("x.norm"))
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id").asc())
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
+        )
+    )
+
+
+
 def connected_components(
     spark: SparkSession, edges: DataFrame, max_iters: int = 20
 ) -> DataFrame:
@@ -3117,6 +3262,44 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold (F.aggregate), no Python. localCheckpoint after each rewrite
     bounds plan depth (10 nested lambda layers otherwise) at a
     vocab-sized — never corpus-sized — materialization."""
+    merges = _bpe_train_merges(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, "step INT, left STRING, right STRING, pair_count BIGINT"
+    )
+
+
+def _bpe_merge_fold(l: str, r: str):
+    """One greedy left-to-right merge pass over a symbol array as a JVM
+    higher-order fold (shared by training's per-round rewrite and
+    llm_bpe_apply's vocabulary encoding)."""
+    merged = l + r
+    return lambda acc, x: F.when(
+        (F.size(acc) > 0)
+        & (F.element_at(acc, -1) == F.lit(l))
+        & (x == F.lit(r)),
+        F.concat(
+            F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+        ),
+    ).otherwise(F.concat(acc, F.array(x)))
+
+
+# merge tables are tiny (10 rows) but cost a 10-round distributed train;
+# memoized per dataset fingerprint so bpe_train + bpe_apply in one
+# session train once (content-addressed — never stale, never collides)
+_BPE_MERGE_MEMO: dict = {}
+
+
+def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> list:
+    """The 10-round merge-learning loop behind llm_bpe_train (see its
+    docstring for the scale analysis). Returns [(step, left, right,
+    pair_count)] — metadata-sized by construction (one row per round)."""
+    import os
+
+    from gdxpy_spark.operators._util import files_fingerprint
+
+    memo_key = files_fingerprint([os.path.join(sf_dir, "documents.parquet")])
+    if memo_key in _BPE_MERGE_MEMO:
+        return _BPE_MERGE_MEMO[memo_key]
     docs = table(spark, sf_dir, "documents")
     words = (
         docs.select(
@@ -3161,24 +3344,84 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
         merges.append((step, l, r, int(cnt)))
-        merged = l + r
         words = words.withColumn(
             "syms",
             F.aggregate(
                 "syms",
                 F.array().cast("array<string>"),
-                lambda acc, x: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(l))
-                    & (x == F.lit(r)),
-                    F.concat(
-                        F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
-                    ),
-                ).otherwise(F.concat(acc, F.array(x))),
+                _bpe_merge_fold(l, r),
             ),
         ).localCheckpoint(eager=False)
-    return spark.createDataFrame(
-        merges, "step INT, left STRING, right STRING, pair_count BIGINT"
+    _BPE_MERGE_MEMO[memo_key] = merges
+    return merges
+
+
+@register("llm_bpe_apply", oracle=None, category="K")
+def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLY at corpus scale — encode every document with
+    the merge table llm_bpe_train learns, emitting per-doc token counts
+    and FERTILITY (tokens per word — the number every tokenizer ships
+    in its model card). No SQL oracle (the merge table comes from ten
+    argmax-rewrite rounds); pinned EXACTLY against the pure-Python
+    reference tokenizer in tests/test_r10_ops.py, rows-only in the
+    driver ledger by declared contract.
+
+    Scale shape: the merges are a 10-row broadcast-as-literals table;
+    encoding runs on the DISTINCT-WORD dictionary (Heaps-sublinear in
+    corpus size, same working set as training), one JVM in-array fold
+    per merge — the corpus itself is touched exactly twice, once to
+    build the dictionary and once to join token counts back per word
+    occurrence. The join side is vocabulary-sized and explicitly
+    broadcast (Catalyst would sort-merge-join it and skew on stopword
+    keys); per-doc totals are one partial-aggregable shuffle. At
+    100 TB nothing fact-sized is ever rewritten — documents carry only
+    (doc_id, word) pairs into the rollup."""
+    merges = _bpe_train_merges(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+            ).alias("word")
+        )
+        .distinct()
+        .withColumn("syms", F.filter(F.split("word", ""), lambda s: s != F.lit("")))
+    )
+    for _step, l, r, _cnt in merges:
+        vocab = vocab.withColumn(
+            "syms",
+            F.aggregate(
+                "syms",
+                F.array().cast("array<string>"),
+                _bpe_merge_fold(l, r),
+            ),
+        )
+    # one lineage cut for the 10 stacked fold layers (vocab-sized frame)
+    vocab = vocab.select(
+        "word", F.size("syms").cast("bigint").alias("word_tokens")
+    ).localCheckpoint(eager=False)
+    occ = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("word"),
+    )
+    return (
+        occ.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("word_tokens").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_tokens",
+            (
+                F.round(F.col("n_tokens").cast("double") / F.col("n_words"), 4)
+                + F.lit(0.0)
+            ).alias("fertility"),
+        )
     )
 
 

@@ -157,3 +157,16 @@ def test_ivf_recall_floor_on_real_corpus(spark):
     hits = sum(1 for v in brute if ivf.get(v) == brute[v])
     recall = hits / len(brute)
     assert recall >= 0.35, f"IVF nprobe=2 recall {recall:.2f} below floor"
+
+
+def test_ivf_served_recall_on_planted_pairs(spark, planted_dir):
+    """The persisted-index serving path must hold the same planted-pair
+    recall floor as the rebuild-per-query op (it shares the k/seed/
+    nprobe spec; this pins the floor independently of the equality
+    test in test_r10_ops.py)."""
+    nn = {
+        r["vec_id"]: r["nn_id"]
+        for r in ALL["llm_ann_ivf_served"].fn(spark, planted_dir).collect()
+    }
+    hits = sum(1 for i in range(N_PLANT) if nn.get(100000 + i) == i)
+    assert hits >= N_PLANT - 2, f"served IVF recall too low: {hits}/{N_PLANT}"

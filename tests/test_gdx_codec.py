@@ -1,6 +1,8 @@
 """GDX codec round-trip tests (BASELINE.md #5): property-based write→read
-equality over random symbols (dims 0–5, special values incl. EPS/NA/±INF,
-both compression modes) plus fixed golden fixtures."""
+equality over random symbols (dims 0–20 — the format's GMS_MAX_INDEX_DIM
+limit, weighted toward small dims; special values incl. EPS/NA/±INF,
+both compression modes) plus fixed golden fixtures, incl. the
+variable-kind default-bound table (r9 verdict item 5)."""
 
 from __future__ import annotations
 
@@ -50,7 +52,9 @@ def _eq_val(a: float, b: float) -> bool:
 @st.composite
 def symbol(draw, typ=None):
     typ = typ if typ is not None else draw(st.sampled_from([DT_SET, DT_PAR, DT_VAR, DT_EQU]))
-    dim = draw(st.integers(0, 5))
+    # weight toward the common 0-5 range but exercise the format's
+    # full dim <= 20 envelope (GMS_MAX_INDEX_DIM)
+    dim = draw(st.one_of(st.integers(0, 5), st.integers(6, 20)))
     if typ == DT_SET and dim == 0:
         dim = 1  # 0-dim sets are not meaningful
     nv = 5 if typ in (DT_VAR, DT_EQU) else 1
@@ -352,3 +356,102 @@ def test_corrupt_bytes_never_leak_raw_exceptions():
 
     fuzz(w_codec, GdxFile)
     fuzz(w_gams, G.GamsGdxFile)
+
+
+# ---- format-limit + variable-kind default-bound fixtures (r10) --------------
+
+# GAMS variable-kind subtype ids and their implicit default
+# (lower, upper, scale) bounds — public semantics from gclgms.h /
+# the GAMS user guide; a conforming writer emits these implicitly,
+# so the codec must round-trip them bit-exactly (±inf rides the
+# GMS_SV sentinel encoding inside bound FIELDS, not just levels).
+VAR_KIND_DEFAULTS = {
+    1: ("binary", 0.0, 1.0, 1.0),
+    2: ("integer", 0.0, math.inf, 1.0),
+    3: ("positive", 0.0, math.inf, 1.0),
+    4: ("negative", -math.inf, 0.0, 1.0),
+    5: ("free", -math.inf, math.inf, 1.0),
+    6: ("sos1", 0.0, math.inf, 1.0),
+    7: ("sos2", 0.0, math.inf, 1.0),
+    8: ("semicont", 1.0, math.inf, 1.0),
+    9: ("semiint", 1.0, math.inf, 1.0),
+}
+
+
+import pytest as _pytest
+
+
+def _layouts():
+    from gdxpy_spark.sources import gdx_gams as G
+
+    return [("native", GdxWriter, GdxFile), ("gams", G.GamsGdxWriter, G.GamsGdxFile)]
+
+
+@_pytest.mark.parametrize("layout,wcls,rcls", _layouts())
+def test_variable_kind_default_bounds_roundtrip(layout, wcls, rcls):
+    """One variable per kind, records carrying exactly the kind's
+    implicit (lo, up, scale) defaults: subtype id and every bound —
+    including the ±inf sentinels — must survive write→read in both
+    compression modes, in BOTH container layouts."""
+    syms = []
+    for sub, (kind, lo, up, scale) in VAR_KIND_DEFAULTS.items():
+        meta = SymbolMeta(
+            name=f"v_{kind}", dim=1, type=DT_VAR, subtype=sub,
+            expl_text=f"{kind} variable",
+        )
+        keys = [("i1",), ("i2",)]
+        vals = [(0.5, 0.0, lo, up, scale), (1.5, -2.0, lo, up, scale)]
+        syms.append(SymbolData(
+            meta=meta, keys=keys, values=vals,
+            eps_mask=[0, 0], text=["", ""],
+        ))
+    for compress in (False, True):
+        path = _tmp(f"varkinds_{layout}_{compress}.gdx")
+        w = wcls(path, compress=compress)
+        for sd in syms:
+            w.add_symbol(sd)
+        w.close()
+        f = rcls(path)
+        for sd in syms:
+            idx = f.find(sd.meta.name)
+            m = f.symbols[idx]
+            assert (m.type, m.subtype, m.dim) == (DT_VAR, sd.meta.subtype, 1)
+            got = f.read_records(idx)
+            assert got.keys == sd.keys
+            for rg, re_ in zip(got.values, sd.values):
+                assert all(_eq_val(a, b) for a, b in zip(rg, re_)), (rg, re_)
+
+
+@_pytest.mark.parametrize("layout,wcls,rcls", _layouts())
+def test_dim20_symbol_roundtrip(layout, wcls, rcls):
+    """A symbol at the format's dim=20 limit (GMS_MAX_INDEX_DIM):
+    20-part keys must delta-encode and read back exactly, in both
+    compression modes and BOTH container layouts, including a
+    shared-prefix pair that exercises the leading-dims-repeat control
+    byte at depth 19."""
+    dim = 20
+    k1 = tuple(f"d{j}" for j in range(dim))
+    k2 = k1[:-1] + ("zz",)           # shares 19 leading dims with k1
+    k3 = tuple(f"e{j}" for j in range(dim))
+    keys = sorted([k1, k2, k3])
+    meta = SymbolMeta(name="deep", dim=dim, type=DT_PAR, expl_text="dim 20")
+    sd = SymbolData(
+        meta=meta, keys=keys,
+        values=[(1.0,), (math.inf,), (0.0,)],
+        eps_mask=[0, 0, 1], text=["", "", ""],
+    )
+    for compress in (False, True):
+        path = _tmp(f"dim20_{layout}_{compress}.gdx")
+        w = wcls(path, compress=compress)
+        w.add_symbol(sd)
+        w.close()
+        f = rcls(path)
+        idx = f.find("deep")
+        m = f.symbols[idx]
+        assert (m.dim, m.nrecs) == (20, 3)
+        got = f.read_records(idx)
+        assert got.keys == keys
+        assert got.eps_mask == [0, 0, 1]
+        assert all(
+            _eq_val(a[0], b[0]) for a, b in zip(got.values, sd.values)
+        )
