@@ -1210,7 +1210,10 @@ def _auto_n_bits(n: int, target_bucket: int = 32, lo: int = 6, hi: int = 24) -> 
 
 
 def lsh_candidate_pairs(
-    bucketed: DataFrame, n_probe_bits: int = 0, max_bucket: int = 64
+    bucketed: DataFrame,
+    n_probe_bits: int = 0,
+    max_bucket: int = 64,
+    q_probes: DataFrame | None = None,
 ) -> DataFrame:
     """ANN candidate id pairs (vec_id, nn_id) from (vec_id, bucket) rows
     — ids only; embeddings NEVER ride the bucket join (same design rule
@@ -1228,7 +1231,11 @@ def lsh_candidate_pairs(
 
     ``n_probe_bits`` > 0 adds query-side multiprobe: each vector also
     probes the Hamming-1 flips of its own bucket key (index side stays
-    single-bucket — the standard multiprobe trade)."""
+    single-bucket — the standard multiprobe trade). ``q_probes``
+    generalizes that for non-hamming bucket spaces (IVF cells): an
+    explicit (vec_id, bucket) probe frame replaces the query side —
+    e.g. each vector's 2 nearest centroids — while the index side stays
+    the top-1 assignment."""
     bsz = bucketed.groupBy("bucket").agg(
         F.count("*").alias("bsize"), F.min("vec_id").alias("rep")
     )
@@ -1240,7 +1247,9 @@ def lsh_candidate_pairs(
         .distinct()
     )
     index_ids = idx_small.unionByName(idx_rep)
-    if n_probe_bits > 0:
+    if q_probes is not None:
+        q_ids = q_probes.select("vec_id", "bucket")
+    elif n_probe_bits > 0:
         probes_arr = F.array(
             F.col("bucket"),
             *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(n_probe_bits)],
@@ -1333,12 +1342,27 @@ def llm_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_top1(e, lsh_candidate_pairs(bucketed, n_probe_bits=n_bits))
 
 
+def _ivf_k(n: int, target_cell: int = 256, lo: int = 16) -> int:
+    """Corpus-sized IVF cell count: k grows as n/target_cell so the
+    per-query exact-cosine candidate volume stays ~nprobe·target_cell =
+    O(1) per query — a FIXED k makes IVF candidates 2n²/k, i.e.
+    quadratic (measured: the k=16 serving path read 39× at the 10×
+    probe before this; with k ∝ n the same probe reads ~linear). Same
+    scaling law as _auto_n_bits for the LSH bucket space; `lo` keeps
+    test-scale corpora on the historical 16 cells so recall floors and
+    fixtures are unchanged below ~4k vectors."""
+    import math
+
+    return max(lo, math.ceil(n / target_cell))
+
+
 @register("llm_ann_ivf", oracle=None, category="K")  # weak: approximate by design
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbor: k-means (MLlib, fixed seed)
-    partitions the vectors into 16 coarse cells; each query probes its 2
-    nearest centroids (nprobe=2) and runs exact cosine against the
-    vectors indexed in those cells, then top-1 per query.
+    partitions the vectors into corpus-sized coarse cells (_ivf_k:
+    k ≈ n/256, floor 16); each query probes its 2 nearest centroids
+    (nprobe=2) and runs exact cosine against the vectors indexed in
+    those cells, then top-1 per query.
 
     This is the inverted-file layout at any scale: the index side is
     partitioned by cell (co-located, prunable), query fan-out is
@@ -1355,7 +1379,9 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").withColumn(
         "fvec", array_to_vector(F.col("embedding").cast("array<double>"))
     )
-    model = KMeans(k=16, seed=42, featuresCol="fvec", predictionCol="cell").fit(e)
+    model = KMeans(
+        k=_ivf_k(e.count()), seed=42, featuresCol="fvec", predictionCol="cell"
+    ).fit(e)
     indexed = managed_cache(_with_norm(
         model.transform(e).select("vec_id", "embedding", "cell")
     ))
@@ -1423,8 +1449,10 @@ def _ivf_index_dir(sf_dir: str) -> str:
     fp = files_fingerprint([os.path.join(sf_dir, "embeddings.parquet")])
     parent = os.path.join(tempfile.gettempdir(), "gdxpy_spark_io")
     os.makedirs(parent, exist_ok=True)
+    # v2: corpus-sized k (_ivf_k) replaced the fixed k=16 quantizer —
+    # the spec is part of the layout, so the v-tag bumps with it
     return os.path.join(
-        parent, f"ivf_v1_{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
+        parent, f"ivf_v2_{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
     )
 
 
@@ -1463,7 +1491,10 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
         e = table(spark, sf_dir, "embeddings").withColumn(
             "fvec", array_to_vector(F.col("embedding").cast("array<double>"))
         )
-        model = KMeans(k=16, seed=42, featuresCol="fvec", predictionCol="cell").fit(e)
+        model = KMeans(
+            k=_ivf_k(e.count()), seed=42, featuresCol="fvec",
+            predictionCol="cell",
+        ).fit(e)
         indexed = _with_norm(
             model.transform(e).select("vec_id", "embedding", "cell")
         )
@@ -1482,6 +1513,31 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+def _ivf_probe_cells(q: DataFrame, centers: DataFrame, nprobe: int = 2) -> DataFrame:
+    """Replicate each query row (vec_id, embedding, norm) to its
+    ``nprobe`` nearest persisted centroids: the IVF probe fan-out shared
+    by the serving path and SemDeDup's boundary-safe candidate
+    generation. Centroids broadcast (metadata-sized at any scale); the
+    per-vector rank is a window over nprobe·k rows, never the corpus."""
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("center"),
+            lambda v, c: (v.cast("double") - c) * (v.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    return (
+        q.crossJoin(F.broadcast(centers))
+        .withColumn("d2", dist)
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe)
+        .select("vec_id", "embedding", "norm", "cell")
+    )
+
+
 @register("llm_ann_ivf_served", oracle=None, category="K")  # weak: approximate
 def llm_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN, SERVED from a persisted index (build-once/query-many —
@@ -1498,7 +1554,7 @@ def llm_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     the index side scans only probed cell partitions (partition-level
     pruning from the partitionBy(cell) layout), and the build cost
     amortizes over every query until the data changes. Same spec as
-    llm_ann_ivf (k=16, seed=42, nprobe=2), so served results are
+    llm_ann_ivf (k=_ivf_k(n), seed=42, nprobe=2), so served results are
     pinned EQUAL to the rebuild-per-query op in tests/test_r10_ops.py,
     recall floors ride the existing test_ann.py machinery, and the
     no-refit contract is pinned by poisoning KMeans.fit after the
@@ -1510,23 +1566,7 @@ def llm_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = spark.read.parquet(os.path.join(idx, "cells"))
 
     q = _with_norm(table(spark, sf_dir, "embeddings"))
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("center"),
-            lambda v, c: (v.cast("double") - c) * (v.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wq = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
-    probes = (
-        q.crossJoin(F.broadcast(centers))
-        .withColumn("d2", dist)
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 2)
-        .select("vec_id", "embedding", "norm", "cell")
-    )
+    probes = _ivf_probe_cells(q, centers, nprobe=2)
     qa = probes.alias("q")
     xa = cells.alias("x")
     cand = qa.join(
@@ -1552,6 +1592,83 @@ def llm_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+
+
+@register("llm_semdedup", oracle=None, category="K")  # weak: approximate
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    embedding-cluster scoping — exact cosine verification runs only
+    WITHIN a coarse cluster, never across the corpus, then transitive
+    groups keep their min-id representative. The cluster layer is the
+    SAME persisted IVF index the ANN serving path uses
+    (_ensure_ivf_index: build-once, content-fingerprinted, cell-
+    partitioned), so dedup and retrieval share one quantizer — the
+    production arrangement. τ = 0.4, matching llm_embed_dedup's exact
+    all-pairs rule on this near-orthogonal corpus. Cluster-BOUNDARY
+    pairs — the paper's known recall loss — are recovered by probing
+    each vector's 2 nearest centroids on the query side (index side
+    stays top-1, the multiprobe trade shared with
+    llm_ann_lsh_multiprobe via lsh_candidate_pairs' q_probes); the
+    residual misses (both probes elsewhere) are the declared
+    approximation, pinned by the planted-recall pytest. Candidate
+    volume stays E[pairs] = Σ_c nprobe·n_c², the subquadratic 100 TB
+    path. Oversized cells degrade to representative
+    chaining via the shared lsh_candidate_pairs skew cap instead of
+    going quadratic. Emits (dup_id, kept_id = min id of the semantic
+    group), singletons omitted — llm_minhash_dedup's contract with
+    embeddings instead of shingles."""
+    import os
+
+    idx = _ensure_ivf_index(spark, sf_dir)
+    cells = managed_cache(spark.read.parquet(os.path.join(idx, "cells")))
+    centers = spark.read.parquet(os.path.join(idx, "centers"))
+    # query side probes each vector's 2 nearest cells so near-dup pairs
+    # split by a cluster BOUNDARY still meet (the planted-recall test
+    # failed 14/20 with top-1-only scoping); index side stays top-1
+    probes = _ivf_probe_cells(
+        cells.select("vec_id", "embedding", "norm"), centers, nprobe=2
+    ).select("vec_id", F.col("cell").cast("bigint").alias("bucket"))
+    # normalize direction THEN dedup: multiprobe candidates are
+    # asymmetric (B may probe into A's cell without A probing into
+    # B's), so a vec_id < nn_id filter would drop one-way pairs
+    # max_bucket is CELL-sized (8× the ~256-vector _ivf_k target), not
+    # ANN's 64: representative chaining is the wrong degradation for a
+    # τ-verified dedup — hub edges fail the τ filter on non-dup hubs
+    # and sever the group (measured: 6/20 planted pairs lost through
+    # chained cells at the ANN cap). Within-cell all-pairs at ≤2048
+    # stays O(target_cell) per vector; only a pathological mega-cell
+    # (boilerplate embeddings) still degrades to chaining.
+    cand = (
+        lsh_candidate_pairs(
+            cells.select("vec_id", F.col("cell").cast("bigint").alias("bucket")),
+            q_probes=probes,
+            max_bucket=2048,
+        )
+        .select(
+            F.least("vec_id", "nn_id").alias("vec_id"),
+            F.greatest("vec_id", "nn_id").alias("nn_id"),
+        )
+        .distinct()
+    )
+    ea = cells.select("vec_id", F.col("embedding").alias("emb_a"),
+                      F.col("norm").alias("norm_a"))
+    eb = cells.select(F.col("vec_id").alias("nn_id"),
+                      F.col("embedding").alias("emb_b"),
+                      F.col("norm").alias("norm_b"))
+    edges = (
+        cand.join(ea, "vec_id")
+        .join(eb, "nn_id")
+        .filter(
+            _dot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b"))
+            >= 0.4
+        )
+        .select(F.col("vec_id").alias("doc_a"), F.col("nn_id").alias("doc_b"))
+    )
+    cc = connected_components(spark, edges)
+    return cc.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias("dup_id"), F.col("component_id").alias("kept_id")
+    )
 
 
 def connected_components(

@@ -1248,3 +1248,105 @@ def llm_gopher_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_nn") == 5)
         .drop("_nn")
     )
+
+
+_SPAN_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+pos AS (
+  SELECT doc_id, len(t) AS n, unnest(range(1, len(t) + 1)) AS i
+  FROM toks WHERE len(t) >= 1),
+marked AS (
+  SELECT doc_id, n, i,
+         ((i - 1) % 20) BETWEEN s AND s + 2 AS corrupted
+  FROM (SELECT *,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                   CAST((i - 1) // 20 AS VARCHAR)), 1, 4)
+               )::INTEGER % 18 AS s
+        FROM pos))
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE corrupted) AS BIGINT) AS n_corrupted,
+       CAST(COUNT(DISTINCT CASE WHEN corrupted THEN (i - 1) // 20 END)
+            AS BIGINT) AS n_spans,
+       ROUND(CAST(COUNT(*) FILTER (WHERE corrupted) AS DOUBLE)
+             / MAX(n), 4) + 0.0 AS corrupt_ratio
+FROM marked
+GROUP BY doc_id
+"""
+
+
+@register("llm_span_corruption", oracle=_SPAN_ORACLE, category="K")
+def llm_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style SPAN CORRUPTION accounting (Raffel et al. 2020 §3.1.4,
+    deterministic variant): each 20-token block corrupts one 3-token
+    span whose offset is hash-derived (md5 of doc:block → first 4 hex
+    chars → mod 18), giving ~15% corruption in contiguous spans — the
+    denoising objective's masking geometry, reproducible across runs
+    and engines with NO RNG stream (the llm_mlm_mask recipe extended
+    from i.i.d. token masks to spans). Emits per-doc token/corrupted/
+    span counts and the corruption ratio.
+
+    Plan: map-only — token positions, block hashes, and span tests all
+    run as JVM higher-order functions inside the scan projection; zero
+    shuffle, zero Python. The oracle walks the identical positions via
+    unnest and hex-cast md5 (hash-portable: both engines compute md5 of
+    the same ASCII string). Spans cut short by the doc end count as
+    spans with fewer corrupted tokens — identical clamping on both
+    engines."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+
+    def span_start(block):
+        hx = F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("doc_id").cast("string"), block.cast("string")
+                )
+            ),
+            1,
+            4,
+        )
+        return F.conv(hx, 16, 10).cast("bigint") % 18
+
+    def is_corrupted(i):
+        # i is the 1-based token position (bigint); the block index must
+        # stay an exact BIGINT — a double division here would render
+        # "2.0" into the md5 input and silently diverge from the oracle
+        off = (i - 1) % 20
+        block = ((i - 1) - off) / F.lit(20)
+        s = span_start(block.cast("bigint"))
+        return off.between(s, s + 2)
+
+    base = docs.select(
+        "doc_id", F.size(t).cast("bigint").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= 1)
+    flags = F.transform(
+        F.sequence(F.lit(1).cast("bigint"), F.col("n_tokens")),
+        lambda i: is_corrupted(i).cast("bigint"),
+    )
+    n_corr = F.aggregate(
+        flags, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    # a block contributes a span iff its span start lands inside the doc
+    n_blocks = F.floor((F.col("n_tokens") - 1) / 20).cast("bigint")
+    spans = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0).cast("bigint"), n_blocks),
+            lambda b: (
+                (b * 20 + span_start(b) + 1) <= F.col("n_tokens")
+            ).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        n_corr.alias("n_corrupted"),
+        spans.alias("n_spans"),
+        (
+            F.round(n_corr.cast("double") / F.col("n_tokens"), 4) + F.lit(0.0)
+        ).alias("corrupt_ratio"),
+    )

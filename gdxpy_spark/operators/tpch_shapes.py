@@ -653,3 +653,370 @@ def tpch_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "totacctbal"),
         )
     )
+
+
+_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {sql_dsum(_REV, 'revenue')}
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+
+@register("tpch_q7_shape", oracle=_Q7_ORACLE, category="Q")
+def tpch_q7_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 (volume shipping between two nations): bidirectional
+    nation-pair revenue by ship year — the shape where the SAME
+    dimension joins twice under different roles (supplier nation vs
+    customer nation) and a cross-role disjunction filters the pair.
+    Both nation joins broadcast; the two fact joins shuffle on
+    orderkey/suppkey; after the nation filter the aggregate is a
+    4-group partial. At 100 TB the nation-pair predicate cannot push
+    below the joins (it spans both roles), but each single-role
+    membership (nation ∈ {1,2}) does — Catalyst infers it from the
+    disjunction, shrinking both dimension fan-ins before the facts
+    join."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    od = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    sup = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cust, od.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dsum(rev, "revenue"))
+    )
+
+
+_Q8_ORACLE = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(CAST(SUM(CASE WHEN n1.n_name = 'NATION_2'
+                  THEN CAST({_REV} AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST({_REV} AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0
+         AS mkt_share,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n2.n_regionkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN part ON p_partkey = l_partkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY year(o_orderdate)
+"""
+
+
+@register("tpch_q8_shape", oracle=_Q8_ORACLE, category="Q")
+def tpch_q8_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 (national market share): one nation's share of a region's
+    PROMO-part revenue per year — the conditional-ratio shape over the
+    widest join graph in the suite (7 tables, nation twice). All four
+    dimensions broadcast; the two fact joins shuffle; both sums are
+    exact decimals with ONE double division per group (+0.0). The
+    numerator condition (supplier nation) deliberately cannot push
+    anywhere — it selects within, not before, the aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    od = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    cust = table(spark, sf_dir, "customer")
+    sup = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = dec(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cust, od.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (
+                F.round(
+                    F.sum(
+                        F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(
+                            F.lit(0).cast("decimal(18,6)")
+                        )
+                    ).cast("double")
+                    / F.sum(rev).cast("double"),
+                    4,
+                )
+                + 0.0
+            ).alias("mkt_share"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_Q2_ORACLE = """
+WITH offers AS (
+  SELECT DISTINCT l_partkey, l_suppkey,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'),
+mn AS (
+  SELECT l_partkey, MIN(price_c) AS min_c
+  FROM offers JOIN eu ON eu.s_suppkey = offers.l_suppkey
+  GROUP BY l_partkey)
+SELECT p_partkey, p_brand, s_name, s_acctbal,
+       ROUND(CAST(min_c AS DOUBLE) / 100.0, 2) + 0.0 AS min_price
+FROM offers
+JOIN mn ON mn.l_partkey = offers.l_partkey AND offers.price_c = mn.min_c
+JOIN eu ON eu.s_suppkey = offers.l_suppkey
+JOIN part ON p_partkey = offers.l_partkey
+WHERE p_size <= 10
+ORDER BY s_acctbal DESC, s_name ASC, p_partkey ASC
+LIMIT 25
+"""
+
+
+@register("tpch_q2_shape", oracle=_Q2_ORACLE, category="Q")
+def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 (minimum-cost supplier, adapted — no partsupp table, so the
+    'offer' is a DISTINCT (part, supplier, price-cents) from lineitem):
+    the correlated-scalar-MIN shape. The correlated
+    `price = (SELECT MIN ...)` decorrelates to one per-part MIN
+    aggregate joined back on (part, price) equality — exact because
+    prices compare as integer cents, never doubles. The region filter
+    applies to BOTH the min scan and the outer offers (same eu set,
+    the classic Q2 trap: taking the min over all suppliers but
+    returning only regional ones under-reports ties). Top-25 by
+    account balance with total (s_name, p_partkey) tiebreak rides
+    TakeOrderedAndProject. At 100 TB the offers dedup and the per-part
+    MIN share the partkey shuffle key."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    eu = (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    offers = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+    ).distinct()
+    eu_offers = offers.join(F.broadcast(eu), offers.l_suppkey == eu.s_suppkey)
+    mn = eu_offers.groupBy("l_partkey").agg(F.min("price_c").alias("min_c"))
+    return (
+        eu_offers.join(mn, "l_partkey")
+        .filter(F.col("price_c") == F.col("min_c"))
+        .join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "s_acctbal",
+            (F.round(F.col("min_c").cast("double") / 100.0, 2) + F.lit(0.0)).alias(
+                "min_price"
+            ),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), F.col("s_name").asc(), F.col("p_partkey").asc()
+        )
+        .limit(25)
+    )
+
+
+_Q15_ORACLE = """
+WITH srev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey),
+mx AS (SELECT CAST(MAX(rev_c) AS BIGINT) AS max_c FROM srev)
+SELECT s_suppkey, s_name,
+       ROUND(CAST(rev_c AS DOUBLE) / 100.0, 2) + 0.0 AS total_revenue
+FROM srev JOIN supplier ON s_suppkey = l_suppkey
+CROSS JOIN mx
+WHERE rev_c = max_c
+"""
+
+
+@register("tpch_q15_shape", oracle=_Q15_ORACLE, category="Q")
+def tpch_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 (top supplier): the view-plus-global-MAX shape — aggregate
+    revenue per supplier for a quarter, then keep the supplier(s)
+    equal to the global maximum. Revenue accumulates as per-row
+    ROUNDED integer cents so the max-equality join can never split a
+    tie an ulp apart (a double revenue here is the classic Q15
+    portability bug). One suppkey shuffle for the view; the 1-row max
+    broadcast-crosses back; supplier join broadcasts. The final
+    filter keeps ALL tied maxima — same contract on both engines."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    sup = table(spark, sf_dir, "supplier")
+    srev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        ).alias("rev_c")
+    )
+    mx = srev.agg(F.max("rev_c").alias("max_c"))
+    return (
+        srev.join(F.broadcast(mx))
+        .filter(F.col("rev_c") == F.col("max_c"))
+        .join(F.broadcast(sup), srev.l_suppkey == sup.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.round(F.col("rev_c").cast("double") / 100.0, 2) + F.lit(0.0)).alias(
+                "total_revenue"
+            ),
+        )
+    )
+
+
+_Q16_ORACLE = """
+WITH excl AS (
+  SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'),
+ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM excl))
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("tpch_q16_shape", oracle=_Q16_ORACLE, category="Q")
+def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 (part/supplier relationship count, adapted — no partsupp, so
+    the relationship is DISTINCT (part, supplier) pairs observed in
+    lineitem): COUNT DISTINCT per attribute group with a NOT-IN
+    exclusion subquery (complaint suppliers ~ names ending in '7').
+    The NOT IN decorrelates to a left-anti join against a
+    dimension-sized exclusion set (broadcast); the pair-dedup and the
+    count-distinct share the partkey-side shuffle; the brand/size
+    filters push to the part scan. The classic catalog-analytics shape
+    over the biggest distinct space in the suite."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    part = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    excl = sup.filter(F.col("s_name").like("%7")).select("s_suppkey")
+    ps = (
+        li.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti")
+        .distinct()
+    )
+    return (
+        ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q17_ORACLE = """
+WITH li_b AS (
+  SELECT l_partkey, l_extendedprice,
+         CAST(ROUND(l_quantity * 10) AS BIGINT) AS q10
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#1'),
+pavg AS (
+  SELECT l_partkey, CAST(SUM(q10) AS BIGINT) AS sum_q10,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM li_b GROUP BY l_partkey)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+             / 7.0, 4) + 0.0 AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM li_b JOIN pavg USING (l_partkey)
+WHERE 5 * q10 * n < sum_q10
+"""
+
+
+@register("tpch_q17_shape", oracle=_Q17_ORACLE, category="Q")
+def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 (small-quantity-order revenue): the correlated scalar-AVG
+    shape — lineitems whose quantity is below 20% of their part's
+    average quantity. Decorrelated to one per-part aggregate joined
+    back; the threshold comparison is CROSS-MULTIPLIED into exact
+    integer arithmetic (5·q·n < Σq in tenths — dividing the average
+    would put an engine-dependent double within an ulp of the
+    boundary). The brand filter broadcasts onto the fact scan first,
+    so both the stats pass and the probe pass run over the reduced
+    lineitem set, sharing the partkey shuffle key."""
+    part = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "l_partkey",
+            "l_extendedprice",
+            F.round(F.col("l_quantity") * 10).cast("bigint").alias("q10"),
+        )
+    )
+    pavg = li.groupBy("l_partkey").agg(
+        F.sum("q10").alias("sum_q10"), F.count("*").alias("n")
+    )
+    return (
+        li.join(pavg, "l_partkey")
+        .filter(5 * F.col("q10") * F.col("n") < F.col("sum_q10"))
+        .agg(
+            (
+                F.round(F.sum(dec("l_extendedprice")).cast("double") / 7.0, 4)
+                + F.lit(0.0)
+            ).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )

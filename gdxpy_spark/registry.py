@@ -114,6 +114,10 @@ _ARTIFACT_PRIORITY = [
     # (2) new in r10:
     "tpch_q4_shape", "tpch_q13_shape", "tpch_q21_shape", "tpch_q22_shape",
     "llm_ann_ivf_served", "llm_bpe_apply",
+    # (2b) r10 second wave:
+    "tpch_q2_shape", "tpch_q7_shape", "tpch_q8_shape", "tpch_q15_shape",
+    "tpch_q16_shape", "tpch_q17_shape", "llm_span_corruption",
+    "llm_semdedup",
     # (3) implementation changed in r10:
     "llm_warc_parse",
     # (4) r9 window (recorded green r09):

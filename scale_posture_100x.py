@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""100× dedup-posture probe (r9 verdict stretch item): run the two
+subquadratic dedup flagships — llm_minhash_dedup and
+llm_substring_dedup — at 1× (sf0.1, 5k docs) and at a 100× DISJOINT-
+SHARD corpus (500k docs), where the 10× probe's growth band cannot yet
+separate n from n² behavior.
+
+Corpus construction (the S10 method, sharpened): 100 copies of the
+sf0.1 documents with every TOKEN suffixed per copy (`_c{i}`), so copies
+are textually disjoint — each shard keeps the real corpus's dense
+internal dup structure (median pairwise Jaccard 0.63), while across
+shards nothing can collide in a MinHash band or share a 6-word span.
+That makes the TRUE candidate volume exactly 100 × the 1× volume: a
+banded/blocked pipeline must show ~linear growth in wall clock and in
+verified-pair/duplicated-span counts, while any all-pairs or
+corpus-global-state shape would show ~10,000×.
+
+Usage: python scale_posture_100x.py   (builds the 100× corpus in /tmp
+on first run; prints a table for SCALE.md)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+S1 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+S100 = "/tmp/gdxpy_spark_scaleprobe/sfx100"
+COPIES = 100
+
+
+def build_100x(spark) -> None:
+    from pyspark.sql import functions as F
+
+    from gdxpy_spark.tables import table
+
+    out = S100 + "/documents.parquet"
+    if os.path.exists(out + "/_SUCCESS"):
+        return
+    docs = table(spark, S1, "documents")
+    copies = []
+    for i in range(COPIES):
+        c = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 1_000_000))
+        if i:
+            # suffix every token: shard i shares NO token with shard j,
+            # so no cross-shard band collisions / shared spans exist —
+            # true shard-disjoint scaling (unlike the 10× corpus's
+            # appended-token perturbation, which keeps copies near-dup)
+            tag = F.lit(f"_c{i}")
+            c = c.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.filter(F.split("text", " "), lambda t: t != F.lit("")),
+                        lambda t: F.concat(t, tag),
+                    ),
+                    " ",
+                ),
+            )
+        copies.append(c)
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.repartition(64).write.mode("overwrite").parquet(out)
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from gdxpy_spark import registry
+
+    t0 = time.perf_counter()
+    build_100x(spark)
+    print(f"100x corpus ready in {time.perf_counter() - t0:.0f}s", flush=True)
+
+    queries = registry.all_queries()
+
+    def run(name, sf):
+        t0 = time.perf_counter()
+        n = queries[name].fn(spark, sf).count()
+        return round(time.perf_counter() - t0, 1), n
+
+    for name in ("llm_minhash_dedup", "llm_substring_dedup"):
+        w1, n1 = run(name, S1)
+        w100, n100 = run(name, S100)
+        print(
+            f"{name:22s} 1x: {w1:7.1f}s / {n1:>10,} rows   "
+            f"100x: {w100:7.1f}s / {n100:>10,} rows   "
+            f"wall x{w100 / max(w1, 1e-9):.1f}  rows x{n100 / max(n1, 1):.1f}",
+            flush=True,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -170,3 +170,45 @@ def test_ivf_served_recall_on_planted_pairs(spark, planted_dir):
     }
     hits = sum(1 for i in range(N_PLANT) if nn.get(100000 + i) == i)
     assert hits >= N_PLANT - 2, f"served IVF recall too low: {hits}/{N_PLANT}"
+
+
+def test_semdedup_finds_planted_dups_with_exact_precision(spark, planted_dir):
+    """SemDeDup must (a) cluster each 1%-noise copy with its base —
+    recall on planted semantic dups — and (b) never emit a dup pair the
+    exact all-pairs cosine rule would reject: every (dup, kept) group
+    member must have cos >= 0.4 to SOME member of its group by brute
+    recompute (precision is exact by construction; this pins it)."""
+    import math
+
+    sd = ALL["llm_semdedup"].fn(spark, planted_dir)
+    comp = {r["dup_id"]: r["kept_id"] for r in sd.collect()}
+    hits = sum(
+        1 for i in range(N_PLANT)
+        if comp.get(100000 + i) == i or comp.get(i) == comp.get(100000 + i, -1)
+    )
+    assert hits >= N_PLANT - 2, f"semdedup planted recall {hits}/{N_PLANT}"
+
+    # precision: recompute cosines for emitted pairs against the source
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in table(spark, planted_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return num / (na * nb)
+
+    groups: dict[int, list[int]] = {}
+    for d, k in comp.items():
+        groups.setdefault(k, [k]).append(d)
+    for k, members in groups.items():
+        for d in members:
+            if d == k:
+                continue
+            best = max(cos(emb[d], emb[m]) for m in members if m != d)
+            assert best >= 0.4 - 1e-9, (
+                f"semdedup grouped {d} with {k} but its best in-group cos "
+                f"is {best:.3f}"
+            )

@@ -225,3 +225,27 @@ def test_bpe_apply_broadcasts_the_vocabulary(spark):
     plan = formatted_plan(all_queries()["llm_bpe_apply"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+# ---- llm_span_corruption: masking-geometry semantics ------------------------
+
+
+def test_span_corruption_geometry(spark):
+    """Each 20-token block corrupts at most one 3-token span, the span
+    offset is in [0, 17] (never straddles the block boundary), and the
+    corpus-wide corruption rate sits near the 15% design point. Value
+    equality vs the SQL twin is covered by oracle parity; this pins
+    the GEOMETRY the hash recipe is supposed to produce."""
+    from gdxpy_spark.registry import all_queries
+
+    rows = all_queries()["llm_span_corruption"].fn(spark, SF_DIR).collect()
+    assert rows
+    tot_t = sum(r["n_tokens"] for r in rows)
+    tot_c = sum(r["n_corrupted"] for r in rows)
+    for r in rows:
+        n_blocks = (r["n_tokens"] - 1) // 20 + 1
+        assert r["n_spans"] <= n_blocks, r
+        assert r["n_corrupted"] <= 3 * r["n_spans"], r
+        # full blocks always host a complete span: >= blocks-1 spans
+        assert r["n_spans"] >= (r["n_tokens"] // 20) - 1 >= -1
+    assert 0.10 <= tot_c / tot_t <= 0.20, tot_c / tot_t
