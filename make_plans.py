@@ -78,6 +78,22 @@ PICKS = [
      "triangle counting (r9): degree-ordered orientation (out-degree "
      "<= O(sqrt m)) then wedge + closing-edge probes as equi joins; "
      "the only nested-loop joins glue the three ONE-ROW count legs"),
+    ("tpch_q13_shape",
+     "Q13 (r10): LEFT OUTER order-count distribution with the fact "
+     "side PINNED to SortMergeJoin — no BroadcastHashJoin anywhere; "
+     "the per-customer aggregate reuses the join's custkey exchange"),
+    ("tpch_q21_shape",
+     "Q21 (r10): double-correlated EXISTS/NOT-EXISTS decorrelated to "
+     "two orderkey-sharing hash aggregates — no BroadcastNestedLoop, "
+     "no per-row probes; top-25 via TakeOrderedAndProject"),
+    ("tpch_q17_shape",
+     "Q17 (r10): correlated scalar-AVG as per-part stats joined back; "
+     "the 20%-of-average threshold is integer cross-multiplication "
+     "(5*q*n < sum), so no double sits near the boundary"),
+    ("llm_ann_ivf_served",
+     "served ANN (r10): the query plan reads the PERSISTED cell-"
+     "partitioned index (plain parquet scans — no KMeans stage); "
+     "16..n/256 centroids broadcast, candidates equi-join on cell"),
 ]
 
 DETAIL_KEYS = ("PushedFilters", "PartitionFilters", "ReadSchema",
