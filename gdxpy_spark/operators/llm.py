@@ -1342,25 +1342,29 @@ def llm_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_top1(e, lsh_candidate_pairs(bucketed, n_probe_bits=n_bits))
 
 
-def _ivf_k(n: int, target_cell: int = 256, lo: int = 16) -> int:
-    """Corpus-sized IVF cell count: k grows as n/target_cell so the
-    per-query exact-cosine candidate volume stays ~nprobe·target_cell =
-    O(1) per query — a FIXED k makes IVF candidates 2n²/k, i.e.
-    quadratic (measured: the k=16 serving path read 39× at the 10×
-    probe before this; with k ∝ n the same probe reads ~linear). Same
-    scaling law as _auto_n_bits for the LSH bucket space; `lo` keeps
-    test-scale corpora on the historical 16 cells so recall floors and
-    fixtures are unchanged below ~4k vectors."""
+def _ivf_k(n: int, lo: int = 16) -> int:
+    """Corpus-sized IVF cell count, k ≈ √n: the self-join/batch-query
+    workload costs n·k rows in the coarse search (every vector ranks
+    every centroid) plus nprobe·n·(n/k) exact cosines in the probed
+    cells — k = √n balances the two at O(n^1.5) total, the classic IVF
+    optimum. A FIXED k makes the candidate term 2n²/k (measured: the
+    k=16 serving path read 39× at the 10× probe); k ∝ n fixes that
+    term but re-creates the quadratic in the COARSE search (n·k =
+    n²/256 — r10 review catch). Same family of scaling law as
+    _auto_n_bits for the LSH bucket space; `lo` keeps tiny corpora on
+    the historical 16 cells. At true 100 TB the coarse search itself
+    gets an index over centroids (HNSW/k-means tree) — out of scope
+    for the batch shapes here, noted in the serving docstring."""
     import math
 
-    return max(lo, math.ceil(n / target_cell))
+    return max(lo, math.ceil(math.sqrt(n)))
 
 
 @register("llm_ann_ivf", oracle=None, category="K")  # weak: approximate by design
 def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbor: k-means (MLlib, fixed seed)
     partitions the vectors into corpus-sized coarse cells (_ivf_k:
-    k ≈ n/256, floor 16); each query probes its 2 nearest centroids
+    k ≈ √n, floor 16); each query probes its 2 nearest centroids
     (nprobe=2) and runs exact cosine against the vectors indexed in
     those cells, then top-1 per query.
 
@@ -1390,49 +1394,10 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell INT, center ARRAY<DOUBLE>",
     )
-    # nprobe=2: each query joins the 2 cells whose centroids are nearest
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("center"),
-            lambda v, c: (v.cast("double") - c) * (v.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    wq = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
-    probes = (
-        indexed.select("vec_id", "embedding", "norm")
-        .crossJoin(F.broadcast(centers))
-        .withColumn("d2", dist)
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 2)
-        .select("vec_id", "embedding", "norm", "cell")
-    )
-    q = probes.alias("q")
-    x = indexed.alias("x")
-    cand = q.join(
-        x,
-        (F.col("q.cell") == F.col("x.cell"))
-        & (F.col("q.vec_id") != F.col("x.vec_id")),
-    ).select(
-        F.col("q.vec_id").alias("vec_id"),
-        F.col("x.vec_id").alias("nn_id"),
-        (
-            _dot(F.col("q.embedding"), F.col("x.embedding"))
-            / (F.col("q.norm") * F.col("x.norm"))
-        ).alias("cos_sim"),
-    )
-    w = W.partitionBy("vec_id").orderBy(F.col("cos_sim").desc(), F.col("nn_id").asc())
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "vec_id",
-            "nn_id",
-            (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
-        )
-    )
+    # single probe/candidate/top-1 code path shared with the served op:
+    # test_ivf_served_equals_rebuild_variant pins the two EQUAL, and a
+    # divergent copy (tie-break, rounding) would break that silently
+    return _ivf_candidates_top1(indexed, centers)
 
 
 def _ivf_index_dir(sf_dir: str) -> str:
@@ -1449,10 +1414,11 @@ def _ivf_index_dir(sf_dir: str) -> str:
     fp = files_fingerprint([os.path.join(sf_dir, "embeddings.parquet")])
     parent = os.path.join(tempfile.gettempdir(), "gdxpy_spark_io")
     os.makedirs(parent, exist_ok=True)
-    # v2: corpus-sized k (_ivf_k) replaced the fixed k=16 quantizer —
-    # the spec is part of the layout, so the v-tag bumps with it
+    # v3: k = √n (v2 was k = n/256, whose coarse search re-created the
+    # quadratic; v1 was fixed k=16) — the spec is part of the layout,
+    # so the v-tag bumps with it
     return os.path.join(
-        parent, f"ivf_v2_{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
+        parent, f"ivf_v3_{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
     )
 
 
@@ -1462,7 +1428,7 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     and PERSIST the index as two parquet layouts under one
     atomically-published dir:
 
-      centers/  — the 16 coarse centroids (metadata-sized),
+      centers/  — the ~√n coarse centroids (k = _ivf_k(n)),
       cells/    — (vec_id, embedding, norm) PARTITIONED BY cell, so a
                   serving probe that touches nprobe of k cells prunes
                   the untouched partitions at scan level.
@@ -1517,8 +1483,9 @@ def _ivf_probe_cells(q: DataFrame, centers: DataFrame, nprobe: int = 2) -> DataF
     """Replicate each query row (vec_id, embedding, norm) to its
     ``nprobe`` nearest persisted centroids: the IVF probe fan-out shared
     by the serving path and SemDeDup's boundary-safe candidate
-    generation. Centroids broadcast (metadata-sized at any scale); the
-    per-vector rank is a window over nprobe·k rows, never the corpus."""
+    generation. The √n centroids broadcast (a few MB even at 10⁹
+    vectors); the per-vector rank is a window over its k centroid
+    distances, never the corpus."""
     dist = F.aggregate(
         F.zip_with(
             F.col("embedding"),
@@ -1538,37 +1505,17 @@ def _ivf_probe_cells(q: DataFrame, centers: DataFrame, nprobe: int = 2) -> DataF
     )
 
 
-@register("llm_ann_ivf_served", oracle=None, category="K")  # weak: approximate
-def llm_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN, SERVED from a persisted index (build-once/query-many —
-    the production RAG serving shape llm_ann_ivf doesn't exercise: that
-    op refits KMeans on every call, this one never fits at query time).
-    The index — coarse centroids + cell-partitioned vector assignments,
-    with norms precomputed at build — is materialized once per dataset
-    fingerprint by _ensure_ivf_index; the serving plan is pure
-    DataFrame ops over the persisted layouts: rank the 16 broadcast
-    centroids per query (nprobe=2), equi-join the probed cells against
-    the cell-partitioned index, exact cosine, top-1 per query.
-
-    Scale: the serving cost is nprobe/k of the corpus per query batch,
-    the index side scans only probed cell partitions (partition-level
-    pruning from the partitionBy(cell) layout), and the build cost
-    amortizes over every query until the data changes. Same spec as
-    llm_ann_ivf (k=_ivf_k(n), seed=42, nprobe=2), so served results are
-    pinned EQUAL to the rebuild-per-query op in tests/test_r10_ops.py,
-    recall floors ride the existing test_ann.py machinery, and the
-    no-refit contract is pinned by poisoning KMeans.fit after the
-    first build."""
-    import os
-
-    idx = _ensure_ivf_index(spark, sf_dir)
-    centers = spark.read.parquet(os.path.join(idx, "centers"))
-    cells = spark.read.parquet(os.path.join(idx, "cells"))
-
-    q = _with_norm(table(spark, sf_dir, "embeddings"))
-    probes = _ivf_probe_cells(q, centers, nprobe=2)
+def _ivf_candidates_top1(indexed: DataFrame, centers: DataFrame) -> DataFrame:
+    """The IVF query tail shared by llm_ann_ivf (freshly fitted index)
+    and llm_ann_ivf_served (persisted index): probe each vector's 2
+    nearest centroids, equi-join probed cells against the index side,
+    exact cosine, deterministic top-1 per query. `indexed` must carry
+    (vec_id, embedding, norm, cell)."""
+    probes = _ivf_probe_cells(
+        indexed.select("vec_id", "embedding", "norm"), centers, nprobe=2
+    )
     qa = probes.alias("q")
-    xa = cells.alias("x")
+    xa = indexed.alias("x")
     cand = qa.join(
         xa,
         (F.col("q.cell") == F.col("x.cell"))
@@ -1591,6 +1538,38 @@ def llm_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
         )
     )
+
+
+@register("llm_ann_ivf_served", oracle=None, category="K")  # weak: approximate
+def llm_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, SERVED from a persisted index (build-once/query-many —
+    the production RAG serving shape llm_ann_ivf doesn't exercise: that
+    op refits KMeans on every call, this one never fits at query time).
+    The index — coarse centroids + cell-partitioned vector assignments,
+    with norms precomputed at build — is materialized once per dataset
+    fingerprint by _ensure_ivf_index; the serving plan is pure
+    DataFrame ops over the persisted layouts: rank the ~√n broadcast
+    centroids per query (nprobe=2), equi-join the probed cells against
+    the cell-partitioned index, exact cosine, top-1 per query. (The
+    coarse rank is n·√n rows — at true serving scale the centroid set
+    itself gets an ANN index; for these batch shapes the √n balance is
+    the right envelope, see _ivf_k.)
+
+    Scale: the serving cost is nprobe/k of the corpus per query batch,
+    the index side scans only probed cell partitions (partition-level
+    pruning from the partitionBy(cell) layout), and the build cost
+    amortizes over every query until the data changes. Same spec as
+    llm_ann_ivf (k=_ivf_k(n), seed=42, nprobe=2), so served results are
+    pinned EQUAL to the rebuild-per-query op in tests/test_r10_ops.py,
+    recall floors ride the existing test_ann.py machinery, and the
+    no-refit contract is pinned by poisoning KMeans.fit after the
+    first build."""
+    import os
+
+    idx = _ensure_ivf_index(spark, sf_dir)
+    centers = spark.read.parquet(os.path.join(idx, "centers"))
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    return _ivf_candidates_top1(cells, centers)
 
 
 
@@ -1631,7 +1610,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # normalize direction THEN dedup: multiprobe candidates are
     # asymmetric (B may probe into A's cell without A probing into
     # B's), so a vec_id < nn_id filter would drop one-way pairs
-    # max_bucket is CELL-sized (8× the ~256-vector _ivf_k target), not
+    # max_bucket is CELL-sized (≥ the ~√n-vector _ivf_k cells), not
     # ANN's 64: representative chaining is the wrong degradation for a
     # τ-verified dedup — hub edges fail the τ filter on non-dup hubs
     # and sever the group (measured: 6/20 planted pairs lost through

@@ -28,10 +28,11 @@ def build_10x(spark) -> None:
 
     from gdxpy_spark.tables import table
 
-    # the guard keys on the LAST table this builder learned to write
-    # (r10 second wave added nation/region/part for the Q2/Q7/Q8/Q16
-    # probes) so a pre-r10 cached dir rebuilds
-    if os.path.exists(S10 + "/part.parquet"):
+    # versioned completion marker (replaces keying on the last-learned
+    # table, which couldn't invalidate a table whose CONTENT changed:
+    # r10's review found an unshifted part copy served from cache)
+    marker = S10 + "/_corpus_v3"
+    if os.path.exists(marker):
         return
     docs = table(spark, S1, "documents")
     big = None
@@ -84,10 +85,21 @@ def build_10x(spark) -> None:
         ).withColumn("o_custkey", F.col("o_custkey") + F.lit(i * 1_000_000))
         big_o = c if big_o is None else big_o.unionByName(c)
     big_o.repartition(16).write.mode("overwrite").parquet(S10 + "/orders.parquet")
-    for dim in ("supplier", "nation", "region", "part"):
+    for dim in ("supplier", "nation", "region"):
         table(spark, S1, dim).write.mode("overwrite").parquet(
             S10 + f"/{dim}.parquet"
         )
+    # part must shift IN STEP with lineitem.l_partkey (review catch: an
+    # unshifted copy left 90% of 10× lineitem rows referencing no part,
+    # so every part-joining probe measured ~1× post-join volume). At
+    # real TPC-H scale part grows with SF too, so a 10× part is honest.
+    pt = table(spark, S1, "part")
+    big_p = None
+    for i in range(10):
+        c = pt.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * 10_000_000))
+        big_p = c if big_p is None else big_p.unionByName(c)
+    big_p.repartition(4).write.mode("overwrite").parquet(S10 + "/part.parquet")
+    open(marker, "w").close()
 
 
 def main() -> None:
@@ -178,7 +190,7 @@ def main() -> None:
                  # r10 second wave
                  "tpch_q2_shape", "tpch_q7_shape", "tpch_q8_shape",
                  "tpch_q15_shape", "tpch_q16_shape", "tpch_q17_shape",
-                 "llm_span_corruption", "llm_semdedup"):
+                 "llm_span_corruption", "llm_semdedup", "llm_ann_ivf"):
         a = timed(lambda: queries[name].fn(spark, S1))
         b = timed(lambda: queries[name].fn(spark, S10))
         rows.append((name, a, b))

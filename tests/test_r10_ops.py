@@ -114,7 +114,7 @@ def test_q22_anti_join_and_scan_side_date_filter(spark):
 
 
 def test_ivf_served_equals_rebuild_variant(spark):
-    """Same spec (k=16, seed=42, nprobe=2) from a persisted index must
+    """Same spec (k=_ivf_k(n), seed=42, nprobe=2) from a persisted index must
     reproduce llm_ann_ivf's rebuild-per-query results exactly."""
     from gdxpy_spark.registry import all_queries
 
