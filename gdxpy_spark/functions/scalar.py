@@ -1121,3 +1121,80 @@ def fn_collate_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("min_raw_form").cast("string").alias("min_raw_form"),
         )
     )
+
+
+def _morton_spread_sql(v: str) -> str:
+    """SQL text for the classic 16→32-bit Morton bit-spread (insert a 0
+    between adjacent bits) — portable across Spark SQL and DuckDB
+    (both support <<, >>, &, | on BIGINT)."""
+    s1 = f"((({v}) | (({v}) << 8)) & 16711935)"          # 0x00FF00FF
+    s2 = f"((({s1}) | (({s1}) << 4)) & 252645135)"       # 0x0F0F0F0F
+    s3 = f"((({s2}) | (({s2}) << 2)) & 858993459)"       # 0x33333333
+    return f"((({s3}) | (({s3}) << 1)) & 1431655765)"    # 0x55555555
+
+
+def _morton_compact_sql(v: str) -> str:
+    """Inverse of _morton_spread_sql: drop the interleaved zero bits."""
+    c0 = f"(({v}) & 1431655765)"
+    c1 = f"((({c0}) | (({c0}) >> 1)) & 858993459)"
+    c2 = f"((({c1}) | (({c1}) >> 2)) & 252645135)"
+    c3 = f"((({c2}) | (({c2}) >> 4)) & 16711935)"
+    return f"((({c3}) | (({c3}) >> 8)) & 65535)"         # 0x0000FFFF
+
+
+def morton_z_sql(x: str, y: str) -> str:
+    """z = interleave(x, y), x in even bits, y in odd bits (x, y < 2^16)."""
+    return f"({_morton_spread_sql(x)} | ({_morton_spread_sql(y)} << 1))"
+
+
+_ZORDER_ORACLE = f"""
+WITH d AS (
+  SELECT event_id,
+         CAST(user_id & 65535 AS BIGINT) AS ux,
+         CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 60000000) & 65535 AS BIGINT)
+           AS tb
+  FROM events)
+SELECT event_id, ux, tb,
+       CAST({morton_z_sql('ux', 'tb')} AS BIGINT) AS z,
+       CAST({_morton_compact_sql(morton_z_sql('ux', 'tb'))} AS BIGINT) AS ux_back,
+       CAST({_morton_compact_sql('(' + morton_z_sql('ux', 'tb') + ') >> 1')}
+            AS BIGINT) AS tb_back
+FROM d
+"""
+
+
+@register("fn_zorder", oracle=_ZORDER_ORACLE, category="G")
+def fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) curve encode/decode — THE multi-dimensional
+    data-layout key at 100 TB: interleaving the bits of two dimension
+    buckets makes rows close in (user, time) close on the curve, so a
+    z-sorted parquet layout gives row-group min/max pruning on BOTH
+    dimensions at once (src_parquet_zorder demonstrates the layout;
+    this op pins the bit math). Classic magic-number spread/compact —
+    5 shift/mask stages each way, all literal shift counts, pure JVM
+    scan-fused codegen, zero shuffle. The round-trip columns (ux_back,
+    tb_back) prove the encode is bijective on every row; the oracle
+    runs the identical shift chain, and tests/test_r10_ops.py pins the
+    math against a pure-Python third source (the fn_ip_cidr lesson:
+    a differential twin cannot catch a constant copied wrong to both
+    sides)."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        F.expr("CAST(user_id & 65535 AS BIGINT)").alias("ux"),
+        F.expr(
+            "CAST((unix_micros(CAST(ts AS TIMESTAMP)) div 60000000) & 65535"
+            " AS BIGINT)"
+        ).alias("tb"),
+    )
+    z = morton_z_sql("ux", "tb")
+    return d.select(
+        "event_id",
+        "ux",
+        "tb",
+        F.expr(f"CAST({z} AS BIGINT)").alias("z"),
+        F.expr(f"CAST({_morton_compact_sql(z)} AS BIGINT)").alias("ux_back"),
+        F.expr(
+            f"CAST({_morton_compact_sql('(' + z + ') >> 1')} AS BIGINT)"
+        ).alias("tb_back"),
+    )

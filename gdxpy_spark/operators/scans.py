@@ -389,3 +389,117 @@ def src_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).csv(out)
     schema = "r_regionkey INT, r_name STRING"
     return spark.read.schema(schema).option("header", True).csv(out)
+
+
+_ZORDER_LAYOUT_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) + 0.0
+         AS sum_value
+FROM events
+WHERE user_id BETWEEN 100 AND 199
+  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-10 00:00:00'
+  AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '2024-01-12 00:00:00'
+"""
+
+
+@register("src_parquet_zorder", oracle=_ZORDER_LAYOUT_ORACLE, category="A")
+def src_parquet_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDERED parquet LAYOUT — the multi-dimensional clustering move
+    at 100 TB: events are written once range-partitioned AND sorted by
+    the Morton code of (user bucket, time bucket) (fn_zorder's bit
+    math), so every row group's min/max statistics are TIGHT on both
+    user_id and ts simultaneously — a 2-D predicate prunes row groups
+    on either dimension, where a single-column sort only prunes one.
+    Dimensions are min/max RANGE-NORMALIZED into equal 8-bit bucket
+    domains before interleaving (raw values with unequal bit widths
+    degenerate the curve to a one-dimension sort — production z-order
+    interleaves range-partition ids for the same reason).
+    The layout build is one-time and content-fingerprinted (the same
+    build-once discipline as the bucketed join tables and the IVF
+    index: atomic publish, _SUCCESS-gated); the registered query reads
+    the PERSISTED layout with a (user range × time range) predicate and
+    aggregates — its result is layout-invariant, so the oracle runs the
+    identical filter over the raw table. tests/test_r10_ops.py asserts
+    both predicates reach the layout scan as PushedFilters and that
+    the layout actually clusters (per-file user_id spans are narrow)."""
+    import uuid as _uuid
+
+    from gdxpy_spark.operators._util import atomic_publish, files_fingerprint
+
+    fp = files_fingerprint([os.path.join(sf_dir, "events.parquet")])
+    parent = os.path.join(tempfile.gettempdir(), "gdxpy_spark_io")
+    os.makedirs(parent, exist_ok=True)
+    out = os.path.join(
+        parent, f"zorder_v1_{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
+    )
+
+    def _complete(d: str) -> bool:
+        return os.path.exists(os.path.join(d, "_SUCCESS"))
+
+    if not _complete(out):
+        from gdxpy_spark.functions.scalar import morton_z_sql
+
+        ev0 = table(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "value",
+            F.expr(
+                "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 3600000000"
+                " AS BIGINT)"
+            ).alias("_hr"),
+        )
+        # RANGE-NORMALIZE each dimension into the full 8-bit bucket
+        # domain before interleaving (how production z-order works:
+        # Delta/Iceberg interleave range-partition ids, not raw values
+        # — raw low-cardinality values leave the high interleaved bits
+        # constant and the curve degenerates to a single-dimension
+        # sort). The min/max scan is one metadata-sized row.
+        b = ev0.agg(
+            F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+            F.min("_hr").alias("tlo"), F.max("_hr").alias("thi"),
+        ).collect()[0]
+        uspan = max(int(b["uhi"]) - int(b["ulo"]), 1)
+        tspan = max(int(b["thi"]) - int(b["tlo"]), 1)
+        ev = ev0.select(
+            "event_id", "user_id", "ts", "value",
+            F.expr(
+                f"CAST(((user_id - {int(b['ulo'])}) * 255) div {uspan}"
+                " AS BIGINT)"
+            ).alias("_ux"),
+            F.expr(
+                f"CAST(((_hr - {int(b['tlo'])}) * 255) div {tspan} AS BIGINT)"
+            ).alias("_tb"),
+        )
+        z = ev.withColumn(
+            "_z", F.expr(f"CAST({morton_z_sql('_ux', '_tb')} AS BIGINT)")
+        )
+        build = f"{out}.build_{_uuid.uuid4().hex[:8]}"
+        (
+            z.repartitionByRange(8, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_ux", "_tb", "_z")
+            .write.mode("overwrite")
+            .parquet(build)
+        )
+        atomic_publish(build, out, is_complete=_complete)
+
+    lay = spark.read.parquet(out)
+    return (
+        lay.filter(
+            F.col("user_id").between(100, 199)
+            & (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp_ntz"))
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            (
+                F.round(
+                    F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+                )
+                + F.lit(0.0)
+            ).alias("sum_value"),
+        )
+    )

@@ -118,6 +118,8 @@ _ARTIFACT_PRIORITY = [
     "tpch_q2_shape", "tpch_q7_shape", "tpch_q8_shape", "tpch_q15_shape",
     "tpch_q16_shape", "tpch_q17_shape", "llm_span_corruption",
     "llm_semdedup",
+    # (2c) r10 third wave:
+    "fn_zorder", "src_parquet_zorder", "ts_holt_winters",
     # (3) implementation changed in r10:
     "llm_warc_parse",
     # (4) r9 window (recorded green r09):

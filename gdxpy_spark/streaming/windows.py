@@ -1169,3 +1169,91 @@ def ts_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "total_vol", "vwap",
         )
     )
+
+
+_HOLT_ORACLE = """
+WITH ev AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(value AS DOUBLE) AS x
+  FROM events),
+seq AS (
+  SELECT user_id,
+         list([x, 0.0::DOUBLE] ORDER BY ts, event_id) AS xs
+  FROM ev GROUP BY user_id),
+folded AS (
+  SELECT user_id, CAST(len(xs) AS BIGINT) AS n_events,
+         -- acc is a 2-array [level, trend]: DuckDB's list_reduce
+         -- mutates a STRUCT accumulator field-by-field (the trend
+         -- expression would see the already-updated level — verified
+         -- empirically), while array construction evaluates both
+         -- elements against the OLD accumulator
+         list_reduce(xs, (acc, e) ->
+           [0.5 * e[1] + 0.5 * (acc[1] + acc[2]),
+            0.25 * ((0.5 * e[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+              + 0.75 * acc[2]]) AS st
+  FROM seq)
+SELECT user_id, n_events,
+       ROUND(st[1], 6) + 0.0 AS level,
+       ROUND(st[2], 6) + 0.0 AS trend,
+       ROUND(st[1] + st[2], 6) + 0.0 AS forecast_1
+FROM folded
+"""
+
+
+@register("ts_holt_winters", oracle=_HOLT_ORACLE, category="I")
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT double exponential smoothing per key (level + trend — the
+    next rung above ts_ewma's single smoother; the trend term is what
+    turns a decay baseline into a one-step FORECAST): level_t =
+    α·x_t + (1-α)(level+trend), trend_t = β(level_t−level) + (1-β)trend,
+    α=0.5, β=0.25 — both exact binary fractions, folded in (ts,
+    event_id) order, so every intermediate double is bit-identical to
+    the oracle's identical-shape DuckDB list_reduce (the ts_ewma
+    recipe, extended from a scalar accumulator to 2-value state;
+    DuckDB 1.0's list_reduce has no init argument, so elements are
+    pre-lifted to [x, 0] pairs and the first element IS the init —
+    trend starts at 0 by declared contract. The oracle's accumulator
+    is an ARRAY, not a struct: DuckDB mutates a struct accumulator
+    field-by-field mid-lambda, which silently changes the recurrence —
+    caught by the differential and verified with prefix folds). Seasonal
+    (triple) smoothing is the same fold with a per-period state array.
+
+    Scale: identical envelope to ts_ewma — one user_id shuffle, state
+    per key is two doubles, in-array struct sort, codegen'd fold; a
+    key whose history outgrows a task moves to the incremental
+    streaming form with the (level, trend) carry in the state store."""
+    ev = table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", F.col("value").alias("x")))
+        ).alias("s")
+    )
+    xs = seq.select(
+        "user_id", F.transform("s", lambda e: e.x).alias("xs")
+    )
+
+    def step(acc, e):
+        lvl = 0.5 * e + 0.5 * (acc.l + acc.t)
+        return F.struct(
+            lvl.alias("l"),
+            (0.25 * (lvl - acc.l) + 0.75 * acc.t).alias("t"),
+        )
+
+    folded = xs.select(
+        "user_id",
+        F.size("xs").cast("bigint").alias("n_events"),
+        F.aggregate(
+            F.slice("xs", 2, F.size("xs") - 1),
+            F.struct(
+                F.element_at("xs", 1).alias("l"), F.lit(0.0).alias("t")
+            ),
+            step,
+        ).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        (F.round(F.col("st.l"), 6) + F.lit(0.0)).alias("level"),
+        (F.round(F.col("st.t"), 6) + F.lit(0.0)).alias("trend"),
+        (F.round(F.col("st.l") + F.col("st.t"), 6) + F.lit(0.0)).alias("forecast_1"),
+    )

@@ -190,7 +190,9 @@ def main() -> None:
                  # r10 second wave
                  "tpch_q2_shape", "tpch_q7_shape", "tpch_q8_shape",
                  "tpch_q15_shape", "tpch_q16_shape", "tpch_q17_shape",
-                 "llm_span_corruption", "llm_semdedup", "llm_ann_ivf"):
+                 "llm_span_corruption", "llm_semdedup", "llm_ann_ivf",
+                 # r10 third wave
+                 "fn_zorder", "src_parquet_zorder", "ts_holt_winters"):
         a = timed(lambda: queries[name].fn(spark, S1))
         b = timed(lambda: queries[name].fn(spark, S10))
         rows.append((name, a, b))

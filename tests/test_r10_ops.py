@@ -249,3 +249,95 @@ def test_span_corruption_geometry(spark):
         # full blocks always host a complete span: >= blocks-1 spans
         assert r["n_spans"] >= (r["n_tokens"] // 20) - 1 >= -1
     assert 0.10 <= tot_c / tot_t <= 0.20, tot_c / tot_t
+
+
+# ---- wave 3: z-order layout + Holt smoother ---------------------------------
+
+
+def test_zorder_bit_math_against_python_reference(spark):
+    """The morton spread/compact constants are pinned against a pure-
+    Python third source (the fn_ip_cidr lesson: the SQL oracle twin
+    shares the constants and cannot catch one copied wrong)."""
+    from gdxpy_spark.registry import all_queries
+
+    def spread(v):
+        v &= 0xFFFF
+        v = (v | v << 8) & 0x00FF00FF
+        v = (v | v << 4) & 0x0F0F0F0F
+        v = (v | v << 2) & 0x33333333
+        v = (v | v << 1) & 0x55555555
+        return v
+
+    rows = all_queries()["fn_zorder"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["z"] == (spread(r["ux"]) | spread(r["tb"]) << 1), r
+        assert (r["ux_back"], r["tb_back"]) == (r["ux"], r["tb"]), r
+
+
+def test_zorder_layout_clusters_both_dimensions(spark):
+    """The persisted z-ordered layout must actually CLUSTER: each file's
+    user_id span should cover a fraction of the domain (a time-only
+    sort would give every file the full user range, killing user-side
+    row-group pruning). Also both 2-D predicates must reach the scan."""
+    import glob
+    import os
+    import tempfile
+
+    from gdxpy_spark.registry import all_queries
+
+    all_queries()["src_parquet_zorder"].fn(spark, SF_DIR)  # ensure built
+    base = os.path.join(tempfile.gettempdir(), "gdxpy_spark_io")
+    dirs = sorted(glob.glob(os.path.join(base, "zorder_v1_sf0.001_*")))
+    assert dirs, "persisted z-order layout missing"
+    import pyarrow.parquet as pq
+
+    spans = []
+    lo_all, hi_all = None, None
+    for f in glob.glob(os.path.join(dirs[-1], "*.parquet")):
+        t = pq.read_table(f, columns=["user_id"])
+        u = t.column("user_id").to_pylist()
+        if not u:
+            continue
+        spans.append(max(u) - min(u))
+        lo_all = min(lo_all, *u) if lo_all is not None else min(u)
+        hi_all = max(hi_all, *u) if hi_all is not None else max(u)
+    assert len(spans) >= 4
+    domain = hi_all - lo_all
+    # at least half the files must span < 80% of the user domain —
+    # a non-clustering layout gives ~every file the full domain
+    narrow = sum(1 for s in spans if s < 0.8 * domain)
+    assert narrow >= len(spans) / 2, (spans, domain)
+
+
+def test_holt_fold_matches_hand_recurrence(spark):
+    """Pin the Holt recurrence itself (level/trend/forecast) against a
+    pure-Python fold over one user's ordered values — a third source
+    independent of the SQL twin's expression shape."""
+    from gdxpy_spark.registry import all_queries
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    got = {
+        r["user_id"]: (r["n_events"], r["level"], r["trend"], r["forecast_1"])
+        for r in all_queries()["ts_holt_winters"].fn(spark, SF_DIR).collect()
+    }
+    rows = sorted(
+        ((r["user_id"], r["ts"], r["event_id"], float(r["value"]))
+         for r in ev.collect()),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP)) + 0.0
+
+    series: dict[int, list[float]] = {}
+    for uid, _ts, _eid, x in rows:
+        series.setdefault(uid, []).append(x)
+    for uid, xs in series.items():
+        l, t = xs[0], 0.0
+        for x in xs[1:]:
+            nl = 0.5 * x + 0.5 * (l + t)
+            t = 0.25 * (nl - l) + 0.75 * t
+            l = nl
+        assert got[uid] == (len(xs), r6(l), r6(t), r6(l + t)), uid
