@@ -1070,3 +1070,90 @@ def join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist2.cast("bigint").alias("dist2"),
         )
     )
+
+
+_INTERVAL_OVERLAP_ORACLE = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS BIGINT) AS s,
+         CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+              + 3600 + (event_id % 36000) AS BIGINT) AS e
+  FROM events)
+SELECT a.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+       CAST(SUM(LEAST(a.e, b.e) - GREATEST(a.s, b.s)) AS BIGINT)
+         AS sum_overlap_s
+FROM iv a JOIN iv b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND a.s < b.e AND b.s < a.e
+GROUP BY a.user_id
+"""
+
+
+@register("join_interval_overlap", oracle=_INTERVAL_OVERLAP_ORACLE, category="C")
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP self-join — the temporal-join classic (session
+    concurrency, meeting conflicts, resource double-booking): find all
+    same-key interval pairs that overlap (a.s < b.e ∧ b.s < a.e).
+    Intervals derive deterministically from events (start = ts, length
+    1h + event_id-dependent, ≤ 11h).
+
+    Plan shape: a naive inequality self-join is a per-key cross
+    product. Instead each interval EXPLODES into the 12-hour time
+    buckets its span covers (bucket width ≥ max duration ⇒ ≤ 2 buckets
+    per interval), the join is a hash EQUI join on (user_id, bucket)
+    with the exact overlap test as residual, and each qualifying pair
+    is emitted EXACTLY ONCE — not deduplicated but filtered to the
+    canonical bucket containing GREATEST(a.s, b.s) (the later start
+    lies inside both spans whenever the pair overlaps, so that bucket
+    is in both replica sets and no distinct is needed — the same
+    no-dedup trick as join_range_bucketed). Overlap math in exact
+    integer seconds. At 100 TB candidate volume is Σ per-(key, bucket)
+    concurrency², not per-key n² — bounded by true temporal density,
+    and the bucket width tracks the duration bound. tests pin the plan
+    (no BroadcastNestedLoop/CartesianProduct) and the no-dup invariant."""
+    ev = table(spark, sf_dir, "events")
+    W = 43200  # 12 h ≥ max interval length (3600 + 36000 − 1)
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "CAST(unix_micros(CAST(ts AS TIMESTAMP)) div 1000000 AS BIGINT)"
+        ).alias("s"),
+    ).withColumn("e", F.col("s") + 3600 + F.col("event_id") % 36000)
+    spans = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.expr(f"s div {W}"), F.expr(f"(e - 1) div {W}")
+            )
+        ).alias("bkt"),
+    )
+    a = spans.alias("a")
+    b = spans.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .filter(
+            (F.col("a.s") < F.col("b.e"))
+            & (F.col("b.s") < F.col("a.e"))
+            # canonical-bucket emission: exactly one replica pair fires
+            # (integer div — a double division truncate can flip at the
+            # boundary when the quotient lands within an ulp of an int)
+            & (F.expr(f"greatest(a.s, b.s) div {W}") == F.col("a.bkt"))
+        )
+    )
+    return pairs.groupBy(F.col("a.user_id").alias("user_id")).agg(
+        F.count("*").alias("n_overlaps"),
+        F.sum(
+            F.least(F.col("a.e"), F.col("b.e"))
+            - F.greatest(F.col("a.s"), F.col("b.s"))
+        ).alias("sum_overlap_s"),
+    )

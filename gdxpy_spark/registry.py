@@ -120,6 +120,7 @@ _ARTIFACT_PRIORITY = [
     "llm_semdedup",
     # (2c) r10 third wave:
     "fn_zorder", "src_parquet_zorder", "ts_holt_winters",
+    "join_interval_overlap",
     # (3) implementation changed in r10:
     "llm_warc_parse",
     # (4) r9 window (recorded green r09):

@@ -93,7 +93,12 @@ PICKS = [
     ("llm_ann_ivf_served",
      "served ANN (r10): the query plan reads the PERSISTED cell-"
      "partitioned index (plain parquet scans — no KMeans stage); "
-     "16..n/256 centroids broadcast, candidates equi-join on cell"),
+     "~sqrt(n) centroids broadcast, candidates equi-join on cell"),
+    ("src_parquet_zorder",
+     "z-ordered layout (r10): both halves of the 2-D predicate reach "
+     "the persisted layout scan as PushedFilters — user AND time prune "
+     "row groups simultaneously because the file sort key interleaves "
+     "range-normalized buckets of both dimensions"),
 ]
 
 DETAIL_KEYS = ("PushedFilters", "PartitionFilters", "ReadSchema",

@@ -192,7 +192,8 @@ def main() -> None:
                  "tpch_q15_shape", "tpch_q16_shape", "tpch_q17_shape",
                  "llm_span_corruption", "llm_semdedup", "llm_ann_ivf",
                  # r10 third wave
-                 "fn_zorder", "src_parquet_zorder", "ts_holt_winters"):
+                 "fn_zorder", "src_parquet_zorder", "ts_holt_winters",
+                 "join_interval_overlap"):
         a = timed(lambda: queries[name].fn(spark, S1))
         b = timed(lambda: queries[name].fn(spark, S10))
         rows.append((name, a, b))

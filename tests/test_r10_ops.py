@@ -341,3 +341,15 @@ def test_holt_fold_matches_hand_recurrence(spark):
             t = 0.25 * (nl - l) + 0.75 * t
             l = nl
         assert got[uid] == (len(xs), r6(l), r6(t), r6(l + t)), uid
+
+
+def test_interval_overlap_is_equi_join_with_no_dedup(spark):
+    """The overlap join must be a hash EQUI join on (key, bucket) — no
+    BroadcastNestedLoop, no CartesianProduct — and no Deduplicate node:
+    the canonical-bucket filter emits each pair exactly once by
+    construction (value equality vs the inequality-join oracle is the
+    no-duplicate proof; this pins the plan)."""
+    plan = _plan(spark, "join_interval_overlap")
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Deduplicate" not in plan and "distinct" not in plan.lower(), plan
