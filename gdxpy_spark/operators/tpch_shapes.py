@@ -1020,3 +1020,260 @@ def tpch_q17_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# --- derived partsupp (unblocks Q9 / Q11 / Q20) ------------------------------
+#
+# The driver schema has no partsupp table. The relation is derived the
+# same way Q2's offers table is: the DISTINCT (partkey, suppkey) pairs
+# observed in lineitem ARE the part/supplier catalog, and the two
+# partsupp measures are deterministic integer functions of the key —
+# identical on both engines, no RNG stream, no float:
+#
+#   ps_supplycost_c = (partkey*37 + suppkey*61) % 90000 + 10000   [cents]
+#   ps_availqty     = (partkey*53 + suppkey*29) % 9999  + 1
+#
+# Keys are BIGINT and non-negative, so `%` agrees between Spark and
+# DuckDB. At 100 TB the pair-dedup is one (partkey, suppkey) shuffle
+# with map-side partial dedup; everything downstream reuses that key.
+
+_PARTSUPP_SQL = """
+  SELECT ps_partkey, ps_suppkey,
+         (ps_partkey * 37 + ps_suppkey * 61) % 90000 + 10000 AS cost_c,
+         (ps_partkey * 53 + ps_suppkey * 29) % 9999 + 1 AS ps_availqty
+  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem)
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).distinct()
+    return pairs.select(
+        "ps_partkey",
+        "ps_suppkey",
+        ((F.col("ps_partkey") * 37 + F.col("ps_suppkey") * 61) % 90000 + 10000).alias(
+            "cost_c"
+        ),
+        ((F.col("ps_partkey") * 53 + F.col("ps_suppkey") * 29) % 9999 + 1).alias(
+            "ps_availqty"
+        ),
+    )
+
+
+_Q9_ORACLE = f"""
+WITH psx AS ({_PARTSUPP_SQL})
+SELECT nation, o_year,
+       ROUND(CAST(CASE WHEN s_m >= 0 THEN (s_m + 5) // 10
+                       ELSE -((-s_m + 5) // 10) END AS DOUBLE) / 100.0, 2)
+         + 0.0 AS sum_profit,
+       n_lines
+FROM (
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 1000)
+                     AS BIGINT)
+                - cost_c * CAST(ROUND(l_quantity * 10) AS BIGINT))
+            AS BIGINT) AS s_m,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN psx ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+) ORDER BY 1 ASC, 2 DESC
+"""
+
+
+@register("tpch_q9_shape", oracle=_Q9_ORACLE, category="Q")
+def tpch_q9_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 (product-type profit): the six-table profit rollup —
+    revenue minus supply cost per (nation, year) for one part family.
+    Profit accumulates in exact integer MILLI-units (revenue rounded
+    to thousandths; cost_c cents × quantity tenths = thousandths), so
+    the negative-capable sum never touches doubles until the final
+    presentation ROUND. Plan: the p_name filter broadcasts part onto
+    the fact scan FIRST (the only selective predicate), the derived
+    partsupp joins on its native (partkey, suppkey) key, supplier and
+    nation broadcast, and orders — fact-sized — shuffles on orderkey.
+    No BNLJ anywhere (plan-asserted); at 100 TB the only big
+    exchanges are the pair-dedup and the orderkey join."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    sup = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    od = table(spark, sf_dir, "orders")
+    ps = _partsupp(spark, sf_dir)
+    rev_m = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000).cast(
+        "bigint"
+    )
+    qty10 = F.round(F.col("l_quantity") * 10).cast("bigint")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            (rev_m - F.col("cost_c") * qty10).alias("profit_m"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.sum("profit_m").alias("s_m"),
+            F.count("*").alias("n_lines"),
+        )
+        # milli → cents by exact integer HALF-UP (div truncates toward
+        # zero on both engines): a raw double /1000 lands profit sums
+        # ending in 5 milli exactly on a .xx5 tie, where Spark
+        # (BigDecimal of the shortest repr) and DuckDB (raw-double
+        # nearbyint) disagree — found by the sf0.01 differential.
+        .select(
+            "nation",
+            "o_year",
+            (
+                F.round(
+                    F.expr(
+                        "CASE WHEN s_m >= 0 THEN (s_m + 5) div 10 "
+                        "ELSE -((-s_m + 5) div 10) END"
+                    ).cast("double")
+                    / 100.0,
+                    2,
+                )
+                + F.lit(0.0)
+            ).alias("sum_profit"),
+            "n_lines",
+        )
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+_Q11_ORACLE = f"""
+WITH psx AS ({_PARTSUPP_SQL}),
+grp AS (
+  SELECT ps_partkey,
+         CAST(SUM(cost_c * ps_availqty) AS BIGINT) AS value_c
+  FROM psx
+  JOIN supplier ON s_suppkey = ps_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY ps_partkey),
+tot AS (SELECT CAST(SUM(value_c) AS BIGINT) AS total_c FROM grp)
+SELECT ps_partkey,
+       ROUND(CAST(value_c AS DOUBLE) / 100.0, 2) + 0.0 AS value
+FROM grp CROSS JOIN tot
+WHERE value_c * 1000 > total_c
+ORDER BY value_c DESC, ps_partkey ASC
+"""
+
+
+@register("tpch_q11_shape", oracle=_Q11_ORACLE, category="Q")
+def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 (important stock identification): per-part inventory value
+    for one nation, kept where the part's value exceeds 0.1% of the
+    nation total. The HAVING-with-global-scalar decorrelates WITHOUT a
+    second partsupp scan: the nation total is the sum OVER THE PER-PART
+    GROUPS (tot reuses grp), broadcast-crossed back as one row — the
+    naive plan re-scans and re-joins partsupp for the subquery,
+    doubling the biggest shuffle at 100 TB. Threshold compares in
+    cross-multiplied integer cents (value_c·1000 > total_c), never a
+    double fraction. Supplier and nation broadcast onto the pair
+    table; one partkey shuffle total."""
+    sup = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    ps = _partsupp(spark, sf_dir)
+    grp = (
+        ps.join(F.broadcast(sup), ps.ps_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("ps_partkey")
+        .agg(F.sum(F.col("cost_c") * F.col("ps_availqty")).alias("value_c"))
+    )
+    tot = grp.agg(F.sum("value_c").alias("total_c"))
+    return (
+        grp.join(F.broadcast(tot))
+        .filter(F.col("value_c") * 1000 > F.col("total_c"))
+        .select(
+            "ps_partkey",
+            (F.round(F.col("value_c").cast("double") / 100.0, 2) + F.lit(0.0)).alias(
+                "value"
+            ),
+        )
+        .orderBy(F.col("value").desc(), F.col("ps_partkey").asc())
+    )
+
+
+_Q20_ORACLE = f"""
+WITH psx AS ({_PARTSUPP_SQL}),
+shipped AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(ROUND(l_quantity * 10) AS BIGINT)) AS BIGINT) AS sum_q10
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey),
+cand AS (
+  SELECT DISTINCT ps_suppkey
+  FROM psx
+  JOIN part ON p_partkey = ps_partkey
+  JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  WHERE p_name LIKE 'small%' AND ps_availqty * 20 > sum_q10)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+JOIN cand ON ps_suppkey = s_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_3'
+ORDER BY s_name ASC, s_suppkey ASC
+"""
+
+
+@register("tpch_q20_shape", oracle=_Q20_ORACLE, category="Q")
+def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 (potential part promotion): suppliers in one nation holding
+    excess stock (availqty > half the year's shipped quantity) of one
+    part family. The correlated scalar-SUM subquery decorrelates to a
+    per-(partkey, suppkey) aggregate inner-joined back — inner, not
+    left, because TPC-H's `qty > 0.5*(SELECT SUM ...)` is NULL-false
+    when no lineitem matched, exactly the rows an inner join drops.
+    Threshold cross-multiplies to integers (availqty·20 > Σq in
+    tenths). The part-family filter broadcasts; the shipped aggregate
+    and the pair table share the (partkey, suppkey) shuffle key; the
+    final nation probe is dimension-sized. Output: the supplier list
+    with a total (s_name, s_suppkey) order."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    part = table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    ps = _partsupp(spark, sf_dir)
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.round(F.col("l_quantity") * 10).cast("bigint")).alias("sum_q10")
+    )
+    cand = (
+        ps.join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(F.col("ps_availqty") * 20 > F.col("sum_q10"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(cand, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy(F.col("s_name").asc(), F.col("s_suppkey").asc())
+    )

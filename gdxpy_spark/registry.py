@@ -96,97 +96,283 @@ def load_all() -> None:
 
 
 # Driver artifacts (CORRECTNESS_r*.json) cap at ~50 entries, truncating in
-# queries() iteration order. Round 10 front-loads, in this order:
-# (1) the THREE weak IDs with ZERO driver-artifact rows after nine
-#     rounds (r9 verdict "What's wrong" #1): they sat at the back
-#     because a window slot on them records no hash row — the right
-#     call while oracles were red, the wrong one now that everything
-#     else is green. The ledger should show rows-only evidence for
-#     every registered ID at least once;
-# (2) the new r10 queries — no artifact row exists anywhere yet;
-# (3) r10 behavior-touched ID: llm_warc_parse (head-corruption resync —
-#     a container with leading garbage now degrades like mid-container
-#     corruption instead of silently dropping every record);
-# (4) the r9 window follows (recorded green r09), then older history.
+# queries() iteration order. From r11 on, the window rotates by
+# INDEPENDENT-EVIDENCE AGE (r10 verdict "What's wrong" #4): SELFCHECK
+# re-verifies all ~265 registered queries every round, but it is
+# builder-run — the driver's CORRECTNESS ledger is the independent
+# record, and with a 50-ID window an early-verified ID can go many
+# rounds without fresh driver evidence. Order: (1) queries NEW this
+# round (no ledger row exists anywhere), (2) queries whose
+# implementation changed this round, (3) everything else ascending by
+# the round the cumulative r1..r10 ledger last verified it (oldest
+# first — the r01 relational spine has waited longest), name-sorted
+# within a round. Regenerate next round by bumping the ledger glob.
 _ARTIFACT_PRIORITY = [
-    # (1) never-windowed weak IDs — close the ledger at 250/250:
-    "llm_bpe_train", "agg_approx_topk", "agg_hll_rollup",
-    # (2) new in r10:
-    "tpch_q4_shape", "tpch_q13_shape", "tpch_q21_shape", "tpch_q22_shape",
-    "llm_ann_ivf_served", "llm_bpe_apply",
-    # (2b) r10 second wave:
-    "tpch_q2_shape", "tpch_q7_shape", "tpch_q8_shape", "tpch_q15_shape",
-    "tpch_q16_shape", "tpch_q17_shape", "llm_span_corruption",
-    "llm_semdedup",
-    # (2c) r10 third wave:
-    "fn_zorder", "src_parquet_zorder", "ts_holt_winters",
-    "join_interval_overlap",
-    # (3) implementation changed in r10:
-    "llm_warc_parse",
-    # (4) r9 window (recorded green r09):
-    "llm_zipf_slope", "win_pareto_concentration", "win_time_range_frame",
-    "mm_shard_pack", "stream_foreach_batch", "llm_corpus_card",
-    "tpch_q1_shape", "tpch_q6_shape", "tpch_q12_shape", "tpch_q14_shape",
-    "tpch_q19_shape", "join_geo_radius", "graph_triangles", "ts_ewma",
-    "llm_boilerplate_ngrams", "llm_vocab_coverage", "llm_mlm_mask",
-    "mm_exact_dedup", "fn_ip_cidr", "graph_degree_topk", "llm_bm25_score",
-    "llm_gopher_rep_stats", "ts_autocorr", "sql_pipe_query",
-    "fn_collate_group", "udtf_table_arg", "ts_vwap_hourly",
-    "llm_length_blocking",
-    # r8 window (recorded green r08):
-    "ts_seasonal_profile", "set_reconcile_report",
-    "proj_profile_stats", "udf_arrow_scalar", "fn_geo_haversine",
-    "fn_format_strings", "fn_base64_binary", "agg_bitmask_sets",
-    "agg_string_concat", "fn_regex_extract_all",
-    "agg_histogram",
-    "stream_outer_join", "llm_graph_pagerank", "llm_perplexity_proxy",
-    "llm_dedup_keep_best", "llm_hash_sample", "llm_docfreq_prune",
-    "agg_entropy", "src_binary_files", "fn_levenshtein",
-    "ts_calendar_join", "agg_corr_pairs", "fn_char_jaccard",
-    "join_asof_nearest", "ts_time_bucket", "llm_heavy_hitters",
-    "win_ratio_to_report", "proj_struct_pack",
-    "mm_patch_grid", "llm_dataset_mixture",
-    "src_parquet_zstd", "src_csv_gzip",
-    "llm_token_budget", "sort_multi_nulls", "win_ntile_pct",
-    "gdx_uel_dictionary", "llm_train_split", "llm_sample_stratified",
-    "join_bucketed_colocated",
-    # r7 window follows (recorded green r07; keeps the window full):
-    "src_csv_roundtrip", "src_json_roundtrip", "src_orc_roundtrip",
-    "src_gdx_read", "src_gdx_gams_read", "src_gdx_write",
-    "src_gdx_catalog",
-    "fn_try_arith",
-    "llm_pii_text", "fn_url_parse", "llm_chunk_overlap",
-    "ts_interpolate", "ts_zscore_anomaly", "llm_url_normalize",
-    "win_streaks", "llm_html_strip", "src_parquet_merge_schema",
-    "llm_winnowing",
-    "fn_variant_json", "join_scd2_asof", "agg_mode_tiebreak",
-    "mm_audio_window", "src_csv_malformed", "fn_xml_extract",
-    "set_union_by_name", "fn_hash_digests", "agg_bool_logic",
-    "join_lateral_topn", "agg_weighted_avg", "join_null_safe",
-    "agg_skew_kurtosis", "tpch_q18_shape", "win_distinct_rolling",
-    "llm_incremental_dedup", "llm_embed_centroid",
-    "agg_regression_ols", "win_median_rolling",
-    "src_parquet_nested_prune", "ts_fill_forward",
-    "join_range_bucketed",
-    "join_asof_tolerance",
-    "join_dynamic_partition_prune",
-    # r6 window follows (already recorded r06):
-    "fn_string_basic", "fn_string_regex", "fn_date_parts", "fn_date_arith",
-    "fn_timestamp_unix", "fn_math", "fn_conditional", "fn_cast",
-    "fn_special_values", "fn_array_basic", "fn_array_explode",
-    "fn_array_lambda", "fn_json_extract", "fn_pivot", "fn_unpivot",
-    "fn_map_ops", "udf_python_scalar", "udf_pandas_scalar",
-    "udf_grouped_map", "udf_grouped_agg", "udtf_split_words",
-    "set_except", "set_except_all", "set_intersect_all",
-    "agg_salted_sum", "win_ntile_pct_sketch", "win_sessionize",
-    "stream_tumbling", "stream_sliding", "stream_session",
-    "stream_watermark_late", "stream_dedup", "stream_stateful_running",
-    "llm_decontaminate",
-    "llm_substring_dedup", "llm_repetition_filter", "llm_pii_redact",
-    "join_skew_salted", "stream_stream_join", "llm_temperature_sample",
-    "llm_e2e_pipeline", "win_funnel_stages", "agg_cohort_retention",
-    "ts_gap_fill", "ts_ohlc_hourly", "fn_bitwise",
-    "src_stream_events", "llm_dedup_clusters",
+    "tpch_q9_shape",  # new r11
+    "tpch_q11_shape",  # new r11
+    "tpch_q20_shape",  # new r11
+    "llm_bpe_train",  # r10
+    "llm_minhash_dedup",  # r05
+    "agg_approx_distinct",  # r01
+    "agg_approx_percentile",  # r01
+    "agg_collect_sorted",  # r01
+    "agg_count_distinct",  # r01
+    "agg_cube",  # r01
+    "agg_groupby_basic",  # r01
+    "agg_grouping_sets",  # r01
+    "agg_having",  # r01
+    "agg_minmax_by",  # r01
+    "agg_multi_distinct",  # r01
+    "agg_percentile",  # r01
+    "agg_rollup",  # r01
+    "agg_stats",  # r01
+    "filt_comparison",  # r01
+    "filt_correlated_subquery",  # r01
+    "filt_distinct_rows",  # r01
+    "filt_in_like",  # r01
+    "filt_null_semantics",  # r01
+    "join_asof",  # r01
+    "join_broadcast",  # r01
+    "join_cross",  # r01
+    "join_full_outer",  # r01
+    "join_inner_equi",  # r01
+    "join_left_anti",  # r01
+    "join_left_outer",  # r01
+    "join_left_semi",  # r01
+    "join_multi_key",  # r01
+    "join_range_interval",  # r01
+    "join_right_outer",  # r01
+    "join_theta",  # r01
+    "proj_computed_expr",  # r01
+    "proj_select_rename",  # r01
+    "set_intersect",  # r01
+    "set_union_all",  # r01
+    "set_union_distinct",  # r01
+    "sort_limit_topk",  # r01
+    "win_first_last",  # r01
+    "win_lag_lead",  # r01
+    "win_moving_avg",  # r01
+    "win_range_frame",  # r01
+    "win_rank_dense",  # r01
+    "win_row_number_topk",  # r01
+    "win_running_sum",  # r01
+    "gdx_densify",  # r05
+    "gdx_domain_check",  # r05
+    "gdx_scenario_concat",  # r05
+    "gdx_scenario_diff",  # r05
+    "gdx_squeeze",  # r05
+    "gdx_symbol_wide",  # r05
+    "llm_ann_ivf",  # r05
+    "llm_ann_lsh",  # r05
+    "llm_ann_lsh_multiprobe",  # r05
+    "llm_bigram_score",  # r05
+    "llm_cosine_pairs",  # r05
+    "llm_dedup_clusters",  # r05
+    "llm_doc_quality",  # r05
+    "llm_doc_stats",  # r05
+    "llm_embed_dedup",  # r05
+    "llm_exact_dedup",  # r05
+    "llm_fingerprint",  # r05
+    "llm_fuzzy_match",  # r05
+    "llm_knn_brute",  # r05
+    "llm_knn_topk",  # r05
+    "llm_lang_id",  # r05
+    "llm_minhash_sig",  # r05
+    "llm_ngram_jaccard",  # r05
+    "llm_pack_sequences",  # r05
+    "llm_quality_filter",  # r05
+    "llm_simhash",  # r05
+    "llm_tf",  # r05
+    "llm_tfidf",  # r05
+    "llm_token_bpe",  # r05
+    "llm_token_wordcount",  # r05
+    "mm_feature_extract",  # r05
+    "mm_frame_sample",  # r05
+    "mm_image_meta",  # r05
+    "mm_resize",  # r05
+    "src_parquet_partitioned",  # r05
+    "src_parquet_scan",  # r05
+    "src_values_inline",  # r05
+    "tpch_q10_shape",  # r05
+    "tpch_q3_shape",  # r05
+    "tpch_q5_shape",  # r05
+    "agg_cohort_retention",  # r06
+    "agg_salted_sum",  # r06
+    "fn_array_basic",  # r06
+    "fn_array_explode",  # r06
+    "fn_array_lambda",  # r06
+    "fn_bitwise",  # r06
+    "fn_cast",  # r06
+    "fn_conditional",  # r06
+    "fn_date_arith",  # r06
+    "fn_date_parts",  # r06
+    "fn_json_extract",  # r06
+    "fn_map_ops",  # r06
+    "fn_math",  # r06
+    "fn_pivot",  # r06
+    "fn_special_values",  # r06
+    "fn_string_basic",  # r06
+    "fn_string_regex",  # r06
+    "fn_timestamp_unix",  # r06
+    "fn_unpivot",  # r06
+    "join_skew_salted",  # r06
+    "llm_decontaminate",  # r06
+    "llm_e2e_pipeline",  # r06
+    "llm_pii_redact",  # r06
+    "llm_repetition_filter",  # r06
+    "llm_substring_dedup",  # r06
+    "llm_temperature_sample",  # r06
+    "set_except",  # r06
+    "set_except_all",  # r06
+    "set_intersect_all",  # r06
+    "src_stream_events",  # r06
+    "stream_dedup",  # r06
+    "stream_session",  # r06
+    "stream_sliding",  # r06
+    "stream_stateful_running",  # r06
+    "stream_stream_join",  # r06
+    "stream_tumbling",  # r06
+    "stream_watermark_late",  # r06
+    "ts_gap_fill",  # r06
+    "ts_ohlc_hourly",  # r06
+    "udf_grouped_agg",  # r06
+    "udf_grouped_map",  # r06
+    "udf_pandas_scalar",  # r06
+    "udf_python_scalar",  # r06
+    "udtf_split_words",  # r06
+    "win_funnel_stages",  # r06
+    "win_ntile_pct_sketch",  # r06
+    "win_sessionize",  # r06
+    "agg_bool_logic",  # r07
+    "agg_mode_tiebreak",  # r07
+    "agg_regression_ols",  # r07
+    "agg_skew_kurtosis",  # r07
+    "agg_weighted_avg",  # r07
+    "fn_hash_digests",  # r07
+    "fn_try_arith",  # r07
+    "fn_url_parse",  # r07
+    "fn_variant_json",  # r07
+    "fn_xml_extract",  # r07
+    "join_asof_tolerance",  # r07
+    "join_dynamic_partition_prune",  # r07
+    "join_lateral_topn",  # r07
+    "join_null_safe",  # r07
+    "join_range_bucketed",  # r07
+    "join_scd2_asof",  # r07
+    "llm_chunk_overlap",  # r07
+    "llm_embed_centroid",  # r07
+    "llm_html_strip",  # r07
+    "llm_incremental_dedup",  # r07
+    "llm_pii_text",  # r07
+    "llm_url_normalize",  # r07
+    "llm_winnowing",  # r07
+    "mm_audio_window",  # r07
+    "set_union_by_name",  # r07
+    "src_csv_malformed",  # r07
+    "src_gdx_catalog",  # r07
+    "src_gdx_gams_read",  # r07
+    "src_gdx_write",  # r07
+    "src_parquet_merge_schema",  # r07
+    "src_parquet_nested_prune",  # r07
+    "tpch_q18_shape",  # r07
+    "ts_fill_forward",  # r07
+    "ts_interpolate",  # r07
+    "ts_zscore_anomaly",  # r07
+    "win_distinct_rolling",  # r07
+    "win_median_rolling",  # r07
+    "win_streaks",  # r07
+    "agg_corr_pairs",  # r08
+    "fn_char_jaccard",  # r08
+    "gdx_uel_dictionary",  # r08
+    "join_asof_nearest",  # r08
+    "join_bucketed_colocated",  # r08
+    "llm_dataset_mixture",  # r08
+    "llm_heavy_hitters",  # r08
+    "llm_sample_stratified",  # r08
+    "llm_token_budget",  # r08
+    "llm_train_split",  # r08
+    "mm_patch_grid",  # r08
+    "proj_struct_pack",  # r08
+    "sort_multi_nulls",  # r08
+    "src_csv_gzip",  # r08
+    "src_csv_roundtrip",  # r08
+    "src_gdx_read",  # r08
+    "src_json_roundtrip",  # r08
+    "src_orc_roundtrip",  # r08
+    "src_parquet_zstd",  # r08
+    "ts_time_bucket",  # r08
+    "win_ntile_pct",  # r08
+    "win_ratio_to_report",  # r08
+    "agg_bitmask_sets",  # r09
+    "agg_entropy",  # r09
+    "agg_histogram",  # r09
+    "agg_string_concat",  # r09
+    "fn_base64_binary",  # r09
+    "fn_format_strings",  # r09
+    "fn_geo_haversine",  # r09
+    "fn_levenshtein",  # r09
+    "fn_regex_extract_all",  # r09
+    "llm_dedup_keep_best",  # r09
+    "llm_docfreq_prune",  # r09
+    "llm_graph_pagerank",  # r09
+    "llm_hash_sample",  # r09
+    "llm_perplexity_proxy",  # r09
+    "proj_profile_stats",  # r09
+    "set_reconcile_report",  # r09
+    "src_binary_files",  # r09
+    "stream_outer_join",  # r09
+    "ts_calendar_join",  # r09
+    "ts_seasonal_profile",  # r09
+    "udf_arrow_scalar",  # r09
+    "agg_approx_topk",  # r10
+    "agg_hll_rollup",  # r10
+    "fn_collate_group",  # r10
+    "fn_ip_cidr",  # r10
+    "fn_zorder",  # r10
+    "graph_degree_topk",  # r10
+    "graph_triangles",  # r10
+    "join_geo_radius",  # r10
+    "join_interval_overlap",  # r10
+    "llm_ann_ivf_served",  # r10
+    "llm_bm25_score",  # r10
+    "llm_boilerplate_ngrams",  # r10
+    "llm_bpe_apply",  # r10
+    "llm_corpus_card",  # r10
+    "llm_gopher_rep_stats",  # r10
+    "llm_length_blocking",  # r10
+    "llm_mlm_mask",  # r10
+    "llm_semdedup",  # r10
+    "llm_span_corruption",  # r10
+    "llm_vocab_coverage",  # r10
+    "llm_warc_parse",  # r10
+    "llm_zipf_slope",  # r10
+    "mm_exact_dedup",  # r10
+    "mm_shard_pack",  # r10
+    "sql_pipe_query",  # r10
+    "src_parquet_zorder",  # r10
+    "stream_foreach_batch",  # r10
+    "tpch_q12_shape",  # r10
+    "tpch_q13_shape",  # r10
+    "tpch_q14_shape",  # r10
+    "tpch_q15_shape",  # r10
+    "tpch_q16_shape",  # r10
+    "tpch_q17_shape",  # r10
+    "tpch_q19_shape",  # r10
+    "tpch_q1_shape",  # r10
+    "tpch_q21_shape",  # r10
+    "tpch_q22_shape",  # r10
+    "tpch_q2_shape",  # r10
+    "tpch_q4_shape",  # r10
+    "tpch_q6_shape",  # r10
+    "tpch_q7_shape",  # r10
+    "tpch_q8_shape",  # r10
+    "ts_autocorr",  # r10
+    "ts_ewma",  # r10
+    "ts_holt_winters",  # r10
+    "ts_vwap_hourly",  # r10
+    "udtf_table_arg",  # r10
+    "win_pareto_concentration",  # r10
+    "win_time_range_frame",  # r10
 ]
 
 
