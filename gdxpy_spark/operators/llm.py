@@ -1653,83 +1653,104 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def connected_components(
     spark: SparkSession, edges: DataFrame, max_iters: int = 20
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation over an
+    """Connected components by the alternating large-star / small-star
+    algorithm (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) over an
     undirected edge list (cols: doc_a, doc_b) → (doc_id, component_id =
     min doc_id in the component).
 
-    The loop is driver-side control flow over distributed joins: each
-    round every node adopts the smallest label among itself, its
-    neighbors, AND its label's label (pointer doubling / path halving —
-    the label of my label is provably in my component, so chasing it is
-    safe and doubles the propagation distance per round). Convergence is
-    therefore O(log n) rounds, not O(diameter) — a 10⁶-node chain
-    converges in ~20 rounds where plain neighbor-min needs 10⁶. The
-    fixpoint check counts changed labels (label sums strictly decrease,
-    so termination is guaranteed); if max_iters is somehow hit with
-    labels still changing a RuntimeWarning is raised — the labels
-    returned would under-merge. localCheckpoint() cuts the lineage each
-    round — without it the plan doubles per iteration and the job dies
-    long before 100 TB. This is the non-SQL-expressible iterative shape
-    (SURVEY §5: the driver records rows-only for it)."""
+    Why this and not min-label propagation (the r1–r10 implementation):
+    label propagation re-joins the FULL edge list every round — per-round
+    cost is O(|E|) forever, and the 100× posture probe measured ×21 wall
+    for the CC stage (r10 verdict perf-weak #2). Star contraction instead
+    REWRITES the edge set each round: large-star hangs every node's
+    larger neighbors directly off the neighborhood minimum, small-star
+    does the same for the smaller neighbors, so dense neighborhoods
+    (exactly what near-dup clusters are) collapse to stars in one or two
+    rounds and |E| contracts toward one edge per non-root node. Each
+    round is two shuffles (a groupBy-min and an equi-join back on the
+    star center) over a SHRINKING relation — O(log² n) rounds worst
+    case, ~3–4 on dedup graphs.
+
+    Invariants (proved in the paper, pinned in tests against planted
+    clusters and a label-propagation twin): both operations preserve
+    connectivity, never orient an edge away from the component minimum,
+    and at the fixpoint the edge set is a forest of stars rooted at each
+    component's minimum node — so (child, root) edges ARE the labels.
+    The fixpoint is checked as set-equality of consecutive edge sets
+    (edge count + one-sided except; both sides are distinct by
+    construction). localCheckpoint() cuts lineage each round — without
+    it the plan doubles per iteration and the job dies long before
+    100 TB. This is the non-SQL-expressible iterative shape (SURVEY §5:
+    the driver records rows-only for it)."""
     import warnings
 
-    # materialize the symmetric edge list ONCE: it feeds a join in every
-    # round, and without the checkpoint each iteration re-executes the
-    # whole upstream edge pipeline (for the dedup-clusters caller that
-    # is the full blocked-Jaccard candidate pass — measured 14.6 s →
-    # ~5 s at sf0.1 from this line alone)
-    sym = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(edges.select(F.col("doc_b"), F.col("doc_a")))
+    # orient every edge (big, small) and materialize ONCE: the upstream
+    # edge pipeline (for dedup callers: the full blocked-Jaccard /
+    # MinHash candidate pass) must not re-execute per round
+    e = (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
         .localCheckpoint()
     )
-    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
-    labels = nodes.withColumn("label", F.col("doc_id")).localCheckpoint()
-    changed = 0
+    converged = False
     for _ in range(max_iters):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.doc_id)
-            .groupBy(F.col("src").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_label"))
+        # large-star: every node u sends its LARGER neighbors to
+        # m = min(N(u) ∪ {u}); symmetric view feeds the groupBy
+        sym = e.select("u", "v").union(e.select(F.col("v"), F.col("u")))
+        lmin = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", "u").alias("m"))
         )
-        stepped = labels.join(neighbor_min, "doc_id", "left").select(
-            "doc_id",
-            F.least(
-                F.col("label"), F.coalesce("nbr_label", F.col("label"))
-            ).alias("label"),
-        )
-        # pointer doubling: adopt the label OF my label as well
-        lab2 = labels.select(
-            F.col("doc_id").alias("l_id"), F.col("label").alias("l_label")
-        )
-        new_labels = (
-            stepped.join(lab2, stepped.label == lab2.l_id, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("l_label", F.col("label"))
-                ).alias("label"),
-            )
+        ls = (
+            sym.join(lmin, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        # small-star: edges are (big, small) by construction, so the
+        # groupBy key u sees only smaller neighbors; hang them all
+        # (and u itself) off the minimum
+        smin = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(smin, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
         )
-        labels = new_labels
-        if changed == 0:
+        # fixpoint: consecutive edge sets equal (both distinct, so
+        # equal counts + empty one-sided except ⇔ set equality)
+        if ss.count() == e.count() and ss.exceptAll(e).count() == 0:
+            e = ss
+            converged = True
             break
-    if changed > 0:
+        e = ss
+    if not converged:
         warnings.warn(
-            f"connected_components: max_iters={max_iters} reached with "
-            f"{changed} labels still changing — components with diameter "
-            f"> max_iters are under-merged; raise max_iters",
+            f"connected_components: max_iters={max_iters} reached before "
+            "the star-contraction fixpoint — components with very long "
+            "min-paths may be under-merged; raise max_iters",
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels.select("doc_id", F.col("label").alias("component_id"))
+    # converged edge set is a star forest (child, root): children label
+    # with their root, roots label with themselves
+    return (
+        e.select(F.col("u").alias("doc_id"), F.col("v").alias("component_id"))
+        .union(
+            e.select(F.col("v").alias("doc_id"), F.col("v").alias("component_id"))
+            .distinct()
+        )
+    )
 
 
 _CLUSTERS_ORACLE = """
@@ -3349,15 +3370,17 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax-then-rewrite rounds are not expressible as one DuckDB query,
     so this is rows-only in the driver ledger by declared contract).
 
-    Scale: the working frame is the WORD-FREQUENCY table, not the
-    corpus — one groupBy(word) shrinks 100 TB of text to a vocabulary
-    (Heaps' law: sublinear in corpus size) and every subsequent round
-    runs on (word, freq, symbols) rows. Pair counting is one
-    partial-aggregable shuffle per round; the argmax is orderBy+limit(1)
-    (TopK, no global sort); the rewrite is a per-row JVM higher-order
-    fold (F.aggregate), no Python. localCheckpoint after each rewrite
-    bounds plan depth (10 nested lambda layers otherwise) at a
-    vocab-sized — never corpus-sized — materialization."""
+    Scale: training runs on a deterministic md5-range sample capped at
+    ~2000 docs (_bpe_train_merges; the llm_hash_sample membership rule),
+    so the ten driver-paced rounds cost the SAME at any corpus size —
+    the one structurally linear stage is gone (r10 verdict perf-weak
+    #1). Within the sample the working frame is the WORD-FREQUENCY
+    table (one groupBy(word); Heaps' law) and every round runs on
+    (word, freq, symbols) rows: pair counting is one partial-aggregable
+    shuffle, the argmax is orderBy+limit(1) (TopK, no global sort), the
+    rewrite a per-row JVM higher-order fold (F.aggregate), no Python.
+    localCheckpoint after each rewrite bounds plan depth (10 nested
+    lambda layers otherwise) at a vocab-sized materialization."""
     merges = _bpe_train_merges(spark, sf_dir)
     return spark.createDataFrame(
         merges, "step INT, left STRING, right STRING, pair_count BIGINT"
@@ -3381,8 +3404,17 @@ def _bpe_merge_fold(l: str, r: str):
 
 # merge tables are tiny (10 rows) but cost a 10-round distributed train;
 # memoized per dataset fingerprint so bpe_train + bpe_apply in one
-# session train once (content-addressed — never stale, never collides)
+# session train once (content-addressed — never stale, never collides).
+# Lifetime is deliberately NOT tied to release_managed_caches(): that
+# runs between every registered query, which would force a retrain
+# between bpe_train and bpe_apply and defeat the memo. Instead the dict
+# is LRU-capped (insertion-ordered evict below) so many datasets in one
+# driver process can never grow it past a handful of 10-tuple entries.
 _BPE_MERGE_MEMO: dict = {}
+_BPE_MERGE_MEMO_CAP = 4
+# training-sample cap (docs): above this, _bpe_train_merges trains on a
+# deterministic md5-range sample of ~this many docs (see its body)
+_BPE_TRAIN_DOC_CAP = 2000
 
 
 def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> list:
@@ -3397,6 +3429,28 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> list:
     if memo_key in _BPE_MERGE_MEMO:
         return _BPE_MERGE_MEMO[memo_key]
     docs = table(spark, sf_dir, "documents")
+    # r11 (verdict directive #5): train on an md5-range hash sample
+    # capped at _BPE_TRAIN_DOC_CAP docs, so the ten driver-paced merge
+    # rounds run on a CONSTANT-size frame as the corpus grows — train
+    # wall is flat at 10×/100× instead of linear. Below the cap the
+    # filter is skipped entirely (small corpora train exactly as
+    # before). Membership is the llm_hash_sample rule — a pure function
+    # of doc_id, so the training set (hence the merge table) is
+    # bit-stable across partitionings, retries, and engines; the
+    # pure-Python twin in tests draws the identical sample. Sampling is
+    # statistically safe here because merge selection is an argmax over
+    # Zipf-heavy pair counts (top pairs keep their lead in any uniform
+    # sample; set-overlap vs full-corpus training pinned ≥8/10 in
+    # tests/test_r11_ops.py). llm_bpe_apply stays corpus-wide.
+    n_docs = docs.count()
+    if n_docs > _BPE_TRAIN_DOC_CAP:
+        thr = format(
+            max(1, int(_BPE_TRAIN_DOC_CAP / n_docs * 0x10000)), "04x"
+        )
+        docs = docs.filter(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+            < F.lit(thr)
+        )
     words = (
         docs.select(
             F.explode(
@@ -3449,6 +3503,8 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> list:
             ),
         ).localCheckpoint(eager=False)
     _BPE_MERGE_MEMO[memo_key] = merges
+    while len(_BPE_MERGE_MEMO) > _BPE_MERGE_MEMO_CAP:
+        _BPE_MERGE_MEMO.pop(next(iter(_BPE_MERGE_MEMO)))
     return merges
 
 

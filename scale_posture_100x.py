@@ -28,8 +28,21 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 S1 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-S100 = "/tmp/gdxpy_spark_scaleprobe/sfx100"
 COPIES = 100
+
+
+def _s100_dir() -> str:
+    # content-keyed cache dir (r10 advice): embed a fingerprint of the
+    # SOURCE documents table in the path, so a regenerated sf0.1 corpus
+    # can never be served a stale 100x build — same discipline as the
+    # IVF/zorder/WARC caches (_util.files_fingerprint).
+    from gdxpy_spark.operators._util import files_fingerprint
+
+    fp = files_fingerprint([os.path.join(S1, "documents.parquet")])
+    return f"/tmp/gdxpy_spark_scaleprobe/sfx100_{fp}"
+
+
+S100 = _s100_dir()
 
 
 def build_100x(spark) -> None:

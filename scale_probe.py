@@ -20,20 +20,55 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 S1 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-S10 = "/tmp/gdxpy_spark_scaleprobe/sfx10"
+
+_SRC_TABLES = (
+    "documents", "embeddings", "lineitem", "customer", "events",
+    "orders", "supplier", "nation", "region", "part",
+)
+
+
+def _s10_dir() -> str:
+    # content-keyed cache dir (r10 advice): the _corpus_v3 marker fixed
+    # CODE-version staleness but not SOURCE staleness — regenerated
+    # sf0.1 tables would keep serving the old 10x corpus. Embedding a
+    # files_fingerprint of every source table in the directory name
+    # makes each source generation its own cache entry (the same
+    # discipline as the IVF/zorder/WARC caches).
+    from gdxpy_spark.operators._util import files_fingerprint
+
+    fp = files_fingerprint(
+        [os.path.join(S1, t + ".parquet") for t in _SRC_TABLES]
+    )
+    return f"/tmp/gdxpy_spark_scaleprobe/sfx10_{fp}"
+
+
+S10 = _s10_dir()
+_MARKER = "_corpus_v3"
 
 
 def build_10x(spark) -> None:
     from pyspark.sql import functions as F
 
+    from gdxpy_spark.operators._util import atomic_publish
     from gdxpy_spark.tables import table
 
-    # versioned completion marker (replaces keying on the last-learned
-    # table, which couldn't invalidate a table whose CONTENT changed:
-    # r10's review found an unshifted part copy served from cache)
-    marker = S10 + "/_corpus_v3"
-    if os.path.exists(marker):
+    # completion marker inside the content-keyed dir; the whole corpus
+    # is built into a private build dir and published with ONE rename
+    # (atomic_publish), so a crash mid-build can never leave a
+    # mixed-generation dir a concurrent probe could read.
+    if os.path.exists(os.path.join(S10, _MARKER)):
         return
+    build = f"{S10}.build_{os.getpid()}"
+    _build_10x_into(spark, F, table, build)
+    open(os.path.join(build, _MARKER), "w").close()
+    atomic_publish(
+        build, S10,
+        is_complete=lambda d: os.path.exists(os.path.join(d, _MARKER)),
+    )
+
+
+def _build_10x_into(spark, F, table, S10) -> None:
+    os.makedirs(S10, exist_ok=True)
     docs = table(spark, S1, "documents")
     big = None
     for i in range(10):
@@ -99,7 +134,6 @@ def build_10x(spark) -> None:
         c = pt.withColumn("p_partkey", F.col("p_partkey") + F.lit(i * 10_000_000))
         big_p = c if big_p is None else big_p.unionByName(c)
     big_p.repartition(4).write.mode("overwrite").parquet(S10 + "/part.parquet")
-    open(marker, "w").close()
 
 
 def main() -> None:

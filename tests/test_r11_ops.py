@@ -147,3 +147,154 @@ def test_q20_inner_join_drops_unshipped_pairs(spark):
         .select("l_suppkey").distinct().collect()
     }
     assert got <= shippers
+
+
+# ---- star-contraction connected components (r10 verdict directive #7) -------
+
+
+def _uf_components(edges):
+    """Driver-side union-find oracle: doc_id -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "name,edges",
+    [
+        # a long path is star contraction's worst case (O(log^2 n) rounds)
+        ("path", [(i, i + 1) for i in range(200)]),
+        # two dense cliques bridged by one edge — the dedup-graph shape
+        ("cliques", [(a, b) for a in range(30) for b in range(a + 1, 30)]
+                    + [(a, b) for a in range(100, 125) for b in range(a + 1, 125)]
+                    + [(29, 100)]),
+        # binary tree + isolated pair + reversed-orientation duplicates
+        ("tree", [(i, 2 * i + 1) for i in range(63)]
+                 + [(2 * i + 2, i) for i in range(63)]
+                 + [(900, 901), (901, 900)]),
+    ],
+)
+def test_connected_components_star_vs_union_find(spark, name, edges):
+    """large-star/small-star CC must agree exactly with a driver-side
+    union-find on adversarial topologies (Kiveris 2014 invariant: the
+    fixpoint is a star forest rooted at each component minimum)."""
+    from gdxpy_spark.operators.llm import connected_components
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(spark, df).collect()
+    }
+    want = _uf_components(edges)
+    assert got == want
+
+
+def test_connected_components_star_deterministic_pseudorandom(spark):
+    """A 500-node pseudo-random graph (LCG, fixed seed — no RNG stream)
+    must match union-find; also pins that every node gets exactly ONE
+    label row (the star-forest output can't duplicate a doc_id)."""
+    from gdxpy_spark.operators.llm import connected_components
+
+    x, edges = 12345, []
+    for _ in range(400):
+        x = (x * 1103515245 + 12345) % (2**31)
+        a = x % 500
+        x = (x * 1103515245 + 12345) % (2**31)
+        b = x % 500
+        if a != b:
+            edges.append((a, b))
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    rows = connected_components(spark, df).collect()
+    assert len(rows) == len({r.doc_id for r in rows})
+    got = {r.doc_id: r.component_id for r in rows}
+    assert got == _uf_components(edges)
+
+
+# ---- sampled BPE training (r10 verdict directive #5) -------------------------
+
+
+def _bpe_train_sample_ids(rows, cap=2000):
+    """The engine's training-sample membership rule, driver-side:
+    md5(str(doc_id)) 4-hex prefix under cap/n scaled to 16 bits."""
+    import hashlib
+
+    n = len(rows)
+    if n <= cap:
+        return rows
+    thr = format(max(1, int(cap / n * 0x10000)), "04x")
+    return [
+        r for r in rows
+        if hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4] < thr
+    ]
+
+
+def test_bpe_train_sampled_matches_reference_on_the_same_sample(spark):
+    """Above the doc cap the trainer runs on an md5-range sample; the
+    merge table must still be DETERMINISTIC — bit-identical to the
+    pure-Python reference BPE trained on the identical (pure-function-
+    of-doc_id) sample. sf0.1 is the smallest corpus that trips the cap
+    (5000 docs -> ~2000 sampled)."""
+    from gdxpy_spark.operators.llm import _BPE_TRAIN_DOC_CAP
+    from gdxpy_spark.registry import all_queries
+    from tests.test_r8_ops import _ref_bpe
+
+    sf = "/root/testdata/sf0.1"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    assert len(docs) > _BPE_TRAIN_DOC_CAP  # the cap must actually engage
+    sample = _bpe_train_sample_ids(docs, _BPE_TRAIN_DOC_CAP)
+    assert len(sample) < len(docs)
+    wf: dict[str, int] = {}
+    for r in sample:
+        for w in r["text"].split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    expect = _ref_bpe(wf, 10)
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in all_queries()["llm_bpe_train"].fn(spark, sf).collect()
+    ]
+    assert got == expect and len(got) == 10
+
+
+def test_bpe_train_sample_preserves_top_merges(spark):
+    """Quality bound for the sampling design: the sampled merge table
+    must share >= 8/10 merge PAIRS with full-corpus training (argmax
+    over Zipf-heavy pair counts is robust to uniform sampling; exact
+    ORDER may differ, which is why the pin is set overlap)."""
+    from gdxpy_spark.operators.llm import _BPE_TRAIN_DOC_CAP
+    from tests.test_r8_ops import _ref_bpe
+
+    sf = "/root/testdata/sf0.1"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+
+    def wfreq(rows):
+        wf: dict[str, int] = {}
+        for r in rows:
+            for w in r["text"].split(" "):
+                if w:
+                    wf[w] = wf.get(w, 0) + 1
+        return wf
+
+    full = {(l, r) for _s, l, r, _c in _ref_bpe(wfreq(docs), 10)}
+    samp = {
+        (l, r)
+        for _s, l, r, _c in _ref_bpe(
+            wfreq(_bpe_train_sample_ids(docs, _BPE_TRAIN_DOC_CAP)), 10
+        )
+    }
+    assert len(full & samp) >= 8
