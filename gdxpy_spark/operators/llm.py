@@ -289,36 +289,79 @@ _MINHASH_PERMS8 = [(1299721, 217645177), (15485863, 982451653),
                    (86028121, 512927357), (104395301, 779361797),
                    (122949823, 316234393), (141650939, 27644437)]
 _MINHASH_PERMS = _MINHASH_PERMS8[:4]
-_MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime; keeps a·crc32+b in-range)
+_MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime; keeps a·u32+b in-range)
+
+
+def _md5_u32(t):
+    """Column: the first 32 bits of md5(t) as a non-negative BIGINT.
+    This is the MinHash base hash — md5 instead of the r1–r10 crc32
+    PRECISELY so DuckDB can compute the identical value
+    (CAST('0x'||substr(md5(t),1,8) AS BIGINT)), which upgrades every
+    MinHash-family query from weak/rows-only to a full value-hash
+    oracle (r10 verdict directive #4). Cost: md5 is ~2-3× crc32 per
+    token but is computed ONCE per token (callers hash the token array
+    first, then apply all permutations to the integer)."""
+    return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+
+
+def _md5_u60(t):
+    """Column: the first 60 bits of md5(t) as BIGINT — the token-set
+    injection for the verify stage (cross-engine twin:
+    CAST('0x'||substr(md5(t),1,15) AS BIGINT)). 60 bits keep the
+    collision probability for ~10²-token sets below 1e-14 while
+    fitting BIGINT without sign games in either engine."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")
 
 
 def _perm_hash(a: int, b: int):
-    """One-arg lambda factory (Spark binds higher-order-function lambdas
-    by arity, so the permutation constants must be closed over)."""
+    """One-arg lambda factory over the PRE-HASHED token integer (Spark
+    binds higher-order-function lambdas by arity, so the permutation
+    constants must be closed over). a·u32+b peaks at ~6e17 < 2^63."""
 
-    def f(t):
-        return (F.crc32(t) * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)
+    def f(u):
+        return (u * F.lit(a) + F.lit(b)) % F.lit(_MINHASH_P)
 
     return f
 
 
-@register("llm_minhash_sig", oracle=None, category="K")  # weak: hash fns are engine-specific
+_MINHASH_SIG_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS u
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+)
+SELECT doc_id,
+       MIN((u * 1299721 + 217645177) % 2147483647) AS sig0,
+       MIN((u * 15485863 + 982451653) % 2147483647) AS sig1,
+       MIN((u * 32452843 + 57885161) % 2147483647) AS sig2,
+       MIN((u * 49979687 + 715225739) % 2147483647) AS sig3
+FROM tok GROUP BY doc_id
+"""
+
+
+@register("llm_minhash_sig", oracle=_MINHASH_SIG_ORACLE, category="K")
 def llm_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 permutations) per document over its distinct
-    token set: sig_i = min over tokens of (a_i·crc32(token) + b_i mod p).
-    Entirely JVM-side array math (transform + array_min) — per-doc cost
-    is O(tokens × perms) with no shuffle at all; the LSH band join built
-    on top is llm_length_blocking's bucket pattern. Weak-checked: CRC32
-    keys are portable in principle but DuckDB exposes no matching hash."""
+    token set: sig_i = min over tokens of (a_i·md5_u32(token) + b_i
+    mod p). Entirely JVM-side array math (one md5 per token, then
+    transform + array_min per permutation) — per-doc cost is
+    O(tokens + perms·tokens-integer-ops) with no shuffle at all; the
+    LSH band join built on top is llm_length_blocking's bucket pattern.
+    Full value-hash oracle since r11: the md5-u32 base hash is
+    engine-portable, so DuckDB computes the identical signatures."""
     docs = table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("tokens")
     )
-    cols = []
-    for i, (a, b) in enumerate(_MINHASH_PERMS):
-        hashed = F.transform(F.col("tokens"), _perm_hash(a, b))
-        cols.append(F.array_min(hashed).alias(f"sig{i}"))
-    return toks.filter(F.size("tokens") > 0).select("doc_id", *cols)
+    hashed = toks.select(
+        "doc_id", F.transform("tokens", _md5_u32).alias("u")
+    )
+    cols = [
+        F.array_min(F.transform(F.col("u"), _perm_hash(a, b))).alias(f"sig{i}")
+        for i, (a, b) in enumerate(_MINHASH_PERMS)
+    ]
+    return hashed.filter(F.size("u") > 0).select("doc_id", *cols)
 
 
 _BLOCK_ORACLE = """
@@ -1305,7 +1348,108 @@ def _cosine_top1(e: DataFrame, cand: DataFrame) -> DataFrame:
     )
 
 
-@register("llm_ann_lsh", oracle=None, category="K")  # weak: approximate by design
+def _lsh_oracle(multiprobe: bool) -> str:
+    """DuckDB twin of llm_ann_lsh(_multiprobe), generated. Everything
+    engine-specific is in fact deterministic and portable: the ±1
+    hyperplanes are fixed-seed literals (inlined below — exactly
+    representable doubles, so both engines see identical planes);
+    n_bits is recomputed IN SQL from COUNT(*) with _auto_n_bits'
+    formula (the oracle string is static but the corpus size isn't);
+    bucket keys, the 64-cap representative chaining, multiprobe
+    Hamming-1 fan-out, exact cosine and the (cos DESC, nn_id ASC)
+    top-1 all mirror lsh_candidate_pairs/_cosine_top1 stage by stage.
+    Projection/dot sums use the same SUM-over-generate_series shape as
+    _COS_ORACLE (the established cross-engine float pattern)."""
+    planes = _lsh_planes(24, 64)
+    plane_rows = ",\n".join(
+        "    ({}, [{}])".format(
+            j, ", ".join(("1.0" if x > 0 else "-1.0") for x in p)
+        )
+        for j, p in enumerate(planes)
+    )
+    probe = """
+  UNION ALL
+  SELECT vec_id, xor(bucket, (1::BIGINT << CAST(j AS INT))) AS bucket
+  FROM buck CROSS JOIN generate_series(0, 23) t(j)
+  WHERE j < (SELECT nb FROM nbits)"""
+    return f"""
+WITH nbits AS (
+  SELECT CASE WHEN cnt <= 32 THEN 6
+         ELSE GREATEST(6, LEAST(24, CAST(CEIL(LOG2(cnt / 32.0)) AS INT)))
+         END AS nb
+  FROM (SELECT COUNT(*) AS cnt FROM embeddings)
+),
+planes(j, w) AS (
+  VALUES
+{plane_rows}
+),
+proj AS MATERIALIZED (
+  SELECT e.vec_id, p.j,
+         SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+             * p.w[CAST(i AS INT)]) AS proj
+  FROM embeddings e
+  CROSS JOIN planes p
+  CROSS JOIN generate_series(1, 64) t(i)
+  WHERE i <= len(e.embedding) AND p.j < (SELECT nb FROM nbits)
+  GROUP BY e.vec_id, p.j
+),
+buck AS MATERIALIZED (
+  SELECT vec_id,
+         SUM(CASE WHEN proj >= 0 THEN (1::BIGINT << CAST(j AS INT))
+             ELSE 0 END) AS bucket
+  FROM proj GROUP BY vec_id
+),
+bsz AS MATERIALIZED (
+  SELECT bucket, COUNT(*) AS bsize, MIN(vec_id) AS rep
+  FROM buck GROUP BY bucket
+),
+bd AS MATERIALIZED (
+  SELECT buck.vec_id, buck.bucket, bsize, rep FROM buck JOIN bsz USING (bucket)
+),
+idx AS MATERIALIZED (
+  SELECT bucket, vec_id FROM bd WHERE bsize <= 64
+  UNION ALL
+  SELECT DISTINCT bucket, rep AS vec_id FROM bd WHERE bsize > 64
+),
+q AS MATERIALIZED (
+  SELECT vec_id, bucket FROM buck{probe if multiprobe else ""}
+),
+cand AS MATERIALIZED (
+  SELECT q.vec_id, x.vec_id AS nn_id
+  FROM q JOIN idx x USING (bucket)
+  WHERE q.vec_id <> x.vec_id
+  UNION
+  SELECT rep AS vec_id, vec_id AS nn_id
+  FROM bd WHERE bsize > 64 AND vec_id <> rep
+),
+e AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS norm
+  FROM embeddings
+),
+scored AS MATERIALIZED (
+  SELECT c.vec_id, c.nn_id,
+         SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+             * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+         / (a.norm * b.norm) AS cos_sim
+  FROM cand c
+  JOIN e a ON a.vec_id = c.vec_id
+  JOIN e b ON b.vec_id = c.nn_id
+  CROSS JOIN generate_series(1, 64) t(i)
+  WHERE i <= len(a.embedding)
+  GROUP BY c.vec_id, c.nn_id, a.norm, b.norm
+)
+SELECT vec_id, nn_id, ROUND(cos_sim, 4) + 0.0 AS cos_sim
+FROM (SELECT vec_id, nn_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, nn_id ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+@register("llm_ann_lsh", oracle=_lsh_oracle(False), category="K")
 def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate nearest neighbor: corpus-sized random-
     hyperplane sign bits (_auto_n_bits: n_bits grows with log₂(n), so
@@ -1325,7 +1469,7 @@ def llm_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_top1(e, lsh_candidate_pairs(bucketed))
 
 
-@register("llm_ann_lsh_multiprobe", oracle=None, category="K")  # weak: approximate
+@register("llm_ann_lsh_multiprobe", oracle=_lsh_oracle(True), category="K")
 def llm_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiprobe hyperplane LSH: each QUERY vector probes its own
     bucket plus all n_bits Hamming-1 neighbors (one sign bit flipped),
@@ -1698,6 +1842,7 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
+    e_count = None  # carried across rounds: one count() per round, not two
     for _ in range(max_iters):
         # large-star: every node u sends its LARGER neighbors to
         # m = min(N(u) ∪ {u}); symmetric view feeds the groupBy
@@ -1728,12 +1873,16 @@ def connected_components(
             .localCheckpoint()
         )
         # fixpoint: consecutive edge sets equal (both distinct, so
-        # equal counts + empty one-sided except ⇔ set equality)
-        if ss.count() == e.count() and ss.exceptAll(e).count() == 0:
+        # equal counts + empty one-sided except ⇔ set equality; the
+        # short-circuit keeps the except join off the common path)
+        if e_count is None:
+            e_count = e.count()
+        ss_count = ss.count()
+        if ss_count == e_count and ss.exceptAll(e).count() == 0:
             e = ss
             converged = True
             break
-        e = ss
+        e, e_count = ss, ss_count
     if not converged:
         warnings.warn(
             f"connected_components: max_iters={max_iters} reached before "
@@ -1753,41 +1902,66 @@ def connected_components(
     )
 
 
-_CLUSTERS_ORACLE = """
-WITH RECURSIVE tok AS (
+def _cc_prop_rounds_sql(n_rounds: int) -> str:
+    """SQL fragment: `n_rounds` of pointer-doubling min-label
+    propagation over CTEs `sym` (symmetric edge list u,v) and `lab0`
+    (node id → own id). Each round is two O(|E|) hash joins + one
+    groupBy — NO transitive-closure row blow-up (the reason the old
+    recursive-CTE oracle was unusable at sf0.1: its reachability
+    relation materializes Σ_v deg(v)·|reach(v)| rows, measured >500 s;
+    this form stays one label per node per round). Propagated
+    min-distance is 2^k−1 after k rounds (neighbor-min step doubles
+    via the label-of-label chase), so 6 rounds cover any component the
+    near-dup corpora can produce; convergence at the configured depth
+    is pinned in tests (round n−1 output == round n output)."""
+    parts = []
+    prev = "lab0"
+    for k in range(1, n_rounds + 1):
+        parts.append(
+            f"nbr{k} AS MATERIALIZED (SELECT s.u AS id, MIN(l.lab) AS nl FROM sym s "
+            f"JOIN {prev} l ON s.v = l.id GROUP BY s.u),\n"
+            f"hop{k} AS MATERIALIZED (SELECT a.id, LEAST(a.lab, COALESCE(n.nl, a.lab)) AS lab "
+            f"FROM {prev} a LEFT JOIN nbr{k} n USING (id)),\n"
+            f"lab{k} AS MATERIALIZED (SELECT h.id, LEAST(h.lab, COALESCE(l2.lab, h.lab)) AS lab "
+            f"FROM hop{k} h LEFT JOIN {prev} l2 ON h.lab = l2.id)"
+        )
+        prev = f"lab{k}"
+    return ",\n".join(parts)
+
+
+_CC_ROUNDS = 6
+
+_CLUSTERS_ORACLE = f"""
+WITH tok AS MATERIALIZED (
   SELECT DISTINCT doc_id, n_chars // 100 AS bucket,
          unnest(list_distinct(string_split(text, ' '))) AS token
   FROM documents
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
-inter AS (
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM tok a JOIN tok b
     ON abs(a.bucket - b.bucket) <= 1 AND a.token = b.token
        AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ),
-edges AS (
+edges AS MATERIALIZED (
   SELECT doc_a, doc_b FROM inter
   JOIN sizes sa ON doc_a = sa.doc_id
   JOIN sizes sb ON doc_b = sb.doc_id
   WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.8
 ),
-sym AS (
-  SELECT doc_a AS a, doc_b AS b FROM edges
+sym AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM edges
   UNION ALL SELECT doc_b, doc_a FROM edges
 ),
-reach(doc_id, r) AS (
-  SELECT DISTINCT a, a FROM sym
-  UNION
-  SELECT s.a, reach.r FROM sym s JOIN reach ON s.b = reach.doc_id
-),
-comp AS (SELECT doc_id, MIN(r) AS comp FROM reach GROUP BY doc_id)
-SELECT doc_id AS dup_id, comp AS kept_id FROM comp WHERE doc_id <> comp
+lab0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lab FROM sym),
+{_cc_prop_rounds_sql(_CC_ROUNDS)}
+SELECT id AS dup_id, lab AS kept_id FROM lab{_CC_ROUNDS} WHERE id <> lab
 """
 
 
-@register("llm_dedup_clusters", oracle=None, category="K")  # weak: see docstring
+@register("llm_dedup_clusters", oracle=_CLUSTERS_ORACLE, category="K")
 def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive near-dup clusters: connected components over the
     length-blocked exact-Jaccard graph at the DEDUP threshold (0.8 —
@@ -1800,16 +1974,13 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate stage is for), 0.8 is where documents are actually
     duplicates and clustering is meaningful.
 
-    Check level: the edge set is fully deterministic (exact Jaccard, not
-    LSH), so the components ARE SQL-expressible — a recursive min-label
-    reachability CTE (_CLUSTERS_ORACLE) hash-matches this operator and
-    is pinned as a pytest differential test at the correctness-gate
-    scale. It is deliberately NOT registered as the driver oracle: on
-    the dense planted-dup graph the closure's intermediate row count is
-    Σ_v deg(v)·|reach(v)| — measured >500 s in DuckDB at sf0.1 — and a
-    single pathological oracle would distort any whole-suite oracle
-    timing. The engine-side log-round label propagation has no such
-    blow-up (state stays one label per node)."""
+    Check level: FULL value-hash oracle since r11. The edge set is
+    fully deterministic (exact Jaccard, not LSH) and the components are
+    resolved in SQL by UNROLLED pointer-doubling min-label propagation
+    (_cc_prop_rounds_sql) — one label per node per round, two O(|E|)
+    joins each, so the oracle runs in <1 s at sf0.1 where the previous
+    recursive reachability CTE materialized Σ_v deg(v)·|reach(v)| rows
+    (>500 s) and had to stay a pytest-only twin."""
     docs = table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -1950,15 +2121,19 @@ def minhash_band_pairs(
 
     The classic subquadratic text-dedup pipeline:
 
-    1. sig_i = min over tokens of (a_i·crc32(token)+b_i mod p), all
-       JVM-side array math (transform + array_min), zero shuffle.
-    2. band key j = xxhash64 of the band's ``rows_per_band`` signature
-       values; each doc explodes into ``n_bands`` tiny (doc_id, band,
-       bkey) rows. Two docs become a candidate iff they agree on ALL
-       rows of SOME band: P(candidate | Jaccard s) = 1−(1−s^r)^b — the
-       S-curve that makes E[pairs] ≈ n²·P(collision) subquadratic for
-       near-orthogonal corpora while keeping high-s recall (s=0.8 →
-       0.995 at b=4, r=2).
+    1. sig_i = min over tokens of (a_i·md5_u32(token)+b_i mod p), all
+       JVM-side array math (one md5 per token, then transform +
+       array_min per permutation), zero shuffle. md5 (not crc32 /
+       xxhash64) so DuckDB computes identical signatures — this is what
+       makes the whole dedup SQL-oracle-able (r11).
+    2. band key j = the band's ``rows_per_band`` signature values packed
+       injectively into one BIGINT (base-p positional: k·p + next, all
+       sigs < p = 2³¹−1, so r=2 peaks < 2⁶²) — collision-FREE by
+       construction, unlike a hash of the tuple, so the candidate set
+       is exactly "agree on ALL rows of SOME band" in both engines:
+       P(candidate | Jaccard s) = 1−(1−s^r)^b — the S-curve that makes
+       E[pairs] ≈ n²·P(collision) subquadratic for near-orthogonal
+       corpora while keeping high-s recall (s=0.8 → 0.995 at b=4, r=2).
     3. candidates (id pairs only — token arrays never ride the band
        join) re-join their token sets and verify EXACT Jaccard via
        array_intersect/array_union; false positives die here, so the
@@ -1981,18 +2156,24 @@ def minhash_band_pairs(
     toks = _doc_token_sets(docs)
     n_perms = n_bands * rows_per_band
     assert n_perms <= len(_MINHASH_PERMS8), "not enough fixed permutations"
+    hashed = toks.select(
+        "doc_id", "tokens", F.transform("tokens", _md5_u32).alias("u")
+    )
     sigs = [
-        F.array_min(F.transform(F.col("tokens"), _perm_hash(a, b))).alias(f"sig{i}")
+        F.array_min(F.transform(F.col("u"), _perm_hash(a, b))).alias(f"sig{i}")
         for i, (a, b) in enumerate(_MINHASH_PERMS8[:n_perms])
     ]
-    sig_df = managed_cache(toks.select("doc_id", *sigs))
+    sig_df = managed_cache(hashed.select("doc_id", *sigs))
+
+    def _bkey(j):
+        # injective base-p packing of the band's signature values
+        k = F.col(f"sig{j * rows_per_band}")
+        for r in range(1, rows_per_band):
+            k = k * F.lit(_MINHASH_P) + F.col(f"sig{j * rows_per_band + r}")
+        return k
+
     band_structs = [
-        F.struct(
-            F.lit(j).alias("band"),
-            F.xxhash64(
-                *[F.col(f"sig{j * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bkey"),
-        )
+        F.struct(F.lit(j).alias("band"), _bkey(j).alias("bkey"))
         for j in range(n_bands)
     ]
     banded = sig_df.select(
@@ -2018,16 +2199,18 @@ def minhash_band_pairs(
         (F.col("bsize") > max_bucket) & (F.col("doc_id") != F.col("rep"))
     ).select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     cand = all_pairs.unionByName(star_pairs).distinct()
-    # Verify stage shuffles 64-bit TOKEN-HASH sets, not raw token-string
+    # Verify stage shuffles 60-bit TOKEN-HASH sets, not raw token-string
     # arrays (r7): Jaccard is invariant under any injection of the token
-    # vocabulary, and xxhash64 is injective on it w.h.p. (a collision
-    # needs ~2^32 distinct tokens per doc pair; sets here are ~10^2, and
+    # vocabulary, and md5-u60 is injective on it w.h.p. (a collision
+    # needs ~2^30 distinct tokens per doc pair; sets here are ~10^2, and
     # even then it only perturbs one candidate's score). At 10× data the
     # verify join's shuffle carried ~100× candidate rows × whole token
     # arrays — 8 bytes/token beats avg-word-length strings and compares
-    # long-vs-long instead of string-vs-string in array_intersect.
+    # long-vs-long instead of string-vs-string in array_intersect. md5
+    # (not xxhash64) since r11 so the DuckDB oracle computes the same
+    # Jaccard even in the astronomically-unlikely collision case.
     tokh = toks.select(
-        "doc_id", F.transform("tokens", lambda t: F.xxhash64(t)).alias("tokh")
+        "doc_id", F.transform("tokens", _md5_u60).alias("tokh")
     )
     ta = tokh.select(F.col("doc_id").alias("doc_a"), F.col("tokh").alias("tok_a"))
     tb = tokh.select(F.col("doc_id").alias("doc_b"), F.col("tokh").alias("tok_b"))
@@ -2046,16 +2229,86 @@ def minhash_band_pairs(
     )
 
 
-@register("llm_minhash_dedup", oracle=None, category="K")  # weak: LSH recall is probabilistic
+_MINHASH_DEDUP_ORACLE = f"""
+WITH tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+),
+h AS MATERIALIZED (SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) AS u
+      FROM tok),
+sig AS MATERIALIZED (
+  SELECT doc_id,
+         MIN((u * 1299721 + 217645177) % 2147483647) AS s0,
+         MIN((u * 15485863 + 982451653) % 2147483647) AS s1,
+         MIN((u * 32452843 + 57885161) % 2147483647) AS s2,
+         MIN((u * 49979687 + 715225739) % 2147483647) AS s3,
+         MIN((u * 86028121 + 512927357) % 2147483647) AS s4,
+         MIN((u * 104395301 + 779361797) % 2147483647) AS s5,
+         MIN((u * 122949823 + 316234393) % 2147483647) AS s6,
+         MIN((u * 141650939 + 27644437) % 2147483647) AS s7
+  FROM h GROUP BY doc_id
+),
+banded AS MATERIALIZED (
+  SELECT doc_id, 0 AS band, s0 * 2147483647 + s1 AS bkey FROM sig
+  UNION ALL SELECT doc_id, 1, s2 * 2147483647 + s3 FROM sig
+  UNION ALL SELECT doc_id, 2, s4 * 2147483647 + s5 FROM sig
+  UNION ALL SELECT doc_id, 3, s6 * 2147483647 + s7 FROM sig
+),
+bsz AS MATERIALIZED (SELECT band, bkey, COUNT(*) AS bsize, MIN(doc_id) AS rep
+        FROM banded GROUP BY band, bkey),
+bd AS MATERIALIZED (SELECT banded.doc_id, banded.band, banded.bkey, bsize, rep
+       FROM banded JOIN bsz USING (band, bkey)),
+cand AS MATERIALIZED (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bd a JOIN bd b ON a.band = b.band AND a.bkey = b.bkey
+                       AND a.doc_id < b.doc_id
+    WHERE a.bsize <= 64
+    UNION ALL
+    SELECT rep, doc_id FROM bd WHERE bsize > 64 AND doc_id <> rep
+  )
+),
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
+inter AS MATERIALIZED (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN tok a ON a.doc_id = c.doc_a
+  JOIN tok b ON b.doc_id = c.doc_b AND a.token = b.token
+  GROUP BY c.doc_a, c.doc_b
+),
+edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_tok + sb.n_tok - n_common) >= 0.5
+),
+sym AS MATERIALIZED (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+lab0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lab FROM sym),
+{_cc_prop_rounds_sql(_CC_ROUNDS)}
+SELECT id AS dup_id, lab AS kept_id FROM lab{_CC_ROUNDS} WHERE id <> lab
+"""
+
+
+@register("llm_minhash_dedup", oracle=_MINHASH_DEDUP_ORACLE, category="K")
 def llm_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MinHash dedup: banded-LSH candidates (minhash_band_pairs)
     → exact-Jaccard verify (≥ 0.5) → transitive clusters via
     connected_components. Output (dup_id, kept_id = min doc_id of the
     cluster), singletons omitted — same contract as llm_dedup_clusters
     but with the subquadratic MinHash candidate generator, i.e. the
-    100 TB path. Weak-checked (hash-function-specific candidates have no
-    SQL oracle); recall on planted near-dups and the subquadratic
-    candidate-count property are pinned in tests/test_text_analysis.py."""
+    100 TB path.
+
+    Full value-hash oracle since r11 (was weak/rows-only): the md5-u32
+    MinHash family and the injective base-p band keys are computed
+    identically by DuckDB, so candidates, verify and clustering are ALL
+    cross-checked — the oracle replays the banding + skew-cap
+    (rep-chaining) + exact-Jaccard stages in SQL and resolves components
+    with unrolled pointer-doubling label propagation
+    (_cc_prop_rounds_sql; the recursive-CTE closure was the blow-up that
+    kept this weak). Recall on planted near-dups and the subquadratic
+    candidate-count property remain pinned in
+    tests/test_text_analysis.py."""
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_band_pairs(docs).select("doc_a", "doc_b")
     cc = connected_components(spark, pairs)

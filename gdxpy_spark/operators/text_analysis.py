@@ -509,26 +509,77 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SimHash near-dup (weak: uses engine-native xxhash64)
+# SimHash near-dup (md5-based token hash — cross-engine, full oracle)
 # ---------------------------------------------------------------------------
-@register("llm_simhash", oracle=None, category="K")  # weak: engine-native hash fn
+def _simhash_oracle() -> str:
+    """DuckDB twin of llm_simhash, generated (64 vote aggregates + 64
+    signature bit terms are mechanical). The token hash is the first 64
+    bits of md5 assembled as hi·2³² + lo in UBIGINT — the same bit
+    pattern Spark builds signed via shiftleft(hi,32)|lo, so vote bits,
+    band equality (top-16 bits) and bit_count(xor) hammings all agree
+    even though one engine is unsigned and the other two's-complement.
+    Signature bits are summed as literal powers of two (DuckDB's <<
+    overflows CHECKED at bit 63, so no shift is used here)."""
+    votes = ",\n".join(
+        f"  SUM(CASE WHEN ((hu >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
+        for j in range(64)
+    )
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT DISTINCT doc_id, token
+  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents)
+  WHERE token <> ''
+),
+h AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 8)) AS UBIGINT) * 4294967296
+         + CAST(('0x' || substr(md5(token), 9, 8)) AS UBIGINT) AS hu
+  FROM tok
+),
+votes AS MATERIALIZED (
+  SELECT doc_id,
+{votes}
+  FROM h GROUP BY doc_id
+),
+sig AS MATERIALIZED (SELECT doc_id, {sig} AS simhash FROM votes)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b
+  ON (a.simhash >> 48) = (b.simhash >> 48) AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+@register("llm_simhash", oracle=_simhash_oracle(), category="K")
 def llm_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document: each distinct token votes ±1 on every
-    bit of its xxhash64; the signature's bit j is 1 iff the vote sum is
-    positive. Near-dup pairs are then hamming(sig_a, sig_b) ≤ 3, blocked
-    by the top-16-bit band (identical docs always share the band, so
-    exact dups are never missed; the band bound trades recall for the
-    O(n²)→O(n²/2¹⁶) join cut, the standard SimHash table trick).
-    Weak-checked (hash is engine-native); semantics pinned in
+    bit of its 64-bit hash; the signature's bit j is 1 iff the vote sum
+    is positive. Near-dup pairs are then hamming(sig_a, sig_b) ≤ 3,
+    blocked by the top-16-bit band (identical docs always share the
+    band, so exact dups are never missed; the band bound trades recall
+    for the O(n²)→O(n²/2¹⁶) join cut, the standard SimHash table trick).
+
+    Full value-hash oracle since r11 (was weak): the token hash is the
+    first 64 bits of md5 (hi·2³²|lo — see _simhash_oracle for the
+    signed/unsigned parity argument), which DuckDB computes
+    identically; semantics additionally pinned in
     tests/test_text_analysis.py: exact-duplicate texts ⇒ identical
     signatures and hamming 0."""
     docs = table(spark, sf_dir, "documents")
+    md5c = F.md5("token")
+    hi = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("bigint")
     tok = docs.select(
         "doc_id",
         F.explode(F.array_remove(F.array_distinct(F.split("text", " ")), "")).alias(
             "token"
         ),
-    ).withColumn("h", F.xxhash64("token"))
+    ).withColumn("h", F.shiftleft(hi, 32).bitwiseOR(lo))
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(

@@ -111,8 +111,13 @@ _ARTIFACT_PRIORITY = [
     "tpch_q9_shape",  # new r11
     "tpch_q11_shape",  # new r11
     "tpch_q20_shape",  # new r11
-    "llm_bpe_train",  # r10
-    "llm_minhash_dedup",  # r05
+    "llm_minhash_sig",  # r11: newly oracled (md5 hash family)
+    "llm_minhash_dedup",  # r11: newly oracled (md5 + unrolled-CC oracle)
+    "llm_dedup_clusters",  # r11: newly oracled (unrolled-CC oracle)
+    "llm_simhash",  # r11: newly oracled (md5 two-half hash)
+    "llm_ann_lsh",  # r11: newly oracled (literal planes + SQL n_bits)
+    "llm_ann_lsh_multiprobe",  # r11: newly oracled
+    "llm_bpe_train",  # r11: implementation changed (capped-sample train)
     "agg_approx_distinct",  # r01
     "agg_approx_percentile",  # r01
     "agg_collect_sorted",  # r01

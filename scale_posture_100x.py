@@ -80,6 +80,46 @@ def build_100x(spark) -> None:
     big.repartition(64).write.mode("overwrite").parquet(out)
 
 
+def build_100x_embeddings(spark) -> None:
+    """100× DISJOINT-SHARD embeddings (r10 verdict directive #8): 100
+    copies of the sf0.1 embeddings, shard i's vectors multiplied
+    elementwise by a deterministic per-(shard, dim) ±1 sign mask.
+    Within a shard every pairwise cosine is EXACTLY preserved (the
+    mask cancels: cos(x⊙s, y⊙s) = cos(x, y)), so each shard keeps the
+    real corpus's near-dup structure — while cross-shard cosines
+    become random-sign dots ~N(0, 1/64-ish std 0.125), far below any
+    dedup/ANN threshold. True candidate volume is therefore ~100 × the
+    1× volume: IVF/semdedup pipelines must show ~linear wall growth,
+    any all-pairs shape ~10,000×."""
+    from pyspark.sql import functions as F
+
+    from gdxpy_spark.tables import table
+
+    out = S100 + "/embeddings.parquet"
+    if os.path.exists(out + "/_SUCCESS"):
+        return
+    emb = table(spark, S1, "embeddings")
+    copies = []
+    for i in range(COPIES):
+        c = emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+        if i:
+            c = c.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda v, idx: v
+                    * F.when(
+                        F.pmod(F.xxhash64(F.lit(i) * 64 + idx), 2) == 1, -1.0
+                    ).otherwise(1.0),
+                ),
+            )
+        copies.append(c)
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    big.repartition(32).write.mode("overwrite").parquet(out)
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -96,6 +136,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     build_100x(spark)
+    build_100x_embeddings(spark)
     print(f"100x corpus ready in {time.perf_counter() - t0:.0f}s", flush=True)
 
     queries = registry.all_queries()
@@ -105,7 +146,11 @@ def main() -> None:
         n = queries[name].fn(spark, sf).count()
         return round(time.perf_counter() - t0, 1), n
 
-    for name in ("llm_minhash_dedup", "llm_substring_dedup"):
+    for name in ("llm_minhash_dedup", "llm_substring_dedup",
+                 # r11 (verdict #8): ANN/semantic family on the
+                 # disjoint-shard embeddings — n vs n² separation the
+                 # twin-heavy 10× corpus can't give
+                 "llm_ann_ivf_served", "llm_semdedup"):
         w1, n1 = run(name, S1)
         w100, n100 = run(name, S100)
         print(

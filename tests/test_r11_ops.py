@@ -298,3 +298,30 @@ def test_bpe_train_sample_preserves_top_merges(spark):
         )
     }
     assert len(full & samp) >= 8
+
+
+# ---- unrolled pointer-doubling CC oracle (r10 verdict directive #4) ----------
+
+
+def test_cc_oracle_rounds_converged_at_configured_depth(duck):
+    """_cc_prop_rounds_sql promises the label-propagation rounds have
+    CONVERGED at _CC_ROUNDS on the corpora the oracle checks — pin it:
+    the minhash-dedup oracle must produce identical rows at depth
+    _CC_ROUNDS and _CC_ROUNDS+1 (an unconverged depth would under-merge
+    and silently pass only until the graph got deeper)."""
+    from gdxpy_spark.operators.llm import (
+        _CC_ROUNDS,
+        _MINHASH_DEDUP_ORACLE,
+        _cc_prop_rounds_sql,
+    )
+
+    deeper = _MINHASH_DEDUP_ORACLE.replace(
+        _cc_prop_rounds_sql(_CC_ROUNDS), _cc_prop_rounds_sql(_CC_ROUNDS + 1)
+    ).replace(
+        f"FROM lab{_CC_ROUNDS} WHERE id <> lab",
+        f"FROM lab{_CC_ROUNDS + 1} WHERE id <> lab",
+    )
+    assert f"lab{_CC_ROUNDS + 1}" in deeper  # both replacements engaged
+    base = sorted(duck.execute(_MINHASH_DEDUP_ORACLE).fetchall())
+    deep = sorted(duck.execute(deeper).fetchall())
+    assert base == deep and base
