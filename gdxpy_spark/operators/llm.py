@@ -3608,7 +3608,142 @@ def llm_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select("node", F.col("r").alias("rank_q"))
 
 
-@register("llm_bpe_train", oracle=None, category="K")
+def _bpe_fold_sql(acc: str, x: str, l: str, r: str) -> str:
+    """One greedy merge step as a DuckDB lambda body. list_reduce's
+    accumulator must be the ELEMENT type (VARCHAR), so the symbol
+    sequence is encoded as a chr(31)-delimited string: the last symbol
+    is everything after the final separator (found via
+    reverse+strpos — no regex, so symbols with regex metacharacters
+    are safe), and a merge replaces it in place. First lambda call
+    receives syms[1] as acc (list_reduce's seedless contract), which
+    equals the engine's append-from-empty fold after one element."""
+    last = (
+        f"(CASE WHEN strpos(reverse({acc}), chr(31)) = 0 THEN {acc} "
+        f"ELSE substr({acc}, length({acc}) - strpos(reverse({acc}), chr(31)) + 2) END)"
+    )
+    prefix = (
+        f"(CASE WHEN strpos(reverse({acc}), chr(31)) = 0 THEN '' "
+        f"ELSE substr({acc}, 1, length({acc}) - strpos(reverse({acc}), chr(31)) + 1) END)"
+    )
+    return (
+        f"CASE WHEN {last} = {l} AND {x} = {r} "
+        f"THEN {prefix} || {l} || {r} "
+        f"ELSE {acc} || chr(31) || {x} END"
+    )
+
+
+def _bpe_rounds_sql(w0: str, rounds: int, prefix: str) -> str:
+    """CTE chain: `rounds` argmax-then-rewrite BPE rounds starting from
+    CTE `w0(word, freq?, symstr)`. Emits p{k} (pair counts), am{k}
+    (the round's merge, deterministic tie-break cnt DESC → l → r) and
+    {prefix}{k+1} (the rewritten table). The per-round merge pair is
+    CAPTURED inside the rewrite lambda from the CROSS-JOINed 1-row
+    am{k} — the merges are learned by the query itself, not inlined
+    literals, exactly like the engine's driver-paced loop."""
+    parts = []
+    cur = w0
+    weight = "freq" if prefix == "w" else "1"
+    for k in range(rounds):
+        fold = _bpe_fold_sql("acc", "x", f"am{k}.l", f"am{k}.r")
+        parts.append(f"""
+p{k} AS MATERIALIZED (
+  SELECT z[1] AS l, z[2] AS r, SUM({weight}) AS cnt
+  FROM (
+    SELECT {weight}, unnest(list_zip(s[1:len(s)-1], s[2:len(s)])) AS z
+    FROM (SELECT *, string_split(symstr, chr(31)) AS s FROM {cur}) q
+    WHERE len(s) >= 2
+  ) GROUP BY z[1], z[2]
+),
+am{k} AS MATERIALIZED (
+  SELECT l, r, CAST(cnt AS BIGINT) AS cnt FROM p{k}
+  ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+),
+{prefix}{k + 1} AS MATERIALIZED (
+  SELECT {cur}.* EXCLUDE (symstr),
+         list_reduce(string_split(symstr, chr(31)), (acc, x) -> {fold}) AS symstr
+  FROM {cur} CROSS JOIN am{k}
+)""")
+        cur = f"{prefix}{k + 1}"
+    return ",".join(parts)
+
+
+# Sampled word-frequency base table shared by the train oracle: the
+# md5-range doc sample replays _bpe_train_merges' capped-sample rule
+# (cap 2000, floor'd 16-bit threshold, lowercase hex compare).
+_BPE_SAMPLE_SQL = """
+n_docs AS (SELECT COUNT(*) AS cnt FROM documents),
+thr AS (
+  SELECT CASE WHEN cnt <= 2000 THEN NULL
+         ELSE printf('%04x', GREATEST(1, CAST(FLOOR(2000.0 * 65536 / cnt) AS INT)))
+         END AS t
+  FROM n_docs
+),
+w0 AS MATERIALIZED (
+  SELECT word, COUNT(*) AS freq,
+         array_to_string(string_split(word, ''), chr(31)) AS symstr
+  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        FROM documents
+        WHERE (SELECT t FROM thr) IS NULL
+           OR substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < (SELECT t FROM thr))
+  WHERE word <> '' GROUP BY word
+)"""
+
+_BPE_TRAIN_ORACLE = (
+    "WITH "
+    + _BPE_SAMPLE_SQL
+    + ","
+    + _bpe_rounds_sql("w0", 10, "w")
+    + "\n"
+    + "\nUNION ALL ".join(
+        f'SELECT {k} AS step, l AS "left", r AS "right", cnt AS pair_count FROM am{k}'
+        for k in range(10)
+    )
+)
+
+def _bpe_encode_sql(rounds: int) -> str:
+    """CTE chain: encode the CORPUS-WIDE distinct-word vocabulary with
+    the merges the train rounds learned — v{k+1} applies am{k}'s pair
+    (reusing the train CTEs, never re-learning) via the same fold."""
+    parts = []
+    for k in range(rounds):
+        fold = _bpe_fold_sql("acc", "x", f"am{k}.l", f"am{k}.r")
+        parts.append(f"""
+v{k + 1} AS MATERIALIZED (
+  SELECT word,
+         list_reduce(string_split(symstr, chr(31)), (acc, x) -> {fold}) AS symstr
+  FROM v{k} CROSS JOIN am{k}
+)""")
+    return ",".join(parts)
+
+
+_BPE_APPLY_ORACLE = (
+    "WITH "
+    + _BPE_SAMPLE_SQL
+    + ","
+    + _bpe_rounds_sql("w0", 10, "w")
+    + """,
+v0 AS MATERIALIZED (
+  SELECT word, array_to_string(string_split(word, ''), chr(31)) AS symstr
+  FROM (SELECT DISTINCT word
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        WHERE word <> '')
+),"""
+    + _bpe_encode_sql(10)
+    + """
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(word_tokens) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(word_tokens) AS DOUBLE) / COUNT(*), 4) + 0.0 AS fertility
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents) occ
+JOIN (SELECT word, len(string_split(symstr, chr(31))) AS word_tokens FROM v10) vt
+  USING (word)
+WHERE word <> ''
+GROUP BY doc_id
+"""
+)
+
+
+@register("llm_bpe_train", oracle=_BPE_TRAIN_ORACLE, category="K")
 def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING (Sennrich 2016) — 10 merge rounds learned
     from the corpus itself; the inventory's llm_token_bpe applies a
@@ -3619,9 +3754,13 @@ def llm_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     then right symbol), rewrite symbol sequences greedily
     left-to-right. Output is the merge table (step, left, right,
     pair_count) — deterministic end-to-end, pinned against a pure-
-    Python reference BPE in tests/test_r8_ops.py (no SQL oracle: ten
-    argmax-then-rewrite rounds are not expressible as one DuckDB query,
-    so this is rows-only in the driver ledger by declared contract).
+    Python reference BPE in tests/test_r8_ops.py AND, since r11,
+    against a FULL SQL oracle: the ten argmax-then-rewrite rounds ARE
+    expressible as one DuckDB query by unrolling them into MATERIALIZED
+    CTEs whose rewrite lambda captures the round's learned pair from a
+    CROSS-JOINed 1-row argmax CTE (_bpe_rounds_sql; the symbol arrays
+    ride as chr(31)-delimited strings because list_reduce's accumulator
+    must be scalar).
 
     Scale: training runs on a deterministic md5-range sample capped at
     ~2000 docs (_bpe_train_merges; the llm_hash_sample membership rule),
@@ -3761,15 +3900,17 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> list:
     return merges
 
 
-@register("llm_bpe_apply", oracle=None, category="K")
+@register("llm_bpe_apply", oracle=_BPE_APPLY_ORACLE, category="K")
 def llm_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLY at corpus scale — encode every document with
     the merge table llm_bpe_train learns, emitting per-doc token counts
     and FERTILITY (tokens per word — the number every tokenizer ships
-    in its model card). No SQL oracle (the merge table comes from ten
-    argmax-rewrite rounds); pinned EXACTLY against the pure-Python
-    reference tokenizer in tests/test_r10_ops.py, rows-only in the
-    driver ledger by declared contract.
+    in its model card). Full SQL oracle since r11: the oracle re-learns
+    the merge table with the train rounds' unrolled CTEs
+    (_bpe_rounds_sql, sampled exactly like the engine) and then encodes
+    the corpus-wide vocabulary with those captured pairs
+    (_bpe_encode_sql); also pinned EXACTLY against the pure-Python
+    reference tokenizer in tests/test_r10_ops.py.
 
     Scale shape: the merges are a 10-row broadcast-as-literals table;
     encoding runs on the DISTINCT-WORD dictionary (Heaps-sublinear in

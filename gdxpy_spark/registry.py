@@ -117,7 +117,8 @@ _ARTIFACT_PRIORITY = [
     "llm_simhash",  # r11: newly oracled (md5 two-half hash)
     "llm_ann_lsh",  # r11: newly oracled (literal planes + SQL n_bits)
     "llm_ann_lsh_multiprobe",  # r11: newly oracled
-    "llm_bpe_train",  # r11: implementation changed (capped-sample train)
+    "llm_bpe_train",  # r11: newly oracled (unrolled argmax-rewrite CTEs) + sampled train
+    "llm_bpe_apply",  # r11: newly oracled (SQL re-learn + vocab encode)
     "agg_approx_distinct",  # r01
     "agg_approx_percentile",  # r01
     "agg_collect_sorted",  # r01
