@@ -342,24 +342,68 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(features, schema="doc_id BIGINT, feature ARRAY<FLOAT>")
 
 
-@register("mm_feature_extract", oracle=None, category="MM")  # weak: no byte-level oracle
+def _mm_feature_oracle() -> str:
+    """DuckDB twin of mm_feature_extract. The blob payload after the
+    16-byte header is the document's utf-8 text (ASCII on this corpus —
+    the same byte⇔ascii(substr) identity _AUDIO_ORACLE already relies
+    on), so the 8-bin byte histogram is computable from `text` alone:
+    bin = byte >> 5, count/len widened through REAL exactly like
+    numpy's float32 vectors, then the established ROUND(x,4)+0.0
+    cross-engine pattern per feature column."""
+    rf = "\n".join(
+        f"         COALESCE(MAX(CASE WHEN b = {k} THEN CAST(CAST(c AS DOUBLE)"
+        f" / GREATEST(1, d.n_chars) AS REAL) END), CAST(0.0 AS REAL)) AS rf{k},"
+        for k in range(8)
+    ).rstrip(",")
+    fcols = ",\n".join(
+        f"       ROUND(CAST(rf{k} AS DOUBLE), 4) + 0.0 AS f{k}" for k in range(8)
+    )
+    l1 = " + ".join(f"(ROUND(CAST(rf{k} AS DOUBLE), 4))" for k in range(8))
+    return f"""
+WITH counts AS MATERIALIZED (
+  SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) // 32 AS b,
+         COUNT(*) AS c
+  FROM (SELECT doc_id, text, unnest(generate_series(1, n_chars)) AS i
+        FROM documents WHERE n_chars > 0)
+  GROUP BY doc_id, b
+),
+f AS MATERIALIZED (
+  SELECT d.doc_id,
+{rf}
+  FROM documents d LEFT JOIN counts USING (doc_id)
+  GROUP BY d.doc_id, d.n_chars
+)
+SELECT doc_id, 8 AS dim,
+{fcols},
+       ROUND({l1}, 4) + 0.0 AS l1_checksum
+FROM f
+"""
+
+
+@register("mm_feature_extract", oracle=_mm_feature_oracle(), category="MM")
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction: binary payload → 8-dim float vector (byte-
-    histogram moments over 8 equal-width bins — deterministic, so the
-    rows-only check is reproducible; a real deployment swaps the inner
-    loop for a vision encoder via decode_real). The array DataFrame
-    lives in media_features(); this registered view flattens the vector
-    to a rounded comma-joined string plus an L1-scaled checksum, both
-    JVM-side (transform + format_number + aggregate), so every output
-    cell is a hashable scalar for the driver's rows-only check."""
+    histogram moments over 8 equal-width bins — deterministic; a real
+    deployment swaps the inner loop for a vision encoder via
+    decode_real). The array DataFrame lives in media_features(); this
+    registered view flattens the vector to 8 rounded DOUBLE columns
+    plus an L1-scaled checksum, all JVM-side, so every output cell is a
+    hashable scalar. Full value-hash oracle since r11 (was weak): the
+    payload is byte-reconstructible from `text`, so DuckDB recomputes
+    the histogram exactly (see _mm_feature_oracle; the r1–r10
+    format_number CSV string was the only non-portable part and is
+    replaced by per-column ROUND — strictly more checkable)."""
     feats = media_features(spark, sf_dir)
     return feats.select(
         "doc_id",
         F.size("feature").alias("dim"),
-        F.concat_ws(
-            ",",
-            F.transform(F.col("feature"), lambda x: F.format_number(x.cast("double"), 4)),
-        ).alias("feature_csv"),
+        *[
+            (
+                F.round(F.element_at("feature", i + 1).cast("double"), 4)
+                + F.lit(0.0)
+            ).alias(f"f{i}")
+            for i in range(8)
+        ],
         F.round(
             F.aggregate(
                 F.col("feature"),

@@ -119,6 +119,7 @@ _ARTIFACT_PRIORITY = [
     "llm_ann_lsh_multiprobe",  # r11: newly oracled
     "llm_bpe_train",  # r11: newly oracled (unrolled argmax-rewrite CTEs) + sampled train
     "llm_bpe_apply",  # r11: newly oracled (SQL re-learn + vocab encode)
+    "mm_feature_extract",  # r11: newly oracled (byte-histogram recomputed in SQL)
     "agg_approx_distinct",  # r01
     "agg_approx_percentile",  # r01
     "agg_collect_sorted",  # r01
@@ -169,11 +170,8 @@ _ARTIFACT_PRIORITY = [
     "gdx_squeeze",  # r05
     "gdx_symbol_wide",  # r05
     "llm_ann_ivf",  # r05
-    "llm_ann_lsh",  # r05
-    "llm_ann_lsh_multiprobe",  # r05
     "llm_bigram_score",  # r05
     "llm_cosine_pairs",  # r05
-    "llm_dedup_clusters",  # r05
     "llm_doc_quality",  # r05
     "llm_doc_stats",  # r05
     "llm_embed_dedup",  # r05
@@ -183,16 +181,13 @@ _ARTIFACT_PRIORITY = [
     "llm_knn_brute",  # r05
     "llm_knn_topk",  # r05
     "llm_lang_id",  # r05
-    "llm_minhash_sig",  # r05
     "llm_ngram_jaccard",  # r05
     "llm_pack_sequences",  # r05
     "llm_quality_filter",  # r05
-    "llm_simhash",  # r05
     "llm_tf",  # r05
     "llm_tfidf",  # r05
     "llm_token_bpe",  # r05
     "llm_token_wordcount",  # r05
-    "mm_feature_extract",  # r05
     "mm_frame_sample",  # r05
     "mm_image_meta",  # r05
     "mm_resize",  # r05
@@ -342,7 +337,6 @@ _ARTIFACT_PRIORITY = [
     "llm_ann_ivf_served",  # r10
     "llm_bm25_score",  # r10
     "llm_boilerplate_ngrams",  # r10
-    "llm_bpe_apply",  # r10
     "llm_corpus_card",  # r10
     "llm_gopher_rep_stats",  # r10
     "llm_length_blocking",  # r10
