@@ -431,7 +431,10 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark still only advances between batches). Still a genuine
     2-micro-batch stateful replay: join state persists across, and is
     watermark-evicted at, the batch boundary. RocksDB state store was
-    probed too and is not faster at this state size (SCALE.md r7)."""
+    probed and is not faster at this state size (SCALE.md r7), nor at
+    10× state (SCALE.md r11, scale_probe_streaming.py: the default
+    store widens its lead — RocksDB's per-trigger SST flush dominates
+    until state outgrows executor memory)."""
     # fixture = 4 ts-ordered slices of the two joining event types only
     # (other types never join — writing them would just tax the replay)
     n_files = 4
