@@ -1821,12 +1821,17 @@ def connected_components(
     connectivity, never orient an edge away from the component minimum,
     and at the fixpoint the edge set is a forest of stars rooted at each
     component's minimum node — so (child, root) edges ARE the labels.
-    The fixpoint is checked as set-equality of consecutive edge sets
-    (edge count + one-sided except; both sides are distinct by
-    construction). localCheckpoint() cuts lineage each round — without
-    it the plan doubles per iteration and the job dies long before
-    100 TB. This is the non-SQL-expressible iterative shape (SURVEY §5:
-    the driver records rows-only for it)."""
+    Convergence is detected STRUCTURALLY within the round: the edge set
+    is a star forest iff no parent is itself a child (an (x,y),(y,z)
+    chain join is empty) and every child has exactly one parent
+    (count == countDistinct(child)) — two metadata-light actions,
+    where comparing consecutive edge sets (the r11-initial check) costs
+    one extra FULL contraction round just to observe no change. A star
+    forest is provably stable under both operations, so stopping there
+    is exact. localCheckpoint() cuts lineage each round — without it
+    the plan doubles per iteration and the job dies long before 100 TB.
+    This is the non-SQL-expressible iterative shape (SURVEY §5: the
+    driver records rows-only for it)."""
     import warnings
 
     # orient every edge (big, small) and materialize ONCE: the upstream
@@ -1842,7 +1847,6 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
-    e_count = None  # carried across rounds: one count() per round, not two
     for _ in range(max_iters):
         # large-star: every node u sends its LARGER neighbors to
         # m = min(N(u) ∪ {u}); symmetric view feeds the groupBy
@@ -1872,17 +1876,24 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
-        # fixpoint: consecutive edge sets equal (both distinct, so
-        # equal counts + empty one-sided except ⇔ set equality; the
-        # short-circuit keeps the except join off the common path)
-        if e_count is None:
-            e_count = e.count()
-        ss_count = ss.count()
-        if ss_count == e_count and ss.exceptAll(e).count() == 0:
-            e = ss
-            converged = True
-            break
-        e, e_count = ss, ss_count
+        # fixpoint: ss is a star forest ⇔ every child has exactly one
+        # parent AND no parent is itself a child — then it is provably
+        # stable under both star operations and IS the answer (see
+        # docstring; detecting here saves the extra observation round)
+        n_edges, n_children = ss.agg(
+            F.count("*"), F.count_distinct("u")
+        ).first()
+        if n_edges == n_children:
+            no_chains = (
+                ss.alias("a")
+                .join(ss.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
+                .isEmpty()
+            )
+            if no_chains:
+                e = ss
+                converged = True
+                break
+        e = ss
     if not converged:
         warnings.warn(
             f"connected_components: max_iters={max_iters} reached before "
