@@ -367,6 +367,121 @@ def llm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Kneser-Ney smoothed bigram LM scoring (r11)
+# ---------------------------------------------------------------------------
+_KN_ORACLE = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents),
+bi AS MATERIALIZED (
+  SELECT doc_id, ts[CAST(i AS INT)] AS w1, ts[CAST(i AS INT) + 1] AS w2
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts))) AS i
+        FROM toks WHERE len(ts) >= 2)),
+cb AS MATERIALIZED (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+ctx AS MATERIALIZED (
+  SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1f FROM cb GROUP BY w1),
+cont AS MATERIALIZED (
+  SELECT w2, COUNT(*) AS n1r FROM cb GROUP BY w2),
+tot AS (SELECT COUNT(*) AS b FROM cb),
+model AS MATERIALIZED (
+  SELECT cb.w1, cb.w2,
+         CAST(ROUND(ln(
+           (CAST(c12 AS DOUBLE) - 0.75) / c1
+           + 0.75 * n1f / c1 * (CAST(n1r AS DOUBLE) / b)
+         ) * 1000000.0) AS BIGINT) AS q
+  FROM cb JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tot)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0, 4) + 0.0
+           AS kn_logp
+FROM bi JOIN model USING (w1, w2)
+GROUP BY doc_id
+"""
+
+
+@register("llm_kneser_ney", oracle=_KN_ORACLE, category="K")
+def llm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram LM quality score (Kneser & Ney 1995;
+    the estimator real n-gram LMs ship) — per document, the mean log
+    P_KN(w₂|w₁) with absolute discount d = 0.75:
+
+        P_KN(w₂|w₁) = (c(w₁w₂) − d)/c(w₁)
+                      + d · N₁₊(w₁•)/c(w₁) · N₁₊(•w₂)/B
+
+    where N₁₊(w₁•) is how many distinct words follow w₁, N₁₊(•w₂) —
+    the CONTINUATION count — is how many distinct words precede w₂
+    (the insight that separates KN from MLE/backoff: "Francisco" is
+    frequent but only ever follows "San", so its continuation mass is
+    tiny), and B is the distinct-bigram total. Trained on the corpus
+    itself, so every scored bigram has c ≥ 1 > d and the max(·,0)
+    clamp is vacuous. Complements llm_bigram_score (MLE — the r5
+    predictability signal) and llm_perplexity_proxy (unigram): low KN
+    score ⇒ improbable transitions ⇒ gibberish/boilerplate candidates.
+
+    Cross-engine exactness: per-bigram log-probs are quantized ONCE to
+    integer micro-nats (round(ln(P)·10⁶) → BIGINT — the
+    llm_perplexity_proxy discipline), so per-doc sums are integer
+    arithmetic, order-independent and identical in both engines; only
+    the final mean is a rounded double. The inner P expression is
+    written with the same association order in both engines.
+
+    Scale: two corpus-count groupBys (vocab²- and vocab-sized), two
+    metadata-sized stat joins to assemble the model table, the
+    distinct-bigram total rides as a 1-row broadcast (never a driver
+    collect), one shuffle join of the bigram stream against the model,
+    one per-doc partial agg. Nothing quadratic, no windows, no
+    vocabulary on the driver."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_remove(F.split("text", " "), "").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    m = F.size("ts") - 1
+    bi = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice("ts", 1, m),
+                F.slice("ts", 2, m),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    cb = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = cb.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1f")
+    )
+    cont = cb.groupBy("w2").agg(F.count("*").alias("n1r"))
+    tot = cb.agg(F.count("*").alias("b"))
+    p = (F.col("c12").cast("double") - F.lit(0.75)) / F.col("c1") + F.lit(
+        0.75
+    ) * F.col("n1f") / F.col("c1") * (F.col("n1r").cast("double") / F.col("b"))
+    model = (
+        cb.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2",
+            F.round(F.log(p) * F.lit(1000000.0), 0).cast("bigint").alias("q"),
+        )
+    )
+    return (
+        bi.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (
+                F.round(
+                    F.sum("q").cast("double") / F.count("*") / F.lit(1000000.0),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("kn_logp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram (character trigram) Jaccard near-dup — same bitmask machinery as
 # llm_length_blocking, different shingling function
 # ---------------------------------------------------------------------------

@@ -227,7 +227,9 @@ def main() -> None:
                  "llm_span_corruption", "llm_semdedup", "llm_ann_ivf",
                  # r10 third wave
                  "fn_zorder", "src_parquet_zorder", "ts_holt_winters",
-                 "join_interval_overlap"):
+                 "join_interval_overlap",
+                 # r11 addition
+                 "llm_kneser_ney"):
         a = timed(lambda: queries[name].fn(spark, S1))
         b = timed(lambda: queries[name].fn(spark, S10))
         rows.append((name, a, b))

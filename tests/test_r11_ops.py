@@ -325,3 +325,60 @@ def test_cc_oracle_rounds_converged_at_configured_depth(duck):
     base = sorted(duck.execute(_MINHASH_DEDUP_ORACLE).fetchall())
     deep = sorted(duck.execute(deeper).fetchall())
     assert base == deep and base
+
+
+# ---- Kneser-Ney bigram LM scoring (r11 addition) -----------------------------
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    """The distributed KN estimator must reproduce a driver-side
+    pure-Python Kneser-Ney (d=0.75, continuation counts, micro-nat
+    quantization) EXACTLY — counts, discount mass and the rounding
+    discipline all pinned, not just the shape."""
+    import math
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from gdxpy_spark.registry import all_queries
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    bi_by_doc, cb = defaultdict(list), Counter()
+    for r in docs:
+        ws = [w for w in r["text"].split(" ") if w]
+        pairs = list(zip(ws, ws[1:]))
+        if pairs:
+            bi_by_doc[r["doc_id"]] = pairs
+            cb.update(pairs)
+    c1, n1f, n1r = Counter(), Counter(), Counter()
+    for (w1, w2), c in cb.items():
+        c1[w1] += c
+        n1f[w1] += 1
+        n1r[w2] += 1
+    B = len(cb)
+    q = {}
+    for (w1, w2), c in cb.items():
+        p = (float(c) - 0.75) / c1[w1] + 0.75 * n1f[w1] / c1[w1] * (
+            float(n1r[w2]) / B
+        )
+        # Spark F.round(x, 0) is HALF_UP on the double's shortest repr
+        q[(w1, w2)] = int(
+            Decimal(repr(math.log(p) * 1000000.0)).quantize(
+                Decimal("1"), ROUND_HALF_UP
+            )
+        )
+    expect = {}
+    for doc_id, pairs in bi_by_doc.items():
+        s = sum(q[p] for p in pairs)
+        expect[doc_id] = (
+            len(pairs),
+            float(
+                Decimal(repr(s / len(pairs) / 1000000.0)).quantize(
+                    Decimal("0.0001"), ROUND_HALF_UP
+                )
+            ),
+        )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["kn_logp"])
+        for r in all_queries()["llm_kneser_ney"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expect
