@@ -11,7 +11,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gdxpy_spark.operators._util import r4, shuffle_partitions, word_shingles
+from gdxpy_spark.operators._util import (
+    managed_cache,
+    r4,
+    shuffle_partitions,
+    word_shingles,
+)
 from gdxpy_spark.operators.llm import blocked_jaccard_auto
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
@@ -363,6 +368,139 @@ def llm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000,
             4,
         ).alias("avg_predictability"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (r11)
+# ---------------------------------------------------------------------------
+_DSIR_ORACLE = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents),
+feats AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS f
+  FROM (
+    SELECT doc_id, lang, unnest(ts) AS g FROM toks
+    UNION ALL
+    SELECT doc_id, lang,
+           ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT) + 1] AS g
+    FROM (SELECT doc_id, lang, ts, unnest(range(1, len(ts))) AS i
+          FROM toks WHERE len(ts) >= 2)
+  )),
+raw AS MATERIALIZED (SELECT f, COUNT(*) AS cr FROM feats GROUP BY f),
+tgt AS MATERIALIZED (
+  SELECT f, COUNT(*) AS ct FROM feats WHERE lang = 'en' GROUP BY f),
+tots AS (SELECT (SELECT SUM(cr) FROM raw) AS tr,
+                (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS tt),
+model AS MATERIALIZED (
+  SELECT raw.f,
+         CAST(ROUND((
+           ln((CAST(COALESCE(ct, 0) AS DOUBLE) + 1.0) / (tt + 4096.0))
+           - ln((CAST(cr AS DOUBLE) + 1.0) / (tr + 4096.0))
+         ) * 1000000.0) AS BIGINT) AS q
+  FROM raw LEFT JOIN tgt USING (f) CROSS JOIN tots)
+SELECT doc_id,
+       COUNT(*) AS n_feats,
+       ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0, 4) + 0.0
+           AS dsir_logratio
+FROM feats JOIN model USING (f)
+GROUP BY doc_id
+"""
+
+
+@register("llm_dsir_weights", oracle=_DSIR_ORACLE, category="K")
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the mean log-ratio of a TARGET distribution to the RAW corpus
+    distribution over hashed n-gram features — the published recipe for
+    selecting pretraining data that "looks like" a target domain
+    without training a classifier. Here: features are word unigrams AND
+    bigrams hashed into 4096 buckets (md5-u32 mod 4096 — the
+    engine-portable hash family), the target is the `lang = 'en'`
+    slice, both distributions add-1 smoothed over the bucket space.
+    Downstream selection is `ORDER BY dsir_logratio` sampling (the
+    paper resamples with Gumbel noise; the deterministic score is the
+    data-card-citable part).
+
+    Cross-engine exactness: per-feature log-ratios quantize once to
+    integer micro-nats (the llm_perplexity_proxy discipline), so
+    per-doc sums are order-independent integer arithmetic in both
+    engines; only the final mean is a rounded double.
+
+    Scale: the feature stream is 2 map-only explodes (no shuffle until
+    the counts); raw/target counts are two partial-aggregable groupBys
+    over a 4096-bucket space — the model table is KILOBYTES at any
+    corpus size (that is the point of hashed features), broadcast back
+    onto the stream; one per-doc partial agg ends it. The target slice
+    never needs a second scan (conditional aggregation rides the same
+    pass in the oracle; the engine's filter-join reuses the cached
+    feature frame)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.array_remove(F.split("text", " "), "").alias("ts")
+    )
+    m = F.size("ts") - 1
+    uni = toks.select("doc_id", "lang", F.explode("ts").alias("g"))
+    big = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            "doc_id", "lang",
+            F.explode(
+                F.zip_with(
+                    F.slice("ts", 1, m), F.slice("ts", 2, m),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("g"),
+        )
+    )
+    feats = managed_cache(
+        uni.unionByName(big).select(
+            "doc_id", "lang",
+            (
+                F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("bigint")
+                % F.lit(4096)
+            ).alias("f"),
+        )
+    )
+    raw = feats.groupBy("f").agg(F.count("*").alias("cr"))
+    tgt = feats.filter(F.col("lang") == "en").groupBy("f").agg(
+        F.count("*").alias("ct")
+    )
+    tots = raw.agg(F.sum("cr").alias("tr")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    )
+    q = (
+        F.log(
+            (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + F.lit(1.0))
+            / (F.col("tt") + F.lit(4096.0))
+        )
+        - F.log(
+            (F.col("cr").cast("double") + F.lit(1.0))
+            / (F.col("tr") + F.lit(4096.0))
+        )
+    )
+    model = (
+        raw.join(tgt, "f", "left")
+        .crossJoin(F.broadcast(tots))
+        .select("f", F.round(q * F.lit(1000000.0), 0).cast("bigint").alias("q"))
+    )
+    return (
+        feats.join(F.broadcast(model), "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            (
+                F.round(
+                    F.sum("q").cast("double") / F.count("*") / F.lit(1000000.0),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("dsir_logratio"),
+        )
     )
 
 

@@ -228,8 +228,8 @@ def main() -> None:
                  # r10 third wave
                  "fn_zorder", "src_parquet_zorder", "ts_holt_winters",
                  "join_interval_overlap",
-                 # r11 addition
-                 "llm_kneser_ney"):
+                 # r11 additions
+                 "llm_kneser_ney", "llm_dsir_weights"):
         a = timed(lambda: queries[name].fn(spark, S1))
         b = timed(lambda: queries[name].fn(spark, S10))
         rows.append((name, a, b))

@@ -382,3 +382,37 @@ def test_kneser_ney_matches_python_reference(spark):
         for r in all_queries()["llm_kneser_ney"].fn(spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+# ---- DSIR importance weights (r11 addition) ----------------------------------
+
+
+def test_dsir_separates_target_language(spark):
+    """The whole point of DSIR: documents FROM the target distribution
+    (lang='en') must score higher on average than documents outside it.
+    The synthetic corpus draws all languages from one shared vocabulary
+    (lang is a column, not a vocabulary shift), so the gap is small but
+    its SIGN is a deterministic property of the fixed corpus — pinned
+    strictly. Also pins determinism across 2 runs."""
+    from gdxpy_spark.registry import all_queries
+
+    docs = {
+        r["doc_id"]: r["lang"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "lang").collect()
+    }
+    run1 = {
+        r["doc_id"]: (r["n_feats"], r["dsir_logratio"])
+        for r in all_queries()["llm_dsir_weights"].fn(spark, SF_DIR).collect()
+    }
+    run2 = {
+        r["doc_id"]: (r["n_feats"], r["dsir_logratio"])
+        for r in all_queries()["llm_dsir_weights"].fn(spark, SF_DIR).collect()
+    }
+    assert run1 == run2
+    en = [v[1] for k, v in run1.items() if docs[k] == "en"]
+    other = [v[1] for k, v in run1.items() if docs[k] != "en"]
+    assert en and other
+    mean_en = sum(en) / len(en)
+    mean_other = sum(other) / len(other)
+    assert mean_en > mean_other, (mean_en, mean_other)
