@@ -416,3 +416,27 @@ def test_dsir_separates_target_language(spark):
     mean_en = sum(en) / len(en)
     mean_other = sum(other) / len(other)
     assert mean_en > mean_other, (mean_en, mean_other)
+
+
+# ---- graph_components star-round oracle convergence ---------------------------
+
+
+def test_graph_components_star_oracle_converged(duck):
+    """The unrolled star-contraction oracle must be at its fixpoint at
+    the configured depth: one more round changes nothing (an
+    unconverged depth would under-merge silently on a deeper graph)."""
+    from gdxpy_spark.operators.graphs import (
+        _GRAPH_CC_ROUNDS,
+        _components_oracle,
+    )
+    from gdxpy_spark.operators.llm import _cc_star_rounds_sql
+
+    n = _GRAPH_CC_ROUNDS
+    base_sql = _components_oracle()
+    deeper = base_sql.replace(
+        _cc_star_rounds_sql(n), _cc_star_rounds_sql(n + 1)
+    ).replace(f"FROM se{n}\n", f"FROM se{n + 1}\n")
+    assert f"se{n + 1}" in deeper
+    base = sorted(duck.execute(base_sql).fetchall())
+    deep = sorted(duck.execute(deeper).fetchall())
+    assert base == deep and base
