@@ -12,6 +12,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 PICKS = [
+    ("llm_kneser_ney",
+     "KN bigram LM scoring: model assembly is metadata-sized stat joins, "
+     "the bigram total rides as a 1-row broadcast, stream join + 1 agg"),
+    ("llm_dsir_weights",
+     "DSIR: KB-sized hashed-feature model broadcast onto the stream — "
+     "no vocabulary-sized shuffle anywhere"),
     ("agg_groupby_basic",
      "TPC-H Q1 shape: pushdown + partial-before-shuffle aggregation"),
     ("tpch_q5_shape",
