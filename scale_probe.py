@@ -229,7 +229,8 @@ def main() -> None:
                  "fn_zorder", "src_parquet_zorder", "ts_holt_winters",
                  "join_interval_overlap",
                  # r11 additions
-                 "llm_kneser_ney", "llm_dsir_weights", "graph_components"):
+                 "llm_kneser_ney", "llm_dsir_weights", "graph_components",
+                 "llm_kmeans_lloyd"):
         a = timed(lambda: queries[name].fn(spark, S1))
         b = timed(lambda: queries[name].fn(spark, S10))
         rows.append((name, a, b))

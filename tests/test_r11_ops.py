@@ -440,3 +440,72 @@ def test_graph_components_star_oracle_converged(duck):
     base = sorted(duck.execute(base_sql).fetchall())
     deep = sorted(duck.execute(deeper).fetchall())
     assert base == deep and base
+
+
+# ---- deterministic Lloyd k-means (r11 addition) -------------------------------
+
+
+def test_kmeans_lloyd_matches_python_reference(spark):
+    """The distributed Lloyd loop must reproduce a driver-side
+    pure-Python k-means EXACTLY — md5-ranked seeding, 9-decimal centroid
+    quantization, (distance, cell) argmin tie-break and the final
+    4-decimal distances all pinned. Also the classic invariant: total
+    SSE is non-increasing round over round in the reference."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from gdxpy_spark.operators.llm import _KMEANS_K, _KMEANS_ROUNDS
+    from gdxpy_spark.registry import all_queries
+
+    rows = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    seeds = sorted(vecs, key=lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    cents = [list(vecs[i]) for i in seeds[:_KMEANS_K]]
+
+    def r9(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-9"), ROUND_HALF_UP)
+        )
+
+    def assign(cents):
+        out = {}
+        for vid, v in vecs.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(v, c)), j)
+                for j, c in enumerate(cents)
+            )
+            out[vid] = best  # (d2, cell)
+        return out
+
+    sses = []
+    for _ in range(_KMEANS_ROUNDS):
+        asg = assign(cents)
+        sses.append(sum(d for d, _ in asg.values()))
+        by_cell = {}
+        for vid, (_d, c) in asg.items():
+            by_cell.setdefault(c, []).append(vecs[vid])
+        for c, members in by_cell.items():
+            n = len(members)
+            cents[c] = [
+                r9(sum(m[d] for m in members) / n) for d in range(64)
+            ]
+    assert all(a >= b - 1e-9 for a, b in zip(sses, sses[1:]))  # SSE monotone
+    final = assign(cents)
+    expect = {
+        vid: (
+            c,
+            float(
+                Decimal(repr(d)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+            ),
+        )
+        for vid, (d, c) in final.items()
+    }
+    got = {
+        r["vec_id"]: (r["cell"], r["dist2"])
+        for r in all_queries()["llm_kmeans_lloyd"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expect
