@@ -4361,8 +4361,8 @@ _KMEANS_K = 16
 _KMEANS_ROUNDS = 6
 
 
-def _kmeans_oracle(k: int = _KMEANS_K, rounds: int = _KMEANS_ROUNDS) -> str:
-    """DuckDB twin of llm_kmeans_lloyd: the Lloyd rounds unrolled into
+def _kmeans_rounds_sql(k: int = _KMEANS_K, rounds: int = _KMEANS_ROUNDS) -> str:
+    """CTE body (everything inside WITH) of the DuckDB twin of llm_kmeans_lloyd: the Lloyd rounds unrolled into
     MATERIALIZED CTEs (the _bpe_rounds_sql trick applied to clustering).
     Exactness comes from three disciplines: (1) seeds are the k vectors
     with the smallest md5(vec_id) — a pure row function, no RNG; (2)
@@ -4415,9 +4415,13 @@ cent{r + 1} AS MATERIALIZED (
   FROM cent{r} p
   LEFT JOIN (SELECT cell, list(x ORDER BY pos) AS c
              FROM upd{r} GROUP BY cell) u USING (cell))""")
-    body = ",".join(parts)
+    return ",".join(parts)
+
+
+def _kmeans_oracle(k: int = _KMEANS_K, rounds: int = _KMEANS_ROUNDS) -> str:
+    """Full oracle for llm_kmeans_lloyd (rounds body + final select)."""
     return f"""
-WITH {body}
+WITH {_kmeans_rounds_sql(k, rounds)}
 SELECT vec_id, CAST(cell AS INT) AS cell,
        ROUND(d2, 4) + 0.0 AS dist2
 FROM asg{rounds}
@@ -4449,6 +4453,29 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE. At 100 TB: n·k distance work and one n-sized shuffle per
     round — the textbook distributed Lloyd cost, with k chosen by the
     caller (k≈√n for IVF, see _ivf_k)."""
+    asg, _cents = _kmeans_fit(spark, sf_dir)
+    return asg.select(
+        "vec_id", "cell", (F.round("d2", 4) + F.lit(0.0)).alias("dist2")
+    )
+
+
+# fitted centroids are metadata (k×64 quantized doubles); memoized per
+# dataset fingerprint with the _BPE_MERGE_MEMO discipline (LRU-capped,
+# content-addressed — never stale) so llm_kmeans_lloyd +
+# llm_ann_ivf_checked in one session fit once and serve after
+_KMEANS_MEMO: dict = {}
+
+
+def _kmeans_fit(spark: SparkSession, sf_dir: str):
+    """The Lloyd loop behind llm_kmeans_lloyd (see its docstring).
+    Returns (final assignment DataFrame (vec_id, cell, d2), the final
+    quantized centroid list) — shared with llm_ann_ivf_checked, which
+    probes the same quantizer."""
+    import os
+
+    from gdxpy_spark.operators._util import files_fingerprint
+
+    memo_key = files_fingerprint([os.path.join(sf_dir, "embeddings.parquet")])
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # the posexploded (vec_id, pos, v) frame feeds EVERY round's distance
     # join and centroid update — cache it once (n×64 skinny rows)
@@ -4457,15 +4484,20 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.posexplode("embedding").alias("pos", "v")
         ).withColumn("v", F.col("v").cast("double"))
     )
-    seeds = (
-        e.orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(_KMEANS_K)
-        .select(
-            F.transform("embedding", lambda v: v.cast("double")).alias("c")
+    if memo_key in _KMEANS_MEMO:
+        centroids = _KMEANS_MEMO[memo_key]
+        rounds = 0  # fit cached: serve-only (one final assignment job)
+    else:
+        seeds = (
+            e.orderBy(F.md5(F.col("vec_id").cast("string")))
+            .limit(_KMEANS_K)
+            .select(
+                F.transform("embedding", lambda v: v.cast("double")).alias("c")
+            )
+            .collect()
         )
-        .collect()
-    )
-    centroids = [list(r["c"]) for r in seeds]  # k x 64 doubles: metadata
+        centroids = [list(r["c"]) for r in seeds]  # k x 64 doubles: metadata
+        rounds = _KMEANS_ROUNDS
 
     def assign(cents):
         # distances as one codegen'd equi-join: (vec,pos,v) x broadcast
@@ -4488,7 +4520,7 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", F.col("b.cell").alias("cell"), F.col("b.d2").alias("d2")
         )
 
-    for _r in range(_KMEANS_ROUNDS):
+    for _r in range(rounds):
         asg = assign(centroids)
         upd = (
             asg.join(ve, "vec_id")
@@ -4505,7 +4537,101 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for row in upd:  # empty cells keep their previous centroid
             centroids[row["cell"]] = list(row["c"])
-    final = assign(centroids)
-    return final.select(
-        "vec_id", "cell", (F.round("d2", 4) + F.lit(0.0)).alias("dist2")
+    _KMEANS_MEMO[memo_key] = centroids
+    while len(_KMEANS_MEMO) > _BPE_MERGE_MEMO_CAP:
+        _KMEANS_MEMO.pop(next(iter(_KMEANS_MEMO)))
+    return assign(centroids), centroids
+
+
+def _ivf_checked_oracle() -> str:
+    """DuckDB twin of llm_ann_ivf_checked: the Lloyd quantizer's rounds
+    (shared CTE body with llm_kmeans_lloyd's oracle), then the IVF
+    serving shape — index side = every vector in its top-1 cell, query
+    side probes its 2 nearest centroids (the final round's dist frame
+    already holds every (vector, cell) distance), exact cosine + the
+    (cos DESC, nn_id ASC) top-1 from the established scoring tail."""
+    R = _KMEANS_ROUNDS
+    return f"""
+WITH {_kmeans_rounds_sql()},
+probes AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist{R})
+  WHERE rn <= 2),
+idx AS MATERIALIZED (SELECT vec_id, cell FROM asg{R}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT p.vec_id, x.vec_id AS nn_id
+  FROM probes p JOIN idx x USING (cell)
+  WHERE p.vec_id <> x.vec_id),
+en AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS norm
+  FROM embeddings),
+scored AS MATERIALIZED (
+  SELECT c.vec_id, c.nn_id,
+         SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+             * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+         / (a.norm * b.norm) AS cos_sim
+  FROM cand c
+  JOIN en a ON a.vec_id = c.vec_id
+  JOIN en b ON b.vec_id = c.nn_id
+  CROSS JOIN generate_series(1, 64) t(i)
+  WHERE i <= len(a.embedding)
+  GROUP BY c.vec_id, c.nn_id, a.norm, b.norm)
+SELECT vec_id, nn_id, ROUND(cos_sim, 4) + 0.0 AS cos_sim
+FROM (SELECT vec_id, nn_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, nn_id ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+@register("llm_ann_ivf_checked", oracle=_ivf_checked_oracle(), category="K")
+def llm_ann_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor on the DETERMINISTIC Lloyd
+    quantizer (_kmeans_fit) — the fully-checkable twin of llm_ann_ivf:
+    same inverted-file shape (index side = top-1 cell assignment, query
+    side probes its nprobe=2 nearest centroids, exact cosine within the
+    probed cells, top-1 per query), but with the md5-seeded quantized
+    k-means instead of MLlib, so candidates AND results carry a full
+    value-hash oracle. The MLlib variant remains the production
+    pyspark.ml integration surface (weak by its engine-specific fit);
+    this op pins the ENTIRE IVF serving logic — probe ranking, cell
+    equi-join, tie-breaks — against DuckDB every round.
+
+    Scale: identical to llm_ann_ivf's serving cost model — probe
+    ranking is n·k distances against a kilobyte broadcast, candidates
+    are nprobe·n·(n/k) exact cosines in cell-equi-joined blocks; the
+    quantizer itself is llm_kmeans_lloyd's 6 driver-paced rounds."""
+    asg, cents = _kmeans_fit(spark, sf_dir)
+    e = _with_norm(table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    cent_rows = [
+        (j, p, x) for j, c in enumerate(cents) for p, x in enumerate(c)
+    ]
+    cdf = spark.createDataFrame(cent_rows, "cell INT, pos INT, c DOUBLE")
+    ve = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    d2 = (
+        ve.join(F.broadcast(cdf), "pos")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
     )
+    w = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    probes = (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("vec_id", "cell")
+    )
+    index_ids = asg.select("cell", "vec_id")
+    cand = (
+        probes.alias("q")
+        .join(index_ids.alias("x"), "cell")
+        .filter(F.col("q.vec_id") != F.col("x.vec_id"))
+        .select(F.col("q.vec_id").alias("vec_id"), F.col("x.vec_id").alias("nn_id"))
+        .distinct()
+    )
+    return _cosine_top1(e, cand)

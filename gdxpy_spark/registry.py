@@ -108,6 +108,7 @@ def load_all() -> None:
 # first — the r01 relational spine has waited longest), name-sorted
 # within a round. Regenerate next round by bumping the ledger glob.
 _ARTIFACT_PRIORITY = [
+    "llm_ann_ivf_checked",  # new r11
     "llm_kmeans_lloyd",  # new r11
     "graph_components",  # new r11
     "llm_dsir_weights",  # new r11

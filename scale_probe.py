@@ -230,7 +230,7 @@ def main() -> None:
                  "join_interval_overlap",
                  # r11 additions
                  "llm_kneser_ney", "llm_dsir_weights", "graph_components",
-                 "llm_kmeans_lloyd"):
+                 "llm_kmeans_lloyd", "llm_ann_ivf_checked"):
         a = timed(lambda: queries[name].fn(spark, S1))
         b = timed(lambda: queries[name].fn(spark, S10))
         rows.append((name, a, b))

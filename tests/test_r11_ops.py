@@ -509,3 +509,25 @@ def test_kmeans_lloyd_matches_python_reference(spark):
         for r in all_queries()["llm_kmeans_lloyd"].fn(spark, SF_DIR).collect()
     }
     assert got == expect
+
+
+def test_ivf_checked_recall_floor_vs_brute(spark):
+    """llm_ann_ivf_checked must find the TRUE nearest neighbor (per
+    llm_knn_brute) for a healthy fraction of vectors — nprobe=2 over 16
+    cells on this near-uniform corpus sits around 0.4-0.6; the floor
+    pins against silent recall collapse (e.g. a broken probe ranking
+    would still produce plausible-looking rows)."""
+    from gdxpy_spark.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    brute = {
+        r["vec_id"]: r["nn_id"]
+        for r in all_queries()["llm_knn_brute"].fn(spark, sf).collect()
+    }
+    got = {
+        r["vec_id"]: r["nn_id"]
+        for r in all_queries()["llm_ann_ivf_checked"].fn(spark, sf).collect()
+    }
+    assert set(got) == set(brute)
+    recall = sum(got[v] == brute[v] for v in brute) / len(brute)
+    assert recall >= 0.3, recall
