@@ -147,6 +147,16 @@ def sql_money4(expr: str, alias: str) -> str:
 # is executor-storage pressure for every later query, even though
 # MEMORY_AND_DISK degrades gracefully. Interleaved use stays CORRECT:
 # unpersist() only drops the materialized copy, the plan recomputes.
+#
+# DELIBERATELY OUTSIDE this discipline: the driver-side METADATA memos
+# (llm._BPE_MERGE_MEMO — 10 merge tuples/dataset, llm._KMEANS_MEMO —
+# k×64 quantized doubles/dataset). Those hold kilobytes in the DRIVER
+# process, not executor storage, and their whole point is surviving
+# the query cadence (bpe_train → bpe_apply, kmeans_lloyd →
+# ann_ivf_checked fit once per session). Each is content-addressed by
+# dataset fingerprint (never stale) and LRU-capped at
+# llm._BPE_MERGE_MEMO_CAP entries (process-lifetime retention bounded
+# to a handful of KB; cap pinned in tests/test_r12_ops.py).
 _live_caches: list[DataFrame] = []
 
 

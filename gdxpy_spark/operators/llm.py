@@ -1359,7 +1359,19 @@ def _lsh_oracle(multiprobe: bool) -> str:
     Hamming-1 fan-out, exact cosine and the (cos DESC, nn_id ASC)
     top-1 all mirror lsh_candidate_pairs/_cosine_top1 stage by stage.
     Projection/dot sums use the same SUM-over-generate_series shape as
-    _COS_ORACLE (the established cross-engine float pattern)."""
+    _COS_ORACLE (the established cross-engine float pattern).
+
+    ACCEPTED FLOAT RISK (r11 advice): the bucket bit is the UNROUNDED
+    sign of the projection sum, and DuckDB's group SUM may associate
+    differently than Spark's left-to-right F.aggregate fold — a
+    projection within summation-order error (~1e-13 relative) of 0
+    could flip a bit and cascade into whole-row mismatches. This is
+    deliberate: quantizing (ROUND(proj, 9)) before the sign test only
+    MOVES the knife-edge to the ±5e-10 rounding boundary without
+    shrinking its measure, so it buys nothing. For ±1-plane dots over
+    64 ~unit-scale terms, P(|sum| < 1e-13) ≈ 1e-14 per projection →
+    ~5e-11 per full run at sf0.01 — the same order as every
+    ROUND-guarded float elsewhere in this file."""
     planes = _lsh_planes(24, 64)
     plane_rows = ",\n".join(
         "    ({}, [{}])".format(
@@ -1980,9 +1992,11 @@ se{k + 1} AS MATERIALIZED (
 
 _CLUSTERS_ORACLE = f"""
 WITH tok AS MATERIALIZED (
-  SELECT DISTINCT doc_id, n_chars // 100 AS bucket,
-         unnest(list_distinct(string_split(text, ' '))) AS token
-  FROM documents
+  SELECT DISTINCT doc_id, bucket, token FROM (
+    SELECT doc_id, n_chars // 100 AS bucket,
+           unnest(list_distinct(string_split(text, ' '))) AS token
+    FROM documents)
+  WHERE token <> ''
 ),
 sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id),
 inter AS MATERIALIZED (
@@ -2254,8 +2268,12 @@ def minhash_band_pairs(
     # verify join's shuffle carried ~100× candidate rows × whole token
     # arrays — 8 bytes/token beats avg-word-length strings and compares
     # long-vs-long instead of string-vs-string in array_intersect. md5
-    # (not xxhash64) since r11 so the DuckDB oracle computes the same
-    # Jaccard even in the astronomically-unlikely collision case.
+    # (not xxhash64) since r11 so the hash family itself is
+    # cross-engine; note the oracle verifies Jaccard on RAW token
+    # strings, so an actual u60 collision (needs ~2^30 distinct tokens
+    # in one pair's union; sets here are ~10^2, P ≈ 1e-14) would
+    # surface as an engine/oracle score mismatch — accepted risk, NOT
+    # silent agreement (r11 advice correction).
     tokh = toks.select(
         "doc_id", F.transform("tokens", _md5_u60).alias("tokh")
     )

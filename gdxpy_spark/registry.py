@@ -98,7 +98,8 @@ def load_all() -> None:
 # Driver artifacts (CORRECTNESS_r*.json) cap at ~50 entries, truncating in
 # queries() iteration order. From r11 on, the window rotates by
 # INDEPENDENT-EVIDENCE AGE (r10 verdict "What's wrong" #4): SELFCHECK
-# re-verifies all ~265 registered queries every round, but it is
+# re-verifies all ~270 registered queries every round (270 registered /
+# 262 hash-oracled as of r12 — see make_catalog.py for live counts), but it is
 # builder-run — the driver's CORRECTNESS ledger is the independent
 # record, and with a 50-ID window an early-verified ID can go many
 # rounds without fresh driver evidence. Order: (1) queries NEW this

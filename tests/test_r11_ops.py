@@ -327,6 +327,30 @@ def test_cc_oracle_rounds_converged_at_configured_depth(duck):
     assert base == deep and base
 
 
+def test_clusters_oracle_rounds_converged_at_configured_depth(duck):
+    """r11 advice: _CLUSTERS_ORACLE builds a DIFFERENT graph than the
+    minhash oracle (0.8-threshold, bucket-blocked — sparser, so
+    potentially LONGER chains), and convergence at _CC_ROUNDS was only
+    pinned for the 0.5-threshold graph. Pin this one too: identical
+    rows at depth _CC_ROUNDS and _CC_ROUNDS+1."""
+    from gdxpy_spark.operators.llm import (
+        _CC_ROUNDS,
+        _CLUSTERS_ORACLE,
+        _cc_prop_rounds_sql,
+    )
+
+    deeper = _CLUSTERS_ORACLE.replace(
+        _cc_prop_rounds_sql(_CC_ROUNDS), _cc_prop_rounds_sql(_CC_ROUNDS + 1)
+    ).replace(
+        f"FROM lab{_CC_ROUNDS} WHERE id <> lab",
+        f"FROM lab{_CC_ROUNDS + 1} WHERE id <> lab",
+    )
+    assert f"lab{_CC_ROUNDS + 1}" in deeper  # both replacements engaged
+    base = sorted(duck.execute(_CLUSTERS_ORACLE).fetchall())
+    deep = sorted(duck.execute(deeper).fetchall())
+    assert base == deep and base
+
+
 # ---- Kneser-Ney bigram LM scoring (r11 addition) -----------------------------
 
 
