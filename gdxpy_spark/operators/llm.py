@@ -1508,31 +1508,28 @@ def _ivf_k(n: int, lo: int = 16) -> int:
     term but re-creates the quadratic in the COARSE search (n·k =
     n²/256 — r10 review catch). Same family of scaling law as
     _auto_n_bits for the LSH bucket space; `lo` keeps tiny corpora on
-    the historical 16 cells. At true 100 TB the coarse search itself
-    gets an index over centroids (HNSW/k-means tree) — out of scope
-    for the batch shapes here, noted in the serving docstring."""
+    the historical 16 cells. The n·√n coarse-rank term this leaves was
+    the last measured scale cliff (×37.6 wall at the 100× posture
+    probe) — closed in r12 by the second-level quantizer over the
+    centroids (_super_quantize/_ivf_probe_cells: coarse cost
+    n·n^0.25), the same move FAISS makes with a coarse index over the
+    centroid set."""
     import math
 
     return max(lo, math.ceil(math.sqrt(n)))
 
 
-@register("llm_ann_ivf", oracle=None, category="K")  # weak: approximate by design
-def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbor: k-means (MLlib, fixed seed)
-    partitions the vectors into corpus-sized coarse cells (_ivf_k:
-    k ≈ √n, floor 16); each query probes its 2 nearest centroids
-    (nprobe=2) and runs exact cosine against the vectors indexed in
-    those cells, then top-1 per query.
-
-    This is the inverted-file layout at any scale: the index side is
-    partitioned by cell (co-located, prunable), query fan-out is
-    nprobe/k of the corpus, and recall is tuned by nprobe — measured in
-    tests/test_ann.py against llm_knn_brute (~0.5 at nprobe=2 on this
-    near-uniform corpus, ≈1.0 on planted near-duplicates, which is the
-    distribution real dedup workloads have). Cache lifetime: the indexed
-    frame is cached for the probe+candidate joins via
-    _util.managed_cache — released when the next registered query
-    builds."""
+def ivf_mllib_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pyspark.ml integration DEMO (not registered since r12): the IVF
+    pipeline with an MLlib KMeans coarse quantizer instead of the
+    deterministic Lloyd fit. Until r11 this WAS llm_ann_ivf, weak by
+    construction — MLlib's kmeans|| init and engine-specific float
+    paths make the fit unreproducible in DuckDB, so the driver could
+    only rows-check it. r11 verdict #6: the registered llm_ann_ivf now
+    rides _lloyd_ivf_fit (same k=_ivf_k(n), same two-level probe, FULL
+    value-hash oracle); this demo keeps the MLlib surface exercised
+    (tests/test_ann.py smoke) for users who want the battle-tested
+    kmeans|| quality on hostile distributions."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -1550,9 +1547,6 @@ def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell INT, center ARRAY<DOUBLE>",
     )
-    # single probe/candidate/top-1 code path shared with the served op:
-    # test_ivf_served_equals_rebuild_variant pins the two EQUAL, and a
-    # divergent copy (tie-break, rounding) would break that silently
     return _ivf_candidates_top1(indexed, centers)
 
 
@@ -1570,19 +1564,21 @@ def _ivf_index_dir(sf_dir: str) -> str:
     fp = files_fingerprint([os.path.join(sf_dir, "embeddings.parquet")])
     parent = os.path.join(tempfile.gettempdir(), "gdxpy_spark_io")
     os.makedirs(parent, exist_ok=True)
-    # v3: k = √n (v2 was k = n/256, whose coarse search re-created the
-    # quadratic; v1 was fixed k=16) — the spec is part of the layout,
-    # so the v-tag bumps with it
+    # v4: deterministic Lloyd quantizer (sampled fit, md5 seeds) —
+    # replaces v3's MLlib KMeans so the persisted index is
+    # oracle-reproducible (v3: k = √n; v2: k = n/256, whose coarse
+    # search re-created the quadratic; v1: fixed k=16). The spec is
+    # part of the layout, so the v-tag bumps with it.
     return os.path.join(
-        parent, f"ivf_v3_{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
+        parent, f"ivf_v4_{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
     )
 
 
 def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """Build-once half of the IVF serving split: fit the coarse
-    quantizer (MLlib KMeans, fixed seed — same spec as llm_ann_ivf)
-    and PERSIST the index as two parquet layouts under one
-    atomically-published dir:
+    quantizer (deterministic Lloyd at k = _ivf_k(n) — _lloyd_ivf_fit,
+    same spec as llm_ann_ivf) and PERSIST the index as two parquet
+    layouts under one atomically-published dir:
 
       centers/  — the ~√n coarse centroids (k = _ivf_k(n)),
       cells/    — (vec_id, embedding, norm) PARTITIONED BY cell, so a
@@ -1592,8 +1588,8 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     Idempotent and content-fingerprinted: every later call (any
     session) sees the _SUCCESS markers and returns without fitting —
     the production build-once/query-many contract that
-    tests/test_r10_ops.py pins by making KMeans.fit raise on the
-    second call."""
+    tests/test_r10_ops.py pins by making the fit raise on the second
+    call."""
     import os
     import uuid as _uuid
 
@@ -1607,21 +1603,13 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
         )
 
     if not _complete(out):
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        e = table(spark, sf_dir, "embeddings").withColumn(
-            "fvec", array_to_vector(F.col("embedding").cast("array<double>"))
+        asg, cents = _lloyd_ivf_fit(spark, sf_dir)
+        e = _with_norm(
+            table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
         )
-        model = KMeans(
-            k=_ivf_k(e.count()), seed=42, featuresCol="fvec",
-            predictionCol="cell",
-        ).fit(e)
-        indexed = _with_norm(
-            model.transform(e).select("vec_id", "embedding", "cell")
-        )
+        indexed = e.join(asg.select("vec_id", "cell"), "vec_id")
         centers = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+            [(j, c) for j, c in enumerate(cents)],
             "cell INT, center ARRAY<DOUBLE>",
         )
         build = f"{out}.build_{_uuid.uuid4().hex[:8]}"
@@ -1635,26 +1623,73 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-def _ivf_probe_cells(q: DataFrame, centers: DataFrame, nprobe: int = 2) -> DataFrame:
+def _ivf_probe_cells(
+    q: DataFrame, centers: DataFrame, nprobe: int = 2, nprobe_super: int = 2
+) -> DataFrame:
     """Replicate each query row (vec_id, embedding, norm) to its
     ``nprobe`` nearest persisted centroids: the IVF probe fan-out shared
     by the serving path and SemDeDup's boundary-safe candidate
-    generation. The √n centroids broadcast (a few MB even at 10⁹
-    vectors); the per-vector rank is a window over its k centroid
-    distances, never the corpus."""
-    dist = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("center"),
-            lambda v, c: (v.cast("double") - c) * (v.cast("double") - c),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    generation.
+
+    TWO-LEVEL since r12 (the measured ×37.6 coarse-search cliff at the
+    100× posture probe): the k = √n centroids are themselves grouped
+    into g = √k super-groups by a deterministic driver-side Lloyd over
+    centroid METADATA (_super_quantize — kilobytes, no job); each query
+    ranks the g broadcast super-centroids (n·g ≈ n·n^0.25 rows), keeps
+    its ``nprobe_super`` nearest groups, then ranks only THOSE groups'
+    member centroids (≈ nprobe_super·n·√k rows) for the final
+    ``nprobe`` cells. Total coarse cost O(n·n^0.25) instead of the flat
+    rank's O(n·n^0.5); both rank windows shuffle narrow (id, d2) rows
+    partitioned by vec_id. Approximation surface: a true nearest cell
+    whose super-group is outside the query's top-``nprobe_super``
+    groups is not probed — recall floors pinned in tests/test_ann.py.
+    Centroids below 9 stay on the flat single-level rank (a hierarchy
+    over <3 groups prunes nothing)."""
+    spark = q.sparkSession
+
+    def d2_against(center_col):
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                center_col,
+                lambda v, c: (v.cast("double") - c) * (v.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
     wq = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    crows = sorted(centers.collect(), key=lambda r: r["cell"])
+    k = len(crows)
+    if k < 9:
+        return (
+            q.crossJoin(F.broadcast(centers))
+            .withColumn("d2", d2_against(F.col("center")))
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= nprobe)
+            .select("vec_id", "embedding", "norm", "cell")
+        )
+    cents = [[float(x) for x in r["center"]] for r in crows]
+    grp_of, scents = _super_quantize(cents)
+    supers = spark.createDataFrame(
+        [(j, sc) for j, sc in enumerate(scents)],
+        "grp INT, scenter ARRAY<DOUBLE>",
+    )
+    memb = spark.createDataFrame(
+        [(int(crows[i]["cell"]), grp_of[i], cents[i]) for i in range(k)],
+        "cell INT, grp INT, center ARRAY<DOUBLE>",
+    )
+    ws = W.partitionBy("vec_id").orderBy(F.col("sd2").asc(), F.col("grp").asc())
+    l1 = (
+        q.crossJoin(F.broadcast(supers))
+        .withColumn("sd2", d2_against(F.col("scenter")))
+        .withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= nprobe_super)
+        .select("vec_id", "embedding", "norm", "grp")
+    )
     return (
-        q.crossJoin(F.broadcast(centers))
-        .withColumn("d2", dist)
+        l1.join(F.broadcast(memb), "grp")
+        .withColumn("d2", d2_against(F.col("center")))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
         .select("vec_id", "embedding", "norm", "cell")
@@ -1694,39 +1729,6 @@ def _ivf_candidates_top1(indexed: DataFrame, centers: DataFrame) -> DataFrame:
             (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
         )
     )
-
-
-@register("llm_ann_ivf_served", oracle=None, category="K")  # weak: approximate
-def llm_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN, SERVED from a persisted index (build-once/query-many —
-    the production RAG serving shape llm_ann_ivf doesn't exercise: that
-    op refits KMeans on every call, this one never fits at query time).
-    The index — coarse centroids + cell-partitioned vector assignments,
-    with norms precomputed at build — is materialized once per dataset
-    fingerprint by _ensure_ivf_index; the serving plan is pure
-    DataFrame ops over the persisted layouts: rank the ~√n broadcast
-    centroids per query (nprobe=2), equi-join the probed cells against
-    the cell-partitioned index, exact cosine, top-1 per query. (The
-    coarse rank is n·√n rows — at true serving scale the centroid set
-    itself gets an ANN index; for these batch shapes the √n balance is
-    the right envelope, see _ivf_k.)
-
-    Scale: the serving cost is nprobe/k of the corpus per query batch,
-    the index side scans only probed cell partitions (partition-level
-    pruning from the partitionBy(cell) layout), and the build cost
-    amortizes over every query until the data changes. Same spec as
-    llm_ann_ivf (k=_ivf_k(n), seed=42, nprobe=2), so served results are
-    pinned EQUAL to the rebuild-per-query op in tests/test_r10_ops.py,
-    recall floors ride the existing test_ann.py machinery, and the
-    no-refit contract is pinned by poisoning KMeans.fit after the
-    first build."""
-    import os
-
-    idx = _ensure_ivf_index(spark, sf_dir)
-    centers = spark.read.parquet(os.path.join(idx, "centers"))
-    cells = spark.read.parquet(os.path.join(idx, "cells"))
-    return _ivf_candidates_top1(cells, centers)
-
 
 
 @register("llm_semdedup", oracle=None, category="K")  # weak: approximate
@@ -4484,19 +4486,38 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_MEMO: dict = {}
 
 
-def _kmeans_fit(spark: SparkSession, sf_dir: str):
+def _kmeans_fit(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _KMEANS_K,
+    sample_per_cell: int = None,
+):
     """The Lloyd loop behind llm_kmeans_lloyd (see its docstring).
     Returns (final assignment DataFrame (vec_id, cell, d2), the final
-    quantized centroid list) — shared with llm_ann_ivf_checked, which
-    probes the same quantizer."""
+    quantized centroid list) — shared with llm_ann_ivf_checked and,
+    since r12 at k=√n, with the production IVF quantizer
+    (_lloyd_ivf_fit).
+
+    ``sample_per_cell``: when set, the UPDATE rounds fit on only the
+    k·sample_per_cell vectors with the smallest md5(vec_id) — the
+    FAISS train-on-sample discipline (a quantizer needs ~10²
+    points/cell to converge; fitting on all n is n·k·d work per round
+    for no quality gain). The FINAL assignment always covers the full
+    corpus (one n·k·d pass — the irreducible cost of inverted-file
+    indexing). The sample is md5-prefix-deterministic (the
+    llm_hash_sample discipline), so the DuckDB twin reproduces it with
+    ORDER BY md5 LIMIT; at test scales the cap exceeds n and the
+    sample IS the corpus — the oracle stays exact at every scale
+    because both engines apply the same cap."""
     import os
 
     from gdxpy_spark.operators._util import files_fingerprint
 
-    memo_key = files_fingerprint([os.path.join(sf_dir, "embeddings.parquet")])
+    fp = files_fingerprint([os.path.join(sf_dir, "embeddings.parquet")])
+    memo_key = (fp, k, sample_per_cell)
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # the posexploded (vec_id, pos, v) frame feeds EVERY round's distance
-    # join and centroid update — cache it once (n×64 skinny rows)
+    # join and the final assignment — cache it once (n×64 skinny rows)
     ve = managed_cache(
         e.select(
             "vec_id", F.posexplode("embedding").alias("pos", "v")
@@ -4505,10 +4526,21 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     if memo_key in _KMEANS_MEMO:
         centroids = _KMEANS_MEMO[memo_key]
         rounds = 0  # fit cached: serve-only (one final assignment job)
+        fit_ve = ve
     else:
+        cap = k * sample_per_cell if sample_per_cell else None
+        if cap is None:
+            fit_ve = ve
+        else:
+            samp = e.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(cap)
+            fit_ve = managed_cache(
+                samp.select(
+                    "vec_id", F.posexplode("embedding").alias("pos", "v")
+                ).withColumn("v", F.col("v").cast("double"))
+            )
         seeds = (
             e.orderBy(F.md5(F.col("vec_id").cast("string")))
-            .limit(_KMEANS_K)
+            .limit(k)
             .select(
                 F.transform("embedding", lambda v: v.cast("double")).alias("c")
             )
@@ -4517,7 +4549,7 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
         centroids = [list(r["c"]) for r in seeds]  # k x 64 doubles: metadata
         rounds = _KMEANS_ROUNDS
 
-    def assign(cents):
+    def assign(cents, frame):
         # distances as one codegen'd equi-join: (vec,pos,v) x broadcast
         # (cell,pos,c) on pos, partial-agg sum of squares, argmin as a
         # groupBy min-struct — no window, no interpreted HOFs (a 16-fold
@@ -4527,7 +4559,7 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
         ]
         cdf = spark.createDataFrame(cent_rows, "cell INT, pos INT, c DOUBLE")
         d2 = (
-            ve.join(F.broadcast(cdf), "pos")
+            frame.join(F.broadcast(cdf), "pos")
             .groupBy("vec_id", "cell")
             .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
         )
@@ -4539,9 +4571,9 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
         )
 
     for _r in range(rounds):
-        asg = assign(centroids)
+        asg = assign(centroids, fit_ve)
         upd = (
-            asg.join(ve, "vec_id")
+            asg.join(fit_ve, "vec_id")
             .groupBy("cell", "pos")
             .agg(F.round(F.avg("v"), 9).alias("x"))
             .groupBy("cell")
@@ -4558,24 +4590,198 @@ def _kmeans_fit(spark: SparkSession, sf_dir: str):
     _KMEANS_MEMO[memo_key] = centroids
     while len(_KMEANS_MEMO) > _BPE_MERGE_MEMO_CAP:
         _KMEANS_MEMO.pop(next(iter(_KMEANS_MEMO)))
-    return assign(centroids), centroids
+    return assign(centroids, ve), centroids
+
+
+_IVF_SAMPLE_PER_CELL = 64
+
+
+def _lloyd_ivf_fit(spark: SparkSession, sf_dir: str):
+    """The production IVF quantizer (r12): the deterministic Lloyd fit
+    at corpus-sized k = _ivf_k(n) ≈ √n, update rounds on a
+    64-per-cell md5 sample, full-corpus final assignment. Replaces the
+    MLlib KMeans fit behind llm_ann_ivf/_served so the ENTIRE pipeline
+    — fit, assignment, two-level probe, serving — carries a value-hash
+    DuckDB oracle (_ivf_lloyd_oracle); ivf_mllib_demo keeps the
+    pyspark.ml integration surface."""
+    e = table(spark, sf_dir, "embeddings")
+    k = _ivf_k(e.count())
+    return _kmeans_fit(
+        spark, sf_dir, k=k, sample_per_cell=_IVF_SAMPLE_PER_CELL
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-level coarse search: a super-quantizer over the centroids (r11
+# verdict #1 — the n·k coarse-rank term was the one measured algorithmic
+# scale cliff left, ×37.6 wall at the 100× posture probe)
+# ---------------------------------------------------------------------------
+_SUPER_ROUNDS = 2
+
+
+def _super_g(k: int) -> int:
+    """Super-group count over k centroids: g ≈ √k, floor 2. With
+    k = √n cells (_ivf_k) this makes the coarse search
+    n·g + nprobe_super·n·(k/g) ≈ n·n^0.25 instead of n·√n — the level
+    count FAISS/ScaNN pick for exactly this reason (a two-level
+    inverted file); a third level only pays past ~10¹² vectors."""
+    import math
+
+    return max(2, math.ceil(math.sqrt(k)))
+
+
+def _round9(x: float) -> float:
+    """Spark F.round semantics on the driver: HALF_UP on the double's
+    shortest repr, 9 decimals (the established cross-engine centroid
+    quantization, cf. the Kneser-Ney micro-nat discipline)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1E-9"), ROUND_HALF_UP))
+
+
+def _super_quantize(
+    cents: list, rounds: int = _SUPER_ROUNDS
+) -> tuple[list, list]:
+    """Deterministic driver-side Lloyd over the CENTROIDS themselves:
+    group the k coarse centroids into g = _super_g(k) super-groups.
+    Returns (grp_of_cell, super_centers).
+
+    This runs on METADATA (k×64 doubles — kilobytes at any corpus
+    size), so plain Python is the honest engine: no job, no shuffle.
+    Every discipline mirrors _kmeans_rounds_sql so the DuckDB twin
+    (_super_rounds_sql) reproduces it CTE-for-CTE: seeds are the g
+    centroids with the smallest md5(str(cell)); rounds+1 assignments
+    with rounds quantized-mean updates between (means accumulate in
+    ascending-cell order, ROUND HALF_UP to 9 decimals via _round9);
+    argmin tie-break (d2, grp); an emptied group keeps its previous
+    center. Residual cross-engine float risk is the accepted
+    knife-edge class documented on _kmeans_rounds_sql."""
+    import hashlib
+
+    k = len(cents)
+    g = _super_g(k)
+    order = sorted(
+        range(k), key=lambda c: hashlib.md5(str(c).encode()).hexdigest()
+    )
+    sc = [list(cents[c]) for c in order[:g]]
+    asg = [0] * k
+
+    def assign() -> None:
+        for cell in range(k):
+            asg[cell] = min(
+                (
+                    sum((a - b) * (a - b) for a, b in zip(cents[cell], sc[j])),
+                    j,
+                )
+                for j in range(g)
+            )[1]
+
+    for r in range(rounds + 1):
+        assign()
+        if r == rounds:
+            break
+        for j in range(g):
+            members = [c for c in range(k) if asg[c] == j]
+            if not members:
+                continue  # empty group keeps its previous center
+            dim = len(sc[j])
+            sc[j] = [
+                _round9(sum(cents[c][p] for c in members) / len(members))
+                for p in range(dim)
+            ]
+    return asg, sc
+
+
+def _super_rounds_sql(
+    g: int, rounds: int = _SUPER_ROUNDS, cent: str = None
+) -> str:
+    """SQL fragment: the DuckDB twin of _super_quantize, run over the
+    centroid CTE ``cent`` (default cent{_KMEANS_ROUNDS}, i.e. the Lloyd
+    quantizer's final centroids — (cell, c ARRAY<DOUBLE>)). Unrolls
+    rounds+1 assignments like _kmeans_rounds_sql; ends at sasg{rounds}
+    (cell → grp) and scent{rounds} (grp → center)."""
+    cent = cent or f"cent{_KMEANS_ROUNDS}"
+    parts = [f"""
+scent0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(cell AS VARCHAR))) - 1 AS grp,
+         c
+  FROM {cent} ORDER BY md5(CAST(cell AS VARCHAR)) LIMIT {g})"""]
+    for r in range(rounds + 1):
+        last = r == rounds
+        parts.append(f"""
+sdist{r} AS MATERIALIZED (
+  SELECT p.cell, s.grp,
+         SUM((p.c[CAST(i AS INT)] - s.c[CAST(i AS INT)])
+             * (p.c[CAST(i AS INT)] - s.c[CAST(i AS INT)])) AS d2
+  FROM {cent} p CROSS JOIN scent{r} s
+  CROSS JOIN generate_series(1, 64) t(i)
+  WHERE i <= len(p.c)
+  GROUP BY p.cell, s.grp),
+sasg{r} AS MATERIALIZED (
+  SELECT cell, grp FROM (
+    SELECT cell, grp,
+           ROW_NUMBER() OVER (PARTITION BY cell ORDER BY d2, grp) AS rn
+    FROM sdist{r})
+  WHERE rn = 1)""")
+        if not last:
+            parts.append(f"""
+supd{r} AS MATERIALIZED (
+  SELECT a.grp, t.i AS pos,
+         ROUND(AVG(p.c[CAST(t.i AS INT)]), 9) AS x
+  FROM sasg{r} a JOIN {cent} p USING (cell)
+  CROSS JOIN generate_series(1, 64) t(i)
+  WHERE t.i <= len(p.c)
+  GROUP BY a.grp, t.i),
+scent{r + 1} AS MATERIALIZED (
+  SELECT q.grp, COALESCE(u.c, q.c) AS c
+  FROM scent{r} q
+  LEFT JOIN (SELECT grp, list(x ORDER BY pos) AS c
+             FROM supd{r} GROUP BY grp) u USING (grp))""")
+    return ",".join(parts)
 
 
 def _ivf_checked_oracle() -> str:
     """DuckDB twin of llm_ann_ivf_checked: the Lloyd quantizer's rounds
-    (shared CTE body with llm_kmeans_lloyd's oracle), then the IVF
-    serving shape — index side = every vector in its top-1 cell, query
-    side probes its 2 nearest centroids (the final round's dist frame
-    already holds every (vector, cell) distance), exact cosine + the
-    (cos DESC, nn_id ASC) top-1 from the established scoring tail."""
+    (shared CTE body with llm_kmeans_lloyd's oracle), then the
+    TWO-LEVEL IVF serving shape (r12) — the super-quantizer's rounds
+    over the final centroids (_super_rounds_sql, mirroring
+    _super_quantize), each vector's 2 nearest SUPER-groups (vsd/vtop),
+    the probe rank restricted to cells of those groups (dist{{R}}
+    filtered through sasg/vtop — the hierarchy is a FILTER on the same
+    distances the flat rank used, so the checked twin pins exactly the
+    pruning the served path applies at k=√n), then index side = top-1
+    cell, exact cosine + the (cos DESC, nn_id ASC) top-1 from the
+    established scoring tail."""
     R = _KMEANS_ROUNDS
+    S = _SUPER_ROUNDS
+    g = _super_g(_KMEANS_K)
     return f"""
 WITH {_kmeans_rounds_sql()},
+{_super_rounds_sql(g)},
+vsd AS MATERIALIZED (
+  SELECT e.vec_id, s.grp,
+         SUM((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+              - s.c[CAST(i AS INT)])
+             * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                - s.c[CAST(i AS INT)])) AS d2
+  FROM e CROSS JOIN scent{S} s
+  CROSS JOIN generate_series(1, 64) t(i)
+  WHERE i <= len(e.embedding)
+  GROUP BY e.vec_id, s.grp),
+vtop AS MATERIALIZED (
+  SELECT vec_id, grp FROM (
+    SELECT vec_id, grp,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, grp) AS rn
+    FROM vsd)
+  WHERE rn <= 2),
 probes AS MATERIALIZED (
   SELECT vec_id, cell FROM (
-    SELECT vec_id, cell,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
-    FROM dist{R})
+    SELECT d.vec_id, d.cell,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d2, d.cell)
+               AS rn
+    FROM dist{R} d
+    JOIN sasg{S} m USING (cell)
+    JOIN vtop v ON v.vec_id = d.vec_id AND v.grp = m.grp)
   WHERE rn <= 2),
 idx AS MATERIALIZED (SELECT vec_id, cell FROM asg{R}),
 cand AS MATERIALIZED (
@@ -4638,9 +4844,34 @@ def llm_ann_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "cell")
         .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
     )
+    # r12 two-level coarse search (mirrors _ivf_probe_cells at k=√n and
+    # the oracle's vsd/vtop/probes CTEs): rank the g=√k super-centroids
+    # per vector, then rank only the top-2 groups' member cells. At
+    # k=16 the FLOP win is modest — the point of this twin is that the
+    # pruning SEMANTICS (group restriction before the (d2, cell) rank)
+    # are value-hash-checked against DuckDB every round.
+    grp_of, scents = _super_quantize(cents)
+    srows = [(j, p, x) for j, c in enumerate(scents) for p, x in enumerate(c)]
+    sdf = spark.createDataFrame(srows, "grp INT, pos INT, c DOUBLE")
+    vs = (
+        ve.join(F.broadcast(sdf), "pos")
+        .groupBy("vec_id", "grp")
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("sd2"))
+    )
+    ws = W.partitionBy("vec_id").orderBy(F.col("sd2").asc(), F.col("grp").asc())
+    vtop = (
+        vs.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= 2)
+        .select("vec_id", "grp")
+    )
+    memb = spark.createDataFrame(
+        [(c, gg) for c, gg in enumerate(grp_of)], "cell INT, grp INT"
+    )
     w = W.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
     probes = (
-        d2.withColumn("rn", F.row_number().over(w))
+        d2.join(F.broadcast(memb), "cell")
+        .join(vtop, ["vec_id", "grp"])
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 2)
         .select("vec_id", "cell")
     )
@@ -4653,3 +4884,212 @@ def llm_ann_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _cosine_top1(e, cand)
+
+
+# ---------------------------------------------------------------------------
+# Production IVF on the deterministic Lloyd quantizer (r12, verdict #6):
+# llm_ann_ivf / llm_ann_ivf_served graduate from weak to fully
+# hash-oracled — dynamic k = √n, sampled fit, two-level coarse search,
+# all recomputed in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_lloyd_rounds_sql(
+    rounds: int = _KMEANS_ROUNDS, spc: int = _IVF_SAMPLE_PER_CELL
+) -> str:
+    """CTE body: the Lloyd quantizer at DYNAMIC k (kv CTE: GREATEST(16,
+    CEIL(SQRT(n))) — _ivf_k's formula in SQL) with the sampled-fit
+    discipline of _kmeans_fit(sample_per_cell=spc): update rounds see
+    only the spc·k md5-smallest vectors (samp CTE; at test scales the
+    LIMIT exceeds n, so the sample IS the corpus and both engines agree
+    exactly at every scale), the final round's dist/asg cover the full
+    corpus. Structure otherwise identical to _kmeans_rounds_sql."""
+    parts = [f"""
+e AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings),
+kv AS (SELECT GREATEST({_KMEANS_K}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+           AS k
+       FROM e),
+samp AS MATERIALIZED (
+  SELECT vec_id, embedding FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT (SELECT {spc} * k FROM kv)),
+cent0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+             AS cell,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT (SELECT k FROM kv))"""]
+    for r in range(rounds + 1):
+        last = r == rounds
+        src = "e" if last else "samp"
+        parts.append(f"""
+dist{r} AS MATERIALIZED (
+  SELECT s.vec_id, cent{r}.cell,
+         SUM((CAST(s.embedding[CAST(i AS INT)] AS DOUBLE)
+              - cent{r}.c[CAST(i AS INT)])
+             * (CAST(s.embedding[CAST(i AS INT)] AS DOUBLE)
+                - cent{r}.c[CAST(i AS INT)])) AS d2
+  FROM {src} s CROSS JOIN cent{r}
+  CROSS JOIN generate_series(1, 64) t(i)
+  WHERE i <= len(s.embedding)
+  GROUP BY s.vec_id, cent{r}.cell),
+asg{r} AS MATERIALIZED (
+  SELECT vec_id, cell, d2 FROM (
+    SELECT vec_id, cell, d2,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM dist{r})
+  WHERE rn = 1)""")
+        if not last:
+            parts.append(f"""
+upd{r} AS MATERIALIZED (
+  SELECT a.cell, t.i AS pos,
+         ROUND(AVG(CAST(s.embedding[CAST(t.i AS INT)] AS DOUBLE)), 9) AS x
+  FROM asg{r} a JOIN samp s USING (vec_id)
+  CROSS JOIN generate_series(1, 64) t(i)
+  WHERE t.i <= len(s.embedding)
+  GROUP BY a.cell, t.i),
+cent{r + 1} AS MATERIALIZED (
+  SELECT p.cell,
+         COALESCE(u.c, p.c) AS c
+  FROM cent{r} p
+  LEFT JOIN (SELECT cell, list(x ORDER BY pos) AS c
+             FROM upd{r} GROUP BY cell) u USING (cell))""")
+    return ",".join(parts)
+
+
+def _ivf_lloyd_oracle() -> str:
+    """DuckDB twin of llm_ann_ivf AND llm_ann_ivf_served (the two are
+    pinned equal by test, so one oracle serves both): dynamic-k sampled
+    Lloyd rounds (_ivf_lloyd_rounds_sql), the super-quantizer at
+    dynamic g = GREATEST(2, CEIL(SQRT(k))) (_super_rounds_sql with a
+    LIMIT subquery), the two-level probe restriction, then the
+    established cosine/top-1 scoring tail — the whole production IVF
+    path, fit to serve, value-hash-checked."""
+    R = _KMEANS_ROUNDS
+    S = _SUPER_ROUNDS
+    g_sql = "(SELECT GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) FROM kv)"
+    return f"""
+WITH {_ivf_lloyd_rounds_sql()},
+{_super_rounds_sql(g_sql)},
+vsd AS MATERIALIZED (
+  SELECT e.vec_id, s.grp,
+         SUM((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+              - s.c[CAST(i AS INT)])
+             * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                - s.c[CAST(i AS INT)])) AS d2
+  FROM e CROSS JOIN scent{S} s
+  CROSS JOIN generate_series(1, 64) t(i)
+  WHERE i <= len(e.embedding)
+  GROUP BY e.vec_id, s.grp),
+vtop AS MATERIALIZED (
+  SELECT vec_id, grp FROM (
+    SELECT vec_id, grp,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, grp) AS rn
+    FROM vsd)
+  WHERE rn <= 2),
+probes AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT d.vec_id, d.cell,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d2, d.cell)
+               AS rn
+    FROM dist{R} d
+    JOIN sasg{S} m USING (cell)
+    JOIN vtop v ON v.vec_id = d.vec_id AND v.grp = m.grp)
+  WHERE rn <= 2),
+idx AS MATERIALIZED (SELECT vec_id, cell FROM asg{R}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT p.vec_id, x.vec_id AS nn_id
+  FROM probes p JOIN idx x USING (cell)
+  WHERE p.vec_id <> x.vec_id),
+en AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS norm
+  FROM embeddings),
+scored AS MATERIALIZED (
+  SELECT c.vec_id, c.nn_id,
+         SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+             * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+         / (a.norm * b.norm) AS cos_sim
+  FROM cand c
+  JOIN en a ON a.vec_id = c.vec_id
+  JOIN en b ON b.vec_id = c.nn_id
+  CROSS JOIN generate_series(1, 64) t(i)
+  WHERE i <= len(a.embedding)
+  GROUP BY c.vec_id, c.nn_id, a.norm, b.norm)
+SELECT vec_id, nn_id, ROUND(cos_sim, 4) + 0.0 AS cos_sim
+FROM (SELECT vec_id, nn_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, nn_id ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+@register("llm_ann_ivf", oracle=_ivf_lloyd_oracle(), category="K")
+def llm_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbor at corpus-sized k = _ivf_k(n)
+    ≈ √n — since r12 on the DETERMINISTIC Lloyd quantizer
+    (_lloyd_ivf_fit: md5 seeds, 64-per-cell sampled update rounds,
+    full-corpus final assignment), so the ENTIRE pipeline — fit,
+    assignment, two-level coarse probe (_ivf_probe_cells), exact
+    cosine, top-1 — carries a full value-hash DuckDB oracle
+    (_ivf_lloyd_oracle) instead of r11's weak rows-only check. The
+    MLlib variant survives as ivf_mllib_demo.
+
+    This is the inverted-file layout at any scale: the index side is
+    partitioned by cell (co-located, prunable), query fan-out is
+    nprobe/k of the corpus, coarse-search cost is O(n·n^0.25) through
+    the super-quantizer, and recall is tuned by nprobe — measured in
+    tests/test_ann.py against llm_knn_brute (~0.5 at nprobe=2 on this
+    near-uniform corpus, ≈1.0 on planted near-duplicates, the
+    distribution real dedup workloads have). The fit memoizes per
+    (dataset, k, sample) fingerprint (_KMEANS_MEMO), so
+    rebuild-per-query costs one final-assignment job after the first
+    call; llm_ann_ivf_served never fits at all. Cache lifetime: the
+    indexed frame rides _util.managed_cache."""
+    asg, cents = _lloyd_ivf_fit(spark, sf_dir)
+    e = _with_norm(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    indexed = managed_cache(e.join(asg.select("vec_id", "cell"), "vec_id"))
+    centers = spark.createDataFrame(
+        [(j, c) for j, c in enumerate(cents)],
+        "cell INT, center ARRAY<DOUBLE>",
+    )
+    # single probe/candidate/top-1 code path shared with the served op:
+    # test_ivf_served_equals_rebuild_variant pins the two EQUAL, and a
+    # divergent copy (tie-break, rounding) would break that silently
+    return _ivf_candidates_top1(indexed, centers)
+
+
+@register("llm_ann_ivf_served", oracle=_ivf_lloyd_oracle(), category="K")
+def llm_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN, SERVED from a persisted index (build-once/query-many —
+    the production RAG serving shape llm_ann_ivf doesn't exercise:
+    that op refits the quantizer per process, this one never fits at
+    query time). The index — coarse centroids + cell-partitioned
+    vector assignments, norms precomputed at build — is materialized
+    once per dataset fingerprint by _ensure_ivf_index (since r12 from
+    _lloyd_ivf_fit, so the persisted layout is oracle-reproducible and
+    this op carries the same full value-hash oracle as llm_ann_ivf);
+    the serving plan is pure DataFrame ops over the persisted layouts:
+    two-level coarse probe against the broadcast (super-)centroids
+    (n·n^0.25 rows — the r11 n·√n coarse-rank cliff closed by
+    _super_quantize), equi-join the probed cells against the
+    cell-partitioned index, exact cosine, top-1 per query.
+
+    Scale: the serving cost is nprobe/k of the corpus per query batch,
+    the index side scans only probed cell partitions (partition-level
+    pruning from the partitionBy(cell) layout), and the build cost
+    amortizes over every query until the data changes. Same spec as
+    llm_ann_ivf (k=_ivf_k(n), md5 seeds, nprobe=2), so served results
+    are pinned EQUAL to the rebuild-per-query op in
+    tests/test_r10_ops.py, recall floors ride the existing test_ann.py
+    machinery, and the no-refit contract is pinned by poisoning the
+    Lloyd fit after the first build."""
+    import os
+
+    idx = _ensure_ivf_index(spark, sf_dir)
+    centers = spark.read.parquet(os.path.join(idx, "centers"))
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    return _ivf_candidates_top1(cells, centers)

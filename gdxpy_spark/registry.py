@@ -105,60 +105,16 @@ def load_all() -> None:
 # rounds without fresh driver evidence. Order: (1) queries NEW this
 # round (no ledger row exists anywhere), (2) queries whose
 # implementation changed this round, (3) everything else ascending by
-# the round the cumulative r1..r10 ledger last verified it (oldest
+# the round the cumulative r1..r11 ledger last verified it (oldest
 # first — the r01 relational spine has waited longest), name-sorted
 # within a round. Regenerate next round by bumping the ledger glob.
 _ARTIFACT_PRIORITY = [
-    "llm_ann_ivf_checked",  # new r11
-    "llm_kmeans_lloyd",  # new r11
-    "graph_components",  # new r11
-    "llm_dsir_weights",  # new r11
-    "llm_kneser_ney",  # new r11
-    "tpch_q9_shape",  # new r11
-    "tpch_q11_shape",  # new r11
-    "tpch_q20_shape",  # new r11
-    "llm_minhash_sig",  # r11: newly oracled (md5 hash family)
-    "llm_minhash_dedup",  # r11: newly oracled (md5 + unrolled-CC oracle)
-    "llm_dedup_clusters",  # r11: newly oracled (unrolled-CC oracle)
-    "llm_simhash",  # r11: newly oracled (md5 two-half hash)
-    "llm_ann_lsh",  # r11: newly oracled (literal planes + SQL n_bits)
-    "llm_ann_lsh_multiprobe",  # r11: newly oracled
-    "llm_bpe_train",  # r11: newly oracled (unrolled argmax-rewrite CTEs) + sampled train
-    "llm_bpe_apply",  # r11: newly oracled (SQL re-learn + vocab encode)
-    "mm_feature_extract",  # r11: newly oracled (byte-histogram recomputed in SQL)
-    "agg_approx_distinct",  # r01
-    "agg_approx_percentile",  # r01
-    "agg_collect_sorted",  # r01
-    "agg_count_distinct",  # r01
-    "agg_cube",  # r01
-    "agg_groupby_basic",  # r01
-    "agg_grouping_sets",  # r01
-    "agg_having",  # r01
-    "agg_minmax_by",  # r01
-    "agg_multi_distinct",  # r01
-    "agg_percentile",  # r01
-    "agg_rollup",  # r01
-    "agg_stats",  # r01
-    "filt_comparison",  # r01
-    "filt_correlated_subquery",  # r01
-    "filt_distinct_rows",  # r01
-    "filt_in_like",  # r01
-    "filt_null_semantics",  # r01
-    "join_asof",  # r01
-    "join_broadcast",  # r01
-    "join_cross",  # r01
-    "join_full_outer",  # r01
-    "join_inner_equi",  # r01
-    "join_left_anti",  # r01
-    "join_left_outer",  # r01
-    "join_left_semi",  # r01
-    "join_multi_key",  # r01
-    "join_range_interval",  # r01
-    "join_right_outer",  # r01
-    "join_theta",  # r01
-    "proj_computed_expr",  # r01
-    "proj_select_rename",  # r01
-    "set_intersect",  # r01
+    "llm_ann_ivf",  # r12: changed this round
+    "llm_ann_ivf_served",  # r12: changed this round
+    "llm_ann_ivf_checked",  # r12: changed this round
+    "llm_kmeans_lloyd",  # r12: changed this round
+    "llm_semdedup",  # r12: changed this round
+    "llm_dedup_clusters",  # r12: changed this round
     "set_union_all",  # r01
     "set_union_distinct",  # r01
     "sort_limit_topk",  # r01
@@ -175,7 +131,6 @@ _ARTIFACT_PRIORITY = [
     "gdx_scenario_diff",  # r05
     "gdx_squeeze",  # r05
     "gdx_symbol_wide",  # r05
-    "llm_ann_ivf",  # r05
     "llm_bigram_score",  # r05
     "llm_cosine_pairs",  # r05
     "llm_doc_quality",  # r05
@@ -340,14 +295,12 @@ _ARTIFACT_PRIORITY = [
     "graph_triangles",  # r10
     "join_geo_radius",  # r10
     "join_interval_overlap",  # r10
-    "llm_ann_ivf_served",  # r10
     "llm_bm25_score",  # r10
     "llm_boilerplate_ngrams",  # r10
     "llm_corpus_card",  # r10
     "llm_gopher_rep_stats",  # r10
     "llm_length_blocking",  # r10
     "llm_mlm_mask",  # r10
-    "llm_semdedup",  # r10
     "llm_span_corruption",  # r10
     "llm_vocab_coverage",  # r10
     "llm_warc_parse",  # r10
@@ -379,6 +332,53 @@ _ARTIFACT_PRIORITY = [
     "udtf_table_arg",  # r10
     "win_pareto_concentration",  # r10
     "win_time_range_frame",  # r10
+    "agg_approx_distinct",  # r11
+    "agg_approx_percentile",  # r11
+    "agg_collect_sorted",  # r11
+    "agg_count_distinct",  # r11
+    "agg_cube",  # r11
+    "agg_groupby_basic",  # r11
+    "agg_grouping_sets",  # r11
+    "agg_having",  # r11
+    "agg_minmax_by",  # r11
+    "agg_multi_distinct",  # r11
+    "agg_percentile",  # r11
+    "agg_rollup",  # r11
+    "agg_stats",  # r11
+    "filt_comparison",  # r11
+    "filt_correlated_subquery",  # r11
+    "filt_distinct_rows",  # r11
+    "filt_in_like",  # r11
+    "filt_null_semantics",  # r11
+    "graph_components",  # r11
+    "join_asof",  # r11
+    "join_broadcast",  # r11
+    "join_cross",  # r11
+    "join_full_outer",  # r11
+    "join_inner_equi",  # r11
+    "join_left_anti",  # r11
+    "join_left_outer",  # r11
+    "join_left_semi",  # r11
+    "join_multi_key",  # r11
+    "join_range_interval",  # r11
+    "join_right_outer",  # r11
+    "join_theta",  # r11
+    "llm_ann_lsh",  # r11
+    "llm_ann_lsh_multiprobe",  # r11
+    "llm_bpe_apply",  # r11
+    "llm_bpe_train",  # r11
+    "llm_dsir_weights",  # r11
+    "llm_kneser_ney",  # r11
+    "llm_minhash_dedup",  # r11
+    "llm_minhash_sig",  # r11
+    "llm_simhash",  # r11
+    "mm_feature_extract",  # r11
+    "proj_computed_expr",  # r11
+    "proj_select_rename",  # r11
+    "set_intersect",  # r11
+    "tpch_q11_shape",  # r11
+    "tpch_q20_shape",  # r11
+    "tpch_q9_shape",  # r11
 ]
 
 

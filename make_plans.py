@@ -97,9 +97,11 @@ PICKS = [
      "the 20%-of-average threshold is integer cross-multiplication "
      "(5*q*n < sum), so no double sits near the boundary"),
     ("llm_ann_ivf_served",
-     "served ANN (r10): the query plan reads the PERSISTED cell-"
-     "partitioned index (plain parquet scans — no KMeans stage); "
-     "~sqrt(n) centroids broadcast, candidates equi-join on cell"),
+     "served ANN (r12): the query plan reads the PERSISTED cell-"
+     "partitioned Lloyd index (plain parquet scans — no fit stage); "
+     "TWO-LEVEL coarse probe — ~n^0.25 super-centroids broadcast, "
+     "then only the probed groups' ~sqrt(k) member centroids — "
+     "candidates equi-join on cell"),
     ("src_parquet_zorder",
      "z-ordered layout (r10): both halves of the 2-D predicate reach "
      "the persisted layout scan as PushedFilters — user AND time prune "

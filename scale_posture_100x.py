@@ -32,13 +32,21 @@ COPIES = 100
 
 
 def _s100_dir() -> str:
-    # content-keyed cache dir (r10 advice): embed a fingerprint of the
-    # SOURCE documents table in the path, so a regenerated sf0.1 corpus
-    # can never be served a stale 100x build — same discipline as the
-    # IVF/zorder/WARC caches (_util.files_fingerprint).
+    # content-keyed cache dir (r10 advice, completed r12): embed a
+    # fingerprint of EVERY source table this corpus is derived from —
+    # documents AND embeddings (r11 carried only documents, so a
+    # regenerated embeddings table with unchanged documents would have
+    # been served a stale 100× embeddings build). Same discipline as
+    # the IVF/zorder/WARC caches (_util.files_fingerprint); pinned by
+    # tests/test_r12_ops.py::test_posture_cache_key_covers_all_sources.
     from gdxpy_spark.operators._util import files_fingerprint
 
-    fp = files_fingerprint([os.path.join(S1, "documents.parquet")])
+    fp = files_fingerprint(
+        [
+            os.path.join(S1, "documents.parquet"),
+            os.path.join(S1, "embeddings.parquet"),
+        ]
+    )
     return f"/tmp/gdxpy_spark_scaleprobe/sfx100_{fp}"
 
 
@@ -120,6 +128,96 @@ def build_100x_embeddings(spark) -> None:
     big.repartition(32).write.mode("overwrite").parquet(out)
 
 
+def _d256_dirs() -> tuple:
+    """Content-keyed dirs for the d=256 fixture pair (1× and 100×)."""
+    from gdxpy_spark.operators._util import files_fingerprint
+
+    fp = files_fingerprint([os.path.join(S1, "embeddings.parquet")])
+    base = "/tmp/gdxpy_spark_scaleprobe"
+    return f"{base}/sf1_d256_{fp}", f"{base}/sfx100_d256_{fp}"
+
+
+def build_d256(spark) -> tuple:
+    """Production-dimensionality fixture (r11 verdict #2): derive
+    d=256 embeddings from the 64-d corpus and re-run the disjoint-shard
+    probe at the dimensionality where its premise actually holds.
+
+    Construction, and why each step is exact:
+    - TILE ×4 with a fixed per-(tile, dim) ±1 sign mask shared by all
+      shards: cos(X, Y) = 4·dot(x,y) / (2|x|·2|y|) = cos(x, y) — every
+      pairwise cosine in the corpus is preserved EXACTLY, so the 1×
+      dup structure (and llm_semdedup's planted-recall behavior) is
+      unchanged by the lift.
+    - THEN 100 disjoint shards via a per-(shard, dim) ±1 mask over all
+      256 dims (the d=64 probe's construction, generalized): within a
+      shard the mask cancels (cosines exact), across shards the dot
+      becomes a sum of 256 INDEPENDENTLY sign-flipped terms, so
+      cross-shard cosines concentrate ~N(0, 1/256) — std 0.0625, vs
+      0.125 at d=64 where the τ=0.4 tail (z≈3.2) was still reachable
+      by the 2×10¹⁰ cross-pair mass. At z≈6.4 it is not: the probe
+      separates 'shard-local work' from 'corpus-global work' cleanly,
+      which is the production-dimensionality posture the d=64 row
+      couldn't show."""
+    from pyspark.sql import functions as F
+
+    from gdxpy_spark.tables import table
+
+    d1, d100 = _d256_dirs()
+
+    def tile256(col):
+        return F.flatten(
+            F.array(
+                *[
+                    F.transform(
+                        col,
+                        lambda v, idx, t=t: v.cast("double")
+                        * F.when(
+                            F.pmod(
+                                F.xxhash64(F.lit(7_000_000 + t * 64) + idx), 2
+                            )
+                            == 1,
+                            -1.0,
+                        ).otherwise(1.0),
+                    )
+                    for t in range(4)
+                ]
+            )
+        ).cast("array<float>")
+
+    if not os.path.exists(d1 + "/embeddings.parquet/_SUCCESS"):
+        emb = table(spark, S1, "embeddings")
+        emb.select(
+            "vec_id", tile256(F.col("embedding")).alias("embedding")
+        ).repartition(8).write.mode("overwrite").parquet(
+            d1 + "/embeddings.parquet"
+        )
+    if not os.path.exists(d100 + "/embeddings.parquet/_SUCCESS"):
+        base = spark.read.parquet(d1 + "/embeddings.parquet")
+        copies = []
+        for i in range(COPIES):
+            c = base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
+            if i:
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda v, idx, i=i: v
+                        * F.when(
+                            F.pmod(F.xxhash64(F.lit(i), idx), 2) == 1,
+                            F.lit(-1.0).cast("float"),
+                        ).otherwise(F.lit(1.0).cast("float")),
+                    ),
+                )
+            copies.append(c)
+        big = copies[0]
+        for c in copies[1:]:
+            big = big.unionByName(c)
+        big.repartition(32).write.mode("overwrite").parquet(
+            d100 + "/embeddings.parquet"
+        )
+    return d1, d100
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -155,6 +253,29 @@ def main() -> None:
         w100, n100 = run(name, S100)
         print(
             f"{name:22s} 1x: {w1:7.1f}s / {n1:>10,} rows   "
+            f"100x: {w100:7.1f}s / {n100:>10,} rows   "
+            f"wall x{w100 / max(w1, 1e-9):.1f}  rows x{n100 / max(n1, 1):.1f}",
+            flush=True,
+        )
+
+    if "--d256" in sys.argv:
+        # r11 verdict #2: SemDeDup's posture at production
+        # dimensionality. min-of-2 so the one-time IVF index build
+        # amortizes out, matching the serving rows above.
+        d1, d100 = build_d256(spark)
+
+        def run2(name, sf):
+            best, n = 1e9, 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = queries[name].fn(spark, sf).count()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 1), n
+
+        w1, n1 = run2("llm_semdedup", d1)
+        w100, n100 = run2("llm_semdedup", d100)
+        print(
+            f"llm_semdedup[d=256]    1x: {w1:7.1f}s / {n1:>10,} rows   "
             f"100x: {w100:7.1f}s / {n100:>10,} rows   "
             f"wall x{w100 / max(w1, 1e-9):.1f}  rows x{n100 / max(n1, 1):.1f}",
             flush=True,

@@ -114,8 +114,9 @@ def test_q22_anti_join_and_scan_side_date_filter(spark):
 
 
 def test_ivf_served_equals_rebuild_variant(spark):
-    """Same spec (k=_ivf_k(n), seed=42, nprobe=2) from a persisted index must
-    reproduce llm_ann_ivf's rebuild-per-query results exactly."""
+    """Same spec (k=_ivf_k(n), md5-seeded Lloyd, nprobe=2) from a
+    persisted index must reproduce llm_ann_ivf's rebuild-per-query
+    results exactly."""
     from gdxpy_spark.registry import all_queries
 
     ALL = all_queries()
@@ -130,19 +131,19 @@ def test_ivf_served_equals_rebuild_variant(spark):
 
 def test_ivf_served_never_refits_at_query_time(spark, monkeypatch):
     """The production serving contract: once the index exists, the
-    query path must not contain a KMeans fit. Poison KMeans.fit after
-    ensuring the index — the served query must still run."""
-    from pyspark.ml.clustering import KMeans
-
-    from gdxpy_spark.operators.llm import _ensure_ivf_index
+    query path must not contain a quantizer fit. Poison the Lloyd fit
+    (r12: _kmeans_fit/_lloyd_ivf_fit replaced MLlib behind the index)
+    after ensuring the index — the served query must still run."""
+    from gdxpy_spark.operators import llm
     from gdxpy_spark.registry import all_queries
 
-    _ensure_ivf_index(spark, SF_DIR)  # build (or reuse) the index
+    llm._ensure_ivf_index(spark, SF_DIR)  # build (or reuse) the index
 
-    def _boom(self, *a, **k):
-        raise AssertionError("KMeans.fit called on the serving path")
+    def _boom(*a, **k):
+        raise AssertionError("quantizer fit called on the serving path")
 
-    monkeypatch.setattr(KMeans, "fit", _boom)
+    monkeypatch.setattr(llm, "_kmeans_fit", _boom)
+    monkeypatch.setattr(llm, "_lloyd_ivf_fit", _boom)
     rows = all_queries()["llm_ann_ivf_served"].fn(spark, SF_DIR).collect()
     assert len(rows) > 0
 
