@@ -1731,83 +1731,6 @@ def _ivf_candidates_top1(indexed: DataFrame, centers: DataFrame) -> DataFrame:
     )
 
 
-@register("llm_semdedup", oracle=None, category="K")  # weak: approximate
-def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023): semantic deduplication by
-    embedding-cluster scoping — exact cosine verification runs only
-    WITHIN a coarse cluster, never across the corpus, then transitive
-    groups keep their min-id representative. The cluster layer is the
-    SAME persisted IVF index the ANN serving path uses
-    (_ensure_ivf_index: build-once, content-fingerprinted, cell-
-    partitioned), so dedup and retrieval share one quantizer — the
-    production arrangement. τ = 0.4, matching llm_embed_dedup's exact
-    all-pairs rule on this near-orthogonal corpus. Cluster-BOUNDARY
-    pairs — the paper's known recall loss — are recovered by probing
-    each vector's 2 nearest centroids on the query side (index side
-    stays top-1, the multiprobe trade shared with
-    llm_ann_lsh_multiprobe via lsh_candidate_pairs' q_probes); the
-    residual misses (both probes elsewhere) are the declared
-    approximation, pinned by the planted-recall pytest. Candidate
-    volume stays E[pairs] = Σ_c nprobe·n_c², the subquadratic 100 TB
-    path. Oversized cells degrade to representative
-    chaining via the shared lsh_candidate_pairs skew cap instead of
-    going quadratic. Emits (dup_id, kept_id = min id of the semantic
-    group), singletons omitted — llm_minhash_dedup's contract with
-    embeddings instead of shingles."""
-    import os
-
-    idx = _ensure_ivf_index(spark, sf_dir)
-    cells = managed_cache(spark.read.parquet(os.path.join(idx, "cells")))
-    centers = spark.read.parquet(os.path.join(idx, "centers"))
-    # query side probes each vector's 2 nearest cells so near-dup pairs
-    # split by a cluster BOUNDARY still meet (the planted-recall test
-    # failed 14/20 with top-1-only scoping); index side stays top-1
-    probes = _ivf_probe_cells(
-        cells.select("vec_id", "embedding", "norm"), centers, nprobe=2
-    ).select("vec_id", F.col("cell").cast("bigint").alias("bucket"))
-    # normalize direction THEN dedup: multiprobe candidates are
-    # asymmetric (B may probe into A's cell without A probing into
-    # B's), so a vec_id < nn_id filter would drop one-way pairs
-    # max_bucket is CELL-sized (≥ the ~√n-vector _ivf_k cells), not
-    # ANN's 64: representative chaining is the wrong degradation for a
-    # τ-verified dedup — hub edges fail the τ filter on non-dup hubs
-    # and sever the group (measured: 6/20 planted pairs lost through
-    # chained cells at the ANN cap). Within-cell all-pairs at ≤2048
-    # stays O(target_cell) per vector; only a pathological mega-cell
-    # (boilerplate embeddings) still degrades to chaining.
-    cand = (
-        lsh_candidate_pairs(
-            cells.select("vec_id", F.col("cell").cast("bigint").alias("bucket")),
-            q_probes=probes,
-            max_bucket=2048,
-        )
-        .select(
-            F.least("vec_id", "nn_id").alias("vec_id"),
-            F.greatest("vec_id", "nn_id").alias("nn_id"),
-        )
-        .distinct()
-    )
-    ea = cells.select("vec_id", F.col("embedding").alias("emb_a"),
-                      F.col("norm").alias("norm_a"))
-    eb = cells.select(F.col("vec_id").alias("nn_id"),
-                      F.col("embedding").alias("emb_b"),
-                      F.col("norm").alias("norm_b"))
-    edges = (
-        cand.join(ea, "vec_id")
-        .join(eb, "nn_id")
-        .filter(
-            _dot(F.col("emb_a"), F.col("emb_b"))
-            / (F.col("norm_a") * F.col("norm_b"))
-            >= 0.4
-        )
-        .select(F.col("vec_id").alias("doc_a"), F.col("nn_id").alias("doc_b"))
-    )
-    cc = connected_components(spark, edges)
-    return cc.filter(F.col("doc_id") != F.col("component_id")).select(
-        F.col("doc_id").alias("dup_id"), F.col("component_id").alias("kept_id")
-    )
-
-
 def connected_components(
     spark: SparkSession, edges: DataFrame, max_iters: int = 20
 ) -> DataFrame:
@@ -4532,7 +4455,15 @@ def _kmeans_fit(
         if cap is None:
             fit_ve = ve
         else:
-            samp = e.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(cap)
+            # repartition AFTER the sort-limit: Spark's GlobalLimit
+            # leaves ONE partition, which would run every fit round's
+            # join/agg at parallelism 1 (measured: a multi-minute stall
+            # at the 100× probe; invisible at test scale). Membership
+            # is fixed by the limit, so the reshuffle changes layout
+            # only.
+            samp = e.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(
+                cap
+            ).repartition("vec_id")
             fit_ve = managed_cache(
                 samp.select(
                     "vec_id", F.posexplode("embedding").alias("pos", "v")
@@ -5093,3 +5024,607 @@ def llm_ann_ivf_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = spark.read.parquet(os.path.join(idx, "centers"))
     cells = spark.read.parquet(os.path.join(idx, "cells"))
     return _ivf_candidates_top1(cells, centers)
+
+
+_SEMDEDUP_CC_ROUNDS = 7  # same margin discipline as _GRAPH_CC_ROUNDS:
+# dup graphs star-collapse in 3-4 contraction rounds; rounds-vs-rounds+1
+# equality pinned in tests/test_r12_ops.py
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB twin of llm_semdedup (r12 — was weak through r11; the
+    Lloyd quantizer made the whole pipeline reproducible): dynamic-k
+    sampled Lloyd rounds + super-quantizer + two-level probe (shared
+    CTE text with _ivf_lloyd_oracle), then lsh_candidate_pairs'
+    cap-2048 representative-chaining candidate generation, the exact
+    τ=0.4 cosine verify, and star-contraction CC unrolled
+    (_cc_star_rounds_sql) down to (dup_id, kept_id) child rows.
+
+    ACCEPTED FLOAT RISK: the τ filter compares an UNROUNDED double
+    cosine against 0.4 (both engines may associate the 64-term dot
+    differently) — same knife-edge class as the LSH sign bit
+    (_lsh_oracle), P ≈ 1e-14 per candidate pair; quantizing before the
+    compare would only move the boundary, not shrink it."""
+    R = _KMEANS_ROUNDS
+    S = _SUPER_ROUNDS
+    N = _SEMDEDUP_CC_ROUNDS
+    g_sql = "(SELECT GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) FROM kv)"
+    return f"""
+WITH {_ivf_lloyd_rounds_sql()},
+{_super_rounds_sql(g_sql)},
+vsd AS MATERIALIZED (
+  SELECT e.vec_id, s.grp,
+         SUM((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+              - s.c[CAST(i AS INT)])
+             * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                - s.c[CAST(i AS INT)])) AS d2
+  FROM e CROSS JOIN scent{S} s
+  CROSS JOIN generate_series(1, 64) t(i)
+  WHERE i <= len(e.embedding)
+  GROUP BY e.vec_id, s.grp),
+vtop AS MATERIALIZED (
+  SELECT vec_id, grp FROM (
+    SELECT vec_id, grp,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, grp) AS rn
+    FROM vsd)
+  WHERE rn <= 2),
+probes AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT d.vec_id, d.cell,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d2, d.cell)
+               AS rn
+    FROM dist{R} d
+    JOIN sasg{S} m USING (cell)
+    JOIN vtop v ON v.vec_id = d.vec_id AND v.grp = m.grp)
+  WHERE rn <= 2),
+buck AS MATERIALIZED (SELECT vec_id, cell AS bucket FROM asg{R}),
+bsz AS MATERIALIZED (
+  SELECT bucket, COUNT(*) AS bsize, MIN(vec_id) AS rep
+  FROM buck GROUP BY bucket),
+bd AS MATERIALIZED (
+  SELECT buck.vec_id, buck.bucket, bsize, rep
+  FROM buck JOIN bsz USING (bucket)),
+bidx AS MATERIALIZED (
+  SELECT bucket, vec_id FROM bd WHERE bsize <= 2048
+  UNION ALL
+  SELECT DISTINCT bucket, rep AS vec_id FROM bd WHERE bsize > 2048),
+cand0 AS MATERIALIZED (
+  SELECT q.vec_id, x.vec_id AS nn_id
+  FROM (SELECT vec_id, cell AS bucket FROM probes) q
+  JOIN bidx x USING (bucket)
+  WHERE q.vec_id <> x.vec_id
+  UNION
+  SELECT rep AS vec_id, vec_id AS nn_id
+  FROM bd WHERE bsize > 2048 AND vec_id <> rep),
+cand AS MATERIALIZED (
+  SELECT DISTINCT LEAST(vec_id, nn_id) AS va,
+                  GREATEST(vec_id, nn_id) AS vb
+  FROM cand0),
+en AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS norm
+  FROM embeddings),
+sedges AS MATERIALIZED (
+  SELECT c.va AS doc_a, c.vb AS doc_b
+  FROM cand c
+  JOIN en a ON a.vec_id = c.va
+  JOIN en b ON b.vec_id = c.vb
+  CROSS JOIN generate_series(1, 64) t(i)
+  WHERE i <= len(a.embedding)
+  GROUP BY c.va, c.vb, a.norm, b.norm
+  HAVING SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+             * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+         / (a.norm * b.norm) >= 0.4),
+se0 AS MATERIALIZED (
+  SELECT DISTINCT GREATEST(doc_a, doc_b) AS u, LEAST(doc_a, doc_b) AS v
+  FROM sedges),
+{_cc_star_rounds_sql(N)}
+SELECT DISTINCT u AS dup_id, v AS kept_id FROM se{N}
+"""
+@register("llm_semdedup", oracle=_semdedup_oracle(), category="K")
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    embedding-cluster scoping — exact cosine verification runs only
+    WITHIN a coarse cluster, never across the corpus, then transitive
+    groups keep their min-id representative. The cluster layer is the
+    SAME persisted IVF index the ANN serving path uses
+    (_ensure_ivf_index: build-once, content-fingerprinted, cell-
+    partitioned), so dedup and retrieval share one quantizer — the
+    production arrangement. τ = 0.4, matching llm_embed_dedup's exact
+    all-pairs rule on this near-orthogonal corpus. Cluster-BOUNDARY
+    pairs — the paper's known recall loss — are recovered by probing
+    each vector's 2 nearest centroids on the query side (index side
+    stays top-1, the multiprobe trade shared with
+    llm_ann_lsh_multiprobe via lsh_candidate_pairs' q_probes); the
+    residual misses (both probes elsewhere) are the declared
+    approximation, pinned by the planted-recall pytest. Candidate
+    volume stays E[pairs] = Σ_c nprobe·n_c², the subquadratic 100 TB
+    path. Oversized cells degrade to representative
+    chaining via the shared lsh_candidate_pairs skew cap instead of
+    going quadratic. Emits (dup_id, kept_id = min id of the semantic
+    group), singletons omitted — llm_minhash_dedup's contract with
+    embeddings instead of shingles.
+
+    FULLY HASH-ORACLED since r12 (was weak r10–r11): the Lloyd
+    quantizer behind _ensure_ivf_index made every stage reproducible,
+    so _semdedup_oracle replays quantizer → two-level probe →
+    cap-2048 candidates → τ verify → star-CC in DuckDB; the remaining
+    approximation (boundary misses) is now part of the CHECKED
+    semantics rather than an excuse for a rows-only check."""
+    import os
+
+    idx = _ensure_ivf_index(spark, sf_dir)
+    cells = managed_cache(spark.read.parquet(os.path.join(idx, "cells")))
+    centers = spark.read.parquet(os.path.join(idx, "centers"))
+    # query side probes each vector's 2 nearest cells so near-dup pairs
+    # split by a cluster BOUNDARY still meet (the planted-recall test
+    # failed 14/20 with top-1-only scoping); index side stays top-1
+    probes = _ivf_probe_cells(
+        cells.select("vec_id", "embedding", "norm"), centers, nprobe=2
+    ).select("vec_id", F.col("cell").cast("bigint").alias("bucket"))
+    # normalize direction THEN dedup: multiprobe candidates are
+    # asymmetric (B may probe into A's cell without A probing into
+    # B's), so a vec_id < nn_id filter would drop one-way pairs
+    # max_bucket is CELL-sized (≥ the ~√n-vector _ivf_k cells), not
+    # ANN's 64: representative chaining is the wrong degradation for a
+    # τ-verified dedup — hub edges fail the τ filter on non-dup hubs
+    # and sever the group (measured: 6/20 planted pairs lost through
+    # chained cells at the ANN cap). Within-cell all-pairs at ≤2048
+    # stays O(target_cell) per vector; only a pathological mega-cell
+    # (boilerplate embeddings) still degrades to chaining.
+    cand = (
+        lsh_candidate_pairs(
+            cells.select("vec_id", F.col("cell").cast("bigint").alias("bucket")),
+            q_probes=probes,
+            max_bucket=2048,
+        )
+        .select(
+            F.least("vec_id", "nn_id").alias("vec_id"),
+            F.greatest("vec_id", "nn_id").alias("nn_id"),
+        )
+        .distinct()
+    )
+    ea = cells.select("vec_id", F.col("embedding").alias("emb_a"),
+                      F.col("norm").alias("norm_a"))
+    eb = cells.select(F.col("vec_id").alias("nn_id"),
+                      F.col("embedding").alias("emb_b"),
+                      F.col("norm").alias("norm_b"))
+    edges = (
+        cand.join(ea, "vec_id")
+        .join(eb, "nn_id")
+        .filter(
+            _dot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b"))
+            >= 0.4
+        )
+        .select(F.col("vec_id").alias("doc_a"), F.col("nn_id").alias("doc_b"))
+    )
+    cc = connected_components(spark, edges)
+    return cc.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias("dup_id"), F.col("component_id").alias("kept_id")
+    )
+
+
+
+
+def _range_search_oracle(tau: float = 0.4) -> str:
+    """DuckDB twin of llm_ann_range_search: the _ivf_lloyd_oracle CTE
+    body (quantizer + two-level probe + candidates + scoring) with the
+    top-1 rank replaced by the τ range predicate. τ compares an
+    unrounded double — same accepted knife-edge as _semdedup_oracle."""
+    base = _ivf_lloyd_oracle()
+    tail_old = """SELECT vec_id, nn_id, ROUND(cos_sim, 4) + 0.0 AS cos_sim
+FROM (SELECT vec_id, nn_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, nn_id ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+    tail_new = f"""SELECT vec_id, nn_id, ROUND(cos_sim, 4) + 0.0 AS cos_sim
+FROM scored
+WHERE cos_sim >= {tau}
+"""
+    assert tail_old in base
+    return base.replace(tail_old, tail_new)
+
+
+@register("llm_ann_range_search", oracle=_range_search_oracle(), category="K")
+def llm_ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE search over the served IVF index (r12): every candidate
+    neighbor with cosine ≥ τ=0.4, not just the top-1 — the retrieval
+    shape RAG recall evaluation and τ-thresholded linking actually
+    need (FAISS range_search). Same persisted Lloyd index, same
+    two-level probe and candidate generation as llm_ann_ivf_served;
+    the only difference is the tail: a τ filter instead of the
+    per-query rank, so there is NO window at all — the result is a
+    pure pipelined filter over the candidate stream (strictly cheaper
+    than top-k at any scale; no per-key sort state). Emits directed
+    (vec_id, nn_id, cos_sim) — symmetric pairs appear once per
+    direction exactly as a per-query retrieval would return them.
+    Fully hash-oracled (_range_search_oracle)."""
+    import os
+
+    idx = _ensure_ivf_index(spark, sf_dir)
+    centers = spark.read.parquet(os.path.join(idx, "centers"))
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    probes = _ivf_probe_cells(
+        cells.select("vec_id", "embedding", "norm"), centers, nprobe=2
+    )
+    qa = probes.alias("q")
+    xa = cells.alias("x")
+    return (
+        qa.join(
+            xa,
+            (F.col("q.cell") == F.col("x.cell"))
+            & (F.col("q.vec_id") != F.col("x.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("vec_id"),
+            F.col("x.vec_id").alias("nn_id"),
+            (
+                _dot(F.col("q.embedding"), F.col("x.embedding"))
+                / (F.col("q.norm") * F.col("x.norm"))
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.4)
+        .select(
+            "vec_id",
+            "nn_id",
+            (F.round("cos_sim", 4) + F.lit(0.0)).alias("cos_sim"),
+        )
+    )
+
+
+def _cell_stats_oracle() -> str:
+    """DuckDB twin of llm_ivf_cell_stats: per-cell population and mean
+    quantization error straight off the dynamic-k Lloyd assignment.
+    The mean goes through per-row ROUND(d2, 6) → DECIMAL so the SUM is
+    order-independent (the registry's float discipline), divided in
+    double only at the end."""
+    R = _KMEANS_ROUNDS
+    return f"""
+WITH {_ivf_lloyd_rounds_sql()}
+SELECT CAST(cell AS INT) AS cell,
+       COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(CAST(ROUND(d2, 6) AS DECIMAL(28, 10))) AS DOUBLE)
+             / COUNT(*), 4) + 0.0 AS avg_d2
+FROM asg{R}
+GROUP BY cell
+"""
+
+
+@register("llm_ivf_cell_stats", oracle=_cell_stats_oracle(), category="K")
+def llm_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer DIAGNOSTICS as a first-class query (r12): per-cell
+    population and mean squared quantization error from the dynamic-k
+    Lloyd assignment — the balance/coverage report an index operator
+    reads before trusting a new build (skewed cells → probe-cost
+    variance; fat avg_d2 → under-trained quantizer). One partial-agg
+    groupBy over the (vec_id, cell, d2) assignment — no extra corpus
+    pass: the assignment is the index build's own output, memoized per
+    dataset fingerprint. Mean d2 rides per-row ROUND→DECIMAL so
+    partition-parallel summation can't leak into the rounded result
+    (registry float discipline). Fully hash-oracled."""
+    asg, _cents = _lloyd_ivf_fit(spark, sf_dir)
+    return asg.groupBy("cell").agg(
+        F.count("*").alias("n_vecs"),
+        (
+            F.round(
+                (
+                    F.sum(
+                        F.round(F.col("d2"), 6).cast("decimal(28,10)")
+                    ).cast("double")
+                    / F.count("*")
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("avg_d2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ADC scoring inside IVF cells (r12)
+# ---------------------------------------------------------------------------
+_PQ_M = 4           # subspaces (64 dims -> 4 x 16)
+_PQ_SUBDIM = 16
+_PQ_K = 16          # sub-centroids per codebook (4-bit codes)
+_PQ_ROUNDS = 6      # same update-round depth as _KMEANS_ROUNDS
+_PQ_SAMPLE = 1024   # codebook training sample (md5-smallest vec_ids)
+
+_PQ_MEMO: dict = {}  # fp -> list[4] of 16x16 codebooks (metadata KBs;
+# same LRU/content-addressing discipline as _KMEANS_MEMO)
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
+    """Train the _PQ_M sub-codebooks: an independent deterministic
+    Lloyd fit (md5 seeds, quantized means — _kmeans_fit's exact
+    disciplines) per 16-dim subspace, on the _PQ_SAMPLE md5-smallest
+    vectors (PQ codebooks are classically sample-trained; at sf0.01
+    the cap exceeds n so the sample IS the corpus, and the DuckDB twin
+    applies the same LIMIT, so engines agree at every scale). Returns
+    [m][cell][dim] nested lists — metadata (4·16·16 doubles)."""
+    import os
+
+    from gdxpy_spark.operators._util import files_fingerprint
+
+    fp = files_fingerprint([os.path.join(sf_dir, "embeddings.parquet")])
+    if fp in _PQ_MEMO:
+        return _PQ_MEMO[fp]
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # repartition after the sort-limit (see _kmeans_fit: GlobalLimit's
+    # single partition would single-thread every fit round)
+    samp = e.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(
+        _PQ_SAMPLE
+    ).repartition("vec_id")
+    sve = managed_cache(
+        samp.select(
+            "vec_id", F.posexplode("embedding").alias("pos", "v")
+        ).withColumn("v", F.col("v").cast("double"))
+    )
+    seed_rows = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(_PQ_K)
+        .select(F.transform("embedding", lambda v: v.cast("double")).alias("c"))
+        .collect()
+    )
+    books = []
+    for m in range(_PQ_M):
+        lo = m * _PQ_SUBDIM
+        cents = [list(r["c"])[lo:lo + _PQ_SUBDIM] for r in seed_rows]
+        frame = sve.filter(
+            (F.col("pos") >= lo) & (F.col("pos") < lo + _PQ_SUBDIM)
+        ).select("vec_id", (F.col("pos") - lo).alias("pos"), "v")
+
+        def assign(cs):
+            rows = [(j, p, x) for j, c in enumerate(cs) for p, x in enumerate(c)]
+            cdf = spark.createDataFrame(rows, "cell INT, pos INT, c DOUBLE")
+            d2 = (
+                frame.join(F.broadcast(cdf), "pos")
+                .groupBy("vec_id", "cell")
+                .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
+            )
+            return d2.groupBy("vec_id").agg(
+                F.min(F.struct("d2", "cell")).alias("b")
+            ).select("vec_id", F.col("b.cell").alias("cell"))
+
+        for _r in range(_PQ_ROUNDS):
+            asg = assign(cents)
+            upd = (
+                asg.join(frame, "vec_id")
+                .groupBy("cell", "pos")
+                .agg(F.round(F.avg("v"), 9).alias("x"))
+                .groupBy("cell")
+                .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
+                .select("cell", F.col("px.x").alias("c"))
+                .collect()
+            )
+            for row in upd:  # empty sub-cells keep their previous centroid
+                cents[row["cell"]] = list(row["c"])
+        books.append(cents)
+    _PQ_MEMO[fp] = books
+    while len(_PQ_MEMO) > _BPE_MERGE_MEMO_CAP:
+        _PQ_MEMO.pop(next(iter(_PQ_MEMO)))
+    return books
+
+
+def _pq_rounds_sql(m: int) -> str:
+    """CTE fragment: subspace ``m``'s codebook fit (p{m}c0..p{m}c6,
+    fit dists/assignments over pqsamp) + the FULL-corpus final coding
+    assignment p{m}aF. Requires CTEs e and pqsamp in scope. Slices are
+    1-based: dims [m*16+1, m*16+16]."""
+    lo = m * _PQ_SUBDIM  # 0-based offset; SQL list index = lo + i, i in 1..16
+    parts = [f"""
+p{m}c0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1
+             AS cell,
+         list_transform(embedding[{lo + 1}:{lo + _PQ_SUBDIM}],
+                        v -> CAST(v AS DOUBLE)) AS c
+  FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_PQ_K})"""]
+    for r in range(_PQ_ROUNDS + 1):
+        last = r == _PQ_ROUNDS
+        src = "e" if last else "pqsamp"
+        tag = "F" if last else str(r)
+        parts.append(f"""
+p{m}d{tag} AS MATERIALIZED (
+  SELECT s.vec_id, p{m}c{r}.cell,
+         SUM((CAST(s.embedding[CAST(i + {lo} AS INT)] AS DOUBLE)
+              - p{m}c{r}.c[CAST(i AS INT)])
+             * (CAST(s.embedding[CAST(i + {lo} AS INT)] AS DOUBLE)
+                - p{m}c{r}.c[CAST(i AS INT)])) AS d2
+  FROM {src} s CROSS JOIN p{m}c{r}
+  CROSS JOIN generate_series(1, {_PQ_SUBDIM}) t(i)
+  WHERE i + {lo} <= len(s.embedding)
+  GROUP BY s.vec_id, p{m}c{r}.cell),
+p{m}a{tag} AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM p{m}d{tag})
+  WHERE rn = 1)""")
+        if not last:
+            parts.append(f"""
+p{m}u{r} AS MATERIALIZED (
+  SELECT a.cell, t.i AS pos,
+         ROUND(AVG(CAST(s.embedding[CAST(t.i + {lo} AS INT)] AS DOUBLE)), 9)
+             AS x
+  FROM p{m}a{r} a JOIN pqsamp s USING (vec_id)
+  CROSS JOIN generate_series(1, {_PQ_SUBDIM}) t(i)
+  WHERE t.i + {lo} <= len(s.embedding)
+  GROUP BY a.cell, t.i),
+p{m}c{r + 1} AS MATERIALIZED (
+  SELECT q.cell, COALESCE(u.c, q.c) AS c
+  FROM p{m}c{r} q
+  LEFT JOIN (SELECT cell, list(x ORDER BY pos) AS c
+             FROM p{m}u{r} GROUP BY cell) u USING (cell))""")
+    return ",".join(parts)
+
+
+def _ivf_pq_oracle() -> str:
+    """DuckDB twin of llm_ann_ivf_pq: the dynamic-k IVF CTE body
+    (coarse quantizer + two-level probe → candidate id pairs), then the
+    four sub-codebook fits (_pq_rounds_sql), the full-corpus codes,
+    each query's 64-entry ADC distance table, table-lookup scoring of
+    every candidate, and the (adc ASC, nn_id ASC) top-1."""
+    R = _KMEANS_ROUNDS
+    S = _SUPER_ROUNDS
+    g_sql = "(SELECT GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) FROM kv)"
+    pq = ",".join(_pq_rounds_sql(m) for m in range(_PQ_M))
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, cell AS code FROM p{m}aF"
+        for m in range(_PQ_M)
+    )
+    qtab_union = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, cell AS code, d2 FROM p{m}dF"
+        for m in range(_PQ_M)
+    )
+    return f"""
+WITH {_ivf_lloyd_rounds_sql()},
+{_super_rounds_sql(g_sql)},
+vsd AS MATERIALIZED (
+  SELECT e.vec_id, s.grp,
+         SUM((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+              - s.c[CAST(i AS INT)])
+             * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+                - s.c[CAST(i AS INT)])) AS d2
+  FROM e CROSS JOIN scent{S} s
+  CROSS JOIN generate_series(1, 64) t(i)
+  WHERE i <= len(e.embedding)
+  GROUP BY e.vec_id, s.grp),
+vtop AS MATERIALIZED (
+  SELECT vec_id, grp FROM (
+    SELECT vec_id, grp,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, grp) AS rn
+    FROM vsd)
+  WHERE rn <= 2),
+probes AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT d.vec_id, d.cell,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d2, d.cell)
+               AS rn
+    FROM dist{R} d
+    JOIN sasg{S} m USING (cell)
+    JOIN vtop v ON v.vec_id = d.vec_id AND v.grp = m.grp)
+  WHERE rn <= 2),
+idx AS MATERIALIZED (SELECT vec_id, cell FROM asg{R}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT p.vec_id, x.vec_id AS nn_id
+  FROM probes p JOIN idx x USING (cell)
+  WHERE p.vec_id <> x.vec_id),
+pqsamp AS MATERIALIZED (
+  SELECT vec_id, embedding FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_PQ_SAMPLE}),
+{pq},
+codes AS MATERIALIZED ({codes_union}),
+qtab AS MATERIALIZED ({qtab_union}),
+scored AS MATERIALIZED (
+  SELECT c.vec_id, c.nn_id, SUM(q.d2) AS adc_d2
+  FROM cand c
+  JOIN codes x ON x.vec_id = c.nn_id
+  JOIN qtab q ON q.vec_id = c.vec_id AND q.m = x.m AND q.code = x.code
+  GROUP BY c.vec_id, c.nn_id)
+SELECT vec_id, nn_id, ROUND(adc_d2, 4) + 0.0 AS adc_d2
+FROM (SELECT vec_id, nn_id, adc_d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY adc_d2 ASC, nn_id ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+
+@register("llm_ann_ivf_pq", oracle=_ivf_pq_oracle(), category="K")
+def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (Jégou, Douze & Schmid 2011, "Product Quantization for
+    Nearest Neighbor Search"): approximate NN where candidate scoring
+    uses PRODUCT-QUANTIZED codes instead of raw vectors — the
+    memory-bounded serving tier under llm_ann_ivf_served. Four 16-dim
+    sub-codebooks (16 centroids each — 4-bit codes) are trained by the
+    deterministic sampled Lloyd fit (_pq_codebooks: md5 seeds,
+    quantized means, md5-sample cap — every _kmeans_fit discipline),
+    every vector is coded as 4 small ints, and each candidate's
+    asymmetric distance (ADC) is four TABLE LOOKUPS into the query's
+    precomputed 64-entry distance table, summed. Candidates come from
+    the same persisted Lloyd IVF index + two-level probe as the exact
+    serving path; top-1 per query by (adc ASC, nn_id ASC). Fully
+    hash-oracled (_ivf_pq_oracle replays fits, coding, tables and
+    scoring in SQL).
+
+    WHY AT 100 TB: the scoring join carries (pair ids + 4 codes) —
+    ~10 bytes/candidate instead of a 512-byte embedding pair, so the
+    candidate shuffle (the IVF serving bottleneck measured at the 100×
+    probe) shrinks ~50×, and an executor can hold the codes of ~10⁹
+    vectors in the memory one million raw vectors would need. Recall
+    floor vs the exact path is pinned in tests/test_r12_ops.py on
+    planted near-duplicates (a 1%-noise twin shares all four sub-cells
+    w.h.p.)."""
+    import os
+
+    idx = _ensure_ivf_index(spark, sf_dir)
+    centers = spark.read.parquet(os.path.join(idx, "centers"))
+    cells = managed_cache(spark.read.parquet(os.path.join(idx, "cells")))
+    books = _pq_codebooks(spark, sf_dir)
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ve = managed_cache(
+        e.select(
+            "vec_id", F.posexplode("embedding").alias("pos", "v")
+        ).withColumn("v", F.col("v").cast("double"))
+    )
+    # one (m, cell, pos, c) frame for all four codebooks — broadcastable
+    # metadata (4·16·16 rows)
+    crows = [
+        (m, j, p, x)
+        for m, book in enumerate(books)
+        for j, c in enumerate(book)
+        for p, x in enumerate(c)
+    ]
+    cdf = spark.createDataFrame(crows, "m INT, cell INT, pos INT, c DOUBLE")
+    # per-(vector, subspace) distance to every sub-centroid: the ADC
+    # table for queries AND the argmin source for index-side codes
+    sub = ve.withColumn("m", (F.col("pos") / _PQ_SUBDIM).cast("int")).withColumn(
+        "pos", F.col("pos") % _PQ_SUBDIM
+    )
+    qtab = managed_cache(
+        sub.join(F.broadcast(cdf), ["m", "pos"])
+        .groupBy("vec_id", "m", F.col("cell").alias("code"))
+        .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
+    )
+    wcode = W.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), F.col("code").asc())
+    codes = (
+        qtab.withColumn("rn", F.row_number().over(wcode))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    probes = _ivf_probe_cells(
+        cells.select("vec_id", "embedding", "norm"), centers, nprobe=2
+    ).select("vec_id", "cell")
+    cand = (
+        probes.alias("q")
+        .join(cells.select("vec_id", "cell").alias("x"), "cell")
+        .filter(F.col("q.vec_id") != F.col("x.vec_id"))
+        .select(F.col("q.vec_id").alias("vec_id"), F.col("x.vec_id").alias("nn_id"))
+        .distinct()
+    )
+    xcodes = codes.select(
+        F.col("vec_id").alias("nn_id"), "m", "code"
+    )
+    scored = (
+        cand.join(xcodes, "nn_id")
+        .join(
+            qtab.select("vec_id", "m", "code", "d2"),
+            ["vec_id", "m", "code"],
+        )
+        .groupBy("vec_id", "nn_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("adc_d2").asc(), F.col("nn_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            (F.round("adc_d2", 4) + F.lit(0.0)).alias("adc_d2"),
+        )
+    )

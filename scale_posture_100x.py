@@ -164,24 +164,18 @@ def build_d256(spark) -> tuple:
 
     d1, d100 = _d256_dirs()
 
+    def tile_mask(t):
+        # closure factory, NOT a defaulted lambda arg: PySpark counts
+        # every parameter (defaults included) as a lambda variable, so
+        # `lambda v, idx, t=t:` binds a 3-arg HOF and fails analysis
+        return lambda v, idx: v.cast("double") * F.when(
+            F.pmod(F.xxhash64(F.lit(7_000_000 + t * 64) + idx), 2) == 1,
+            -1.0,
+        ).otherwise(1.0)
+
     def tile256(col):
         return F.flatten(
-            F.array(
-                *[
-                    F.transform(
-                        col,
-                        lambda v, idx, t=t: v.cast("double")
-                        * F.when(
-                            F.pmod(
-                                F.xxhash64(F.lit(7_000_000 + t * 64) + idx), 2
-                            )
-                            == 1,
-                            -1.0,
-                        ).otherwise(1.0),
-                    )
-                    for t in range(4)
-                ]
-            )
+            F.array(*[F.transform(col, tile_mask(t)) for t in range(4)])
         ).cast("array<float>")
 
     if not os.path.exists(d1 + "/embeddings.parquet/_SUCCESS"):
@@ -193,21 +187,18 @@ def build_d256(spark) -> tuple:
         )
     if not os.path.exists(d100 + "/embeddings.parquet/_SUCCESS"):
         base = spark.read.parquet(d1 + "/embeddings.parquet")
+
+        def shard_mask(i):
+            return lambda v, idx: v * F.when(
+                F.pmod(F.xxhash64(F.lit(i), idx), 2) == 1,
+                F.lit(-1.0).cast("float"),
+            ).otherwise(F.lit(1.0).cast("float"))
+
         copies = []
         for i in range(COPIES):
             c = base.withColumn("vec_id", F.col("vec_id") + F.lit(i * 1_000_000))
             if i:
-                c = c.withColumn(
-                    "embedding",
-                    F.transform(
-                        "embedding",
-                        lambda v, idx, i=i: v
-                        * F.when(
-                            F.pmod(F.xxhash64(F.lit(i), idx), 2) == 1,
-                            F.lit(-1.0).cast("float"),
-                        ).otherwise(F.lit(1.0).cast("float")),
-                    ),
-                )
+                c = c.withColumn("embedding", F.transform("embedding", shard_mask(i)))
             copies.append(c)
         big = copies[0]
         for c in copies[1:]:

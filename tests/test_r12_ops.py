@@ -1,9 +1,12 @@
 """Round-12 additions: memo lifecycle bounds, the hierarchical
-(two-level) IVF coarse search, and artifact hygiene pins."""
+(two-level) IVF coarse search, IVF-PQ, the semdedup oracle, and
+artifact hygiene pins."""
 
 from __future__ import annotations
 
 import pytest
+
+from tests.test_ann import planted_dir  # noqa: F401  (fixture reuse)
 
 
 # ---- driver-side metadata memos: bounded process-lifetime retention ---------
@@ -33,6 +36,76 @@ def test_metadata_memos_are_lru_capped():
         finally:
             memo.clear()
             memo.update(saved)
+
+
+# ---- IVF-PQ (r12) ------------------------------------------------------------
+
+
+def test_ivf_pq_recall_on_planted_pairs(spark, planted_dir):
+    """A 1%-noise twin lands in the same four sub-cells w.h.p., so its
+    ADC distance is (near-)minimal — PQ top-1 must recover planted
+    pairs. Slack is 4 (vs 2 for exact paths): two same-code vectors
+    are EXACTLY tied under ADC and the (adc, nn_id) tie-break can
+    legitimately pick the smaller id instead of the twin."""
+    from gdxpy_spark.registry import all_queries
+    from tests.test_ann import N_PLANT
+
+    nn = {
+        r["vec_id"]: r["nn_id"]
+        for r in all_queries()["llm_ann_ivf_pq"].fn(spark, planted_dir).collect()
+    }
+    hits = sum(1 for i in range(N_PLANT) if nn.get(100000 + i) == i)
+    assert hits >= N_PLANT - 4, f"PQ recall too low: {hits}/{N_PLANT}"
+
+
+def test_ivf_pq_engine_matches_oracle(spark, duck):
+    """Direct engine↔oracle differential for the PQ pipeline (fits,
+    coding, ADC tables, scoring)."""
+    from gdxpy_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    q = all_queries()["llm_ann_ivf_pq"]
+    srows = sorted((tuple(r) for r in q.fn(spark, SF_DIR).collect()), key=repr)
+    orows = sorted((tuple(r) for r in duck.execute(q.oracle).fetchall()), key=repr)
+    assert srows == orows and srows
+
+
+# ---- semdedup oracle (r12: weak -> hash-oracled) ----------------------------
+
+
+def test_semdedup_oracle_cc_rounds_converged(duck):
+    """_semdedup_oracle unrolls star-contraction at _SEMDEDUP_CC_ROUNDS
+    — pin convergence: identical rows at depth N and N+1 (the
+    _CC_ROUNDS discipline applied to the semantic-dup graph)."""
+    from gdxpy_spark.operators.llm import (
+        _SEMDEDUP_CC_ROUNDS,
+        _cc_star_rounds_sql,
+        _semdedup_oracle,
+    )
+
+    N = _SEMDEDUP_CC_ROUNDS
+    # anchor the final-select rewrite on "kept_id FROM" — a bare
+    # "FROM se{N}" also matches INSIDE the deeper rounds fragment
+    # (sym{N} reads se{N}) and would create a circular CTE
+    deeper = _semdedup_oracle().replace(
+        _cc_star_rounds_sql(N), _cc_star_rounds_sql(N + 1)
+    ).replace(f"kept_id FROM se{N}", f"kept_id FROM se{N + 1}")
+    assert f"se{N + 1}" in deeper
+    base = sorted(duck.execute(_semdedup_oracle()).fetchall())
+    deep = sorted(duck.execute(deeper).fetchall())
+    assert base == deep and base
+
+
+def test_semdedup_engine_matches_oracle(spark, duck):
+    """Direct engine↔oracle differential for the r12 graduation (the
+    driver re-proves this every round; this is the in-repo pin)."""
+    from gdxpy_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    q = all_queries()["llm_semdedup"]
+    srows = sorted(tuple(r) for r in q.fn(spark, SF_DIR).collect())
+    orows = sorted(tuple(int(a) for a in r) for r in duck.execute(q.oracle).fetchall())
+    assert srows == orows and srows
 
 
 # ---- probe-corpus cache keying (r11 verdict #7) -----------------------------
