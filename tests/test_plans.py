@@ -442,3 +442,22 @@ def test_bpe_train_scans_prune_to_sampled_columns(spark):
     )
     assert "text" in rs and "lang" not in rs and "source" not in rs, rs
     assert df.count() == 10
+
+
+def test_ivf_served_two_level_probe_shape(spark):
+    """r12 coarse-search pruning regression pin: the served ANN plan
+    must carry the TWO-LEVEL probe — a broadcast equi-join on grp
+    (super-group -> member centroids; the level-2 restriction that
+    replaced the flat n×k centroid rank) and rank-filter windows that
+    Spark has rewritten to WindowGroupLimit (top-k pushed below the
+    shuffle). A flat probe has no grp join; its reappearance would
+    re-open the measured ×37.6 coarse cliff."""
+    plan = formatted_plan(_df(spark, "llm_ann_ivf_served"))
+    assert "WindowGroupLimit" in plan, plan
+    # level-2: an equi-join whose key is the super-group id (the
+    # formatted detail section prints "Left keys [1]: [grp#N]")
+    import re
+
+    bhj_grp = re.search(r"keys \[1\]: \[grp#", plan)
+    assert bhj_grp, "two-level probe's grp equi-join missing:\n" + plan
+    assert "BroadcastHashJoin" in plan, plan
