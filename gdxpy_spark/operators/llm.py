@@ -5461,12 +5461,12 @@ p{m}c{r + 1} AS MATERIALIZED (
     return ",".join(parts)
 
 
-def _ivf_pq_oracle() -> str:
-    """DuckDB twin of llm_ann_ivf_pq: the dynamic-k IVF CTE body
-    (coarse quantizer + two-level probe → candidate id pairs), then the
-    four sub-codebook fits (_pq_rounds_sql), the full-corpus codes,
-    each query's 64-entry ADC distance table, table-lookup scoring of
-    every candidate, and the (adc ASC, nn_id ASC) top-1."""
+def _ivf_pq_body() -> str:
+    """Shared CTE body for the PQ oracles (through the ``scored``
+    ADC frame): the dynamic-k IVF CTE body (coarse quantizer +
+    two-level probe → candidate id pairs), the four sub-codebook fits
+    (_pq_rounds_sql), the full-corpus codes, each query's 64-entry ADC
+    distance table, and table-lookup scoring of every candidate."""
     R = _KMEANS_ROUNDS
     S = _SUPER_ROUNDS
     g_sql = "(SELECT GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) FROM kv)"
@@ -5479,8 +5479,7 @@ def _ivf_pq_oracle() -> str:
         f"SELECT vec_id, {m} AS m, cell AS code, d2 FROM p{m}dF"
         for m in range(_PQ_M)
     )
-    return f"""
-WITH {_ivf_lloyd_rounds_sql()},
+    return f"""{_ivf_lloyd_rounds_sql()},
 {_super_rounds_sql(g_sql)},
 vsd AS MATERIALIZED (
   SELECT e.vec_id, s.grp,
@@ -5523,7 +5522,14 @@ scored AS MATERIALIZED (
   FROM cand c
   JOIN codes x ON x.vec_id = c.nn_id
   JOIN qtab q ON q.vec_id = c.vec_id AND q.m = x.m AND q.code = x.code
-  GROUP BY c.vec_id, c.nn_id)
+  GROUP BY c.vec_id, c.nn_id)"""
+
+
+def _ivf_pq_oracle() -> str:
+    """DuckDB twin of llm_ann_ivf_pq: _ivf_pq_body's ADC frame + the
+    (adc ASC, nn_id ASC) top-1 tail."""
+    return f"""
+WITH {_ivf_pq_body()}
 SELECT vec_id, nn_id, ROUND(adc_d2, 4) + 0.0 AS adc_d2
 FROM (SELECT vec_id, nn_id, adc_d2,
              ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -5533,31 +5539,52 @@ WHERE rn = 1
 """
 
 
-@register("llm_ann_ivf_pq", oracle=_ivf_pq_oracle(), category="K")
-def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ (Jégou, Douze & Schmid 2011, "Product Quantization for
-    Nearest Neighbor Search"): approximate NN where candidate scoring
-    uses PRODUCT-QUANTIZED codes instead of raw vectors — the
-    memory-bounded serving tier under llm_ann_ivf_served. Four 16-dim
-    sub-codebooks (16 centroids each — 4-bit codes) are trained by the
-    deterministic sampled Lloyd fit (_pq_codebooks: md5 seeds,
-    quantized means, md5-sample cap — every _kmeans_fit discipline),
-    every vector is coded as 4 small ints, and each candidate's
-    asymmetric distance (ADC) is four TABLE LOOKUPS into the query's
-    precomputed 64-entry distance table, summed. Candidates come from
-    the same persisted Lloyd IVF index + two-level probe as the exact
-    serving path; top-1 per query by (adc ASC, nn_id ASC). Fully
-    hash-oracled (_ivf_pq_oracle replays fits, coding, tables and
-    scoring in SQL).
+_PQ_RERANK_R = 8
 
-    WHY AT 100 TB: the scoring join carries (pair ids + 4 codes) —
-    ~10 bytes/candidate instead of a 512-byte embedding pair, so the
-    candidate shuffle (the IVF serving bottleneck measured at the 100×
-    probe) shrinks ~50×, and an executor can hold the codes of ~10⁹
-    vectors in the memory one million raw vectors would need. Recall
-    floor vs the exact path is pinned in tests/test_r12_ops.py on
-    planted near-duplicates (a 1%-noise twin shares all four sub-cells
-    w.h.p.)."""
+
+def _ivf_pq_rerank_oracle() -> str:
+    """DuckDB twin of llm_ann_ivf_pq_rerank: _ivf_pq_body's ADC frame,
+    the top-{_PQ_RERANK_R} ADC shortlist per query, an exact-cosine
+    rerank of only those pairs, and the (cos DESC, nn_id ASC) top-1."""
+    return f"""
+WITH {_ivf_pq_body()},
+shortlist AS MATERIALIZED (
+  SELECT vec_id, nn_id FROM (
+    SELECT vec_id, nn_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY adc_d2 ASC, nn_id ASC) AS rn
+    FROM scored)
+  WHERE rn <= {_PQ_RERANK_R}),
+ren AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS norm
+  FROM embeddings),
+rr AS MATERIALIZED (
+  SELECT s.vec_id, s.nn_id,
+         SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+             * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+         / (a.norm * b.norm) AS cos_sim
+  FROM shortlist s
+  JOIN ren a ON a.vec_id = s.vec_id
+  JOIN ren b ON b.vec_id = s.nn_id
+  CROSS JOIN generate_series(1, 64) t(i)
+  WHERE i <= len(a.embedding)
+  GROUP BY s.vec_id, s.nn_id, a.norm, b.norm)
+SELECT vec_id, nn_id, ROUND(cos_sim, 4) + 0.0 AS cos_sim
+FROM (SELECT vec_id, nn_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos_sim DESC, nn_id ASC) AS rn
+      FROM rr)
+WHERE rn = 1
+"""
+
+
+def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared IVF-PQ ADC frame (vec_id, nn_id, adc_d2 — unrounded)
+    behind llm_ann_ivf_pq and llm_ann_ivf_pq_rerank: persisted-index
+    candidates scored by product-quantized table lookups. Mirrors the
+    oracle CTE body _ivf_pq_body stage for stage."""
     import os
 
     idx = _ensure_ivf_index(spark, sf_dir)
@@ -5618,6 +5645,35 @@ def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "nn_id")
         .agg(F.sum("d2").alias("adc_d2"))
     )
+    return scored
+
+
+@register("llm_ann_ivf_pq", oracle=_ivf_pq_oracle(), category="K")
+def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (Jégou, Douze & Schmid 2011, "Product Quantization for
+    Nearest Neighbor Search"): approximate NN where candidate scoring
+    uses PRODUCT-QUANTIZED codes instead of raw vectors — the
+    memory-bounded serving tier under llm_ann_ivf_served. Four 16-dim
+    sub-codebooks (16 centroids each — 4-bit codes) are trained by the
+    deterministic sampled Lloyd fit (_pq_codebooks: md5 seeds,
+    quantized means, md5-sample cap — every _kmeans_fit discipline),
+    every vector is coded as 4 small ints, and each candidate's
+    asymmetric distance (ADC) is four TABLE LOOKUPS into the query's
+    precomputed 64-entry distance table, summed (_pq_scored).
+    Candidates come from the same persisted Lloyd IVF index +
+    two-level probe as the exact serving path; top-1 per query by
+    (adc ASC, nn_id ASC). Fully hash-oracled (_ivf_pq_oracle replays
+    fits, coding, tables and scoring in SQL).
+
+    WHY AT 100 TB: the scoring join carries (pair ids + 4 codes) —
+    ~10 bytes/candidate instead of a 512-byte embedding pair, so the
+    candidate shuffle (the IVF serving bottleneck measured at the 100×
+    probe) shrinks ~50×, and an executor can hold the codes of ~10⁹
+    vectors in the memory one million raw vectors would need. Recall
+    floor vs the exact path is pinned in tests/test_r12_ops.py on
+    planted near-duplicates (a 1%-noise twin shares all four sub-cells
+    w.h.p.)."""
+    scored = _pq_scored(spark, sf_dir)
     w = W.partitionBy("vec_id").orderBy(F.col("adc_d2").asc(), F.col("nn_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -5628,3 +5684,33 @@ def llm_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("adc_d2", 4) + F.lit(0.0)).alias("adc_d2"),
         )
     )
+
+
+@register("llm_ann_ivf_pq_rerank", oracle=_ivf_pq_rerank_oracle(), category="K")
+def llm_ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with EXACT-COSINE RERANK — the standard two-stage
+    retrieval recipe (FAISS IndexIVFPQ + refine): the PQ ADC frame
+    shortlists each query's top-8 candidates by approximate
+    distance, then ONLY those ≤R pairs are rescored with the exact
+    cosine and the best survives ((cos DESC, nn_id ASC) top-1). Fixes
+    the PQ tie-break artifact (same-code candidates are EXACTLY tied
+    under ADC; exact rerank separates them), so planted-pair recall is
+    pinned at the exact path's floor in tests/test_r12_ops.py —
+    stronger than plain PQ's.
+
+    WHY AT 100 TB: raw embeddings are touched for only R·n shortlist
+    rows (R=8) instead of every candidate — the heavy candidate
+    shuffle stays code-sized (PQ's win), and the rerank join is
+    shortlist-sized, partitioned by query. Fully hash-oracled
+    (_ivf_pq_rerank_oracle)."""
+    scored = _pq_scored(spark, sf_dir)
+    ws = W.partitionBy("vec_id").orderBy(F.col("adc_d2").asc(), F.col("nn_id").asc())
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _PQ_RERANK_R)
+        .select("vec_id", "nn_id")
+    )
+    en = _with_norm(
+        table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    return _cosine_top1(en, shortlist)

@@ -98,8 +98,8 @@ def load_all() -> None:
 # Driver artifacts (CORRECTNESS_r*.json) cap at ~50 entries, truncating in
 # queries() iteration order. From r11 on, the window rotates by
 # INDEPENDENT-EVIDENCE AGE (r10 verdict "What's wrong" #4): SELFCHECK
-# re-verifies all ~273 registered queries every round (273 registered /
-# 268 hash-oracled as of r12 — see make_catalog.py for live counts), but it is
+# re-verifies all ~274 registered queries every round (274 registered /
+# 269 hash-oracled as of r12 — see make_catalog.py for live counts), but it is
 # builder-run — the driver's CORRECTNESS ledger is the independent
 # record, and with a 50-ID window an early-verified ID can go many
 # rounds without fresh driver evidence. Order: (1) queries NEW this
@@ -109,6 +109,7 @@ def load_all() -> None:
 # first — the r01 relational spine has waited longest), name-sorted
 # within a round. Regenerate next round by bumping the ledger glob.
 _ARTIFACT_PRIORITY = [
+    "llm_ann_ivf_pq_rerank",  # NEW r12
     "llm_ann_ivf_pq",  # NEW r12
     "llm_ann_range_search",  # NEW r12
     "llm_ivf_cell_stats",  # NEW r12

@@ -58,6 +58,32 @@ def test_ivf_pq_recall_on_planted_pairs(spark, planted_dir):
     assert hits >= N_PLANT - 4, f"PQ recall too low: {hits}/{N_PLANT}"
 
 
+def test_ivf_pq_rerank_recall_at_exact_floor(spark, planted_dir):
+    """Exact-cosine rerank of the ADC shortlist must separate same-code
+    ties, restoring the exact path's planted-pair floor (N_PLANT - 2,
+    stricter than plain PQ's - 4)."""
+    from gdxpy_spark.registry import all_queries
+    from tests.test_ann import N_PLANT
+
+    nn = {
+        r["vec_id"]: r["nn_id"]
+        for r in all_queries()["llm_ann_ivf_pq_rerank"].fn(spark, planted_dir).collect()
+    }
+    hits = sum(1 for i in range(N_PLANT) if nn.get(100000 + i) == i)
+    assert hits >= N_PLANT - 2, f"PQ+rerank recall too low: {hits}/{N_PLANT}"
+
+
+def test_ivf_pq_rerank_engine_matches_oracle(spark, duck):
+    """Engine↔oracle differential for the rerank tail."""
+    from gdxpy_spark.registry import all_queries
+    from tests.conftest import SF_DIR
+
+    q = all_queries()["llm_ann_ivf_pq_rerank"]
+    srows = sorted((tuple(r) for r in q.fn(spark, SF_DIR).collect()), key=repr)
+    orows = sorted((tuple(r) for r in duck.execute(q.oracle).fetchall()), key=repr)
+    assert srows == orows and srows
+
+
 def test_ivf_pq_engine_matches_oracle(spark, duck):
     """Direct engine↔oracle differential for the PQ pipeline (fits,
     coding, ADC tables, scoring)."""
