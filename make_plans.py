@@ -102,6 +102,12 @@ PICKS = [
      "TWO-LEVEL coarse probe — ~n^0.25 super-centroids broadcast, "
      "then only the probed groups' ~sqrt(k) member centroids — "
      "candidates equi-join on cell"),
+    ("llm_ann_ivf_pq",
+     "IVF-PQ ADC scoring (r12): the candidate-scoring joins carry "
+     "(vec_id, m, code) smallints — never a 64-double embedding — "
+     "against the broadcast 4x16x16 codebook frame; raw vectors are "
+     "touched only in the persisted-index scan and the query-side "
+     "table build"),
     ("src_parquet_zorder",
      "z-ordered layout (r10): both halves of the 2-D predicate reach "
      "the persisted layout scan as PushedFilters — user AND time prune "

@@ -201,6 +201,46 @@ def test_super_quantizer_sql_mirror(duck):
     assert len(set(asg)) > 1  # the grouping actually partitions
 
 
+def test_super_quantizer_sql_mirror_property(duck):
+    """Property version of the fixed-seed mirror test: across many
+    random centroid sets (sizes, dims, duplicate centroids, near-ties)
+    the Python and DuckDB super-quantizers must agree on every
+    assignment. Catches tie-break or rounding drift the single-seed
+    test could miss."""
+    import random
+
+    from gdxpy_spark.operators.llm import (
+        _SUPER_ROUNDS,
+        _super_g,
+        _super_quantize,
+        _super_rounds_sql,
+    )
+
+    for seed in range(12):
+        rng = random.Random(1000 + seed)
+        k = rng.choice([9, 12, 16, 23, 45])
+        dim = rng.choice([4, 8, 16])
+        cents = [
+            [round(rng.uniform(-1, 1), 6) for _ in range(dim)]
+            for _ in range(k)
+        ]
+        if seed % 3 == 0 and k >= 2:  # force duplicate centroids (ties)
+            cents[1] = list(cents[0])
+        g = _super_g(k)
+        vals = ", ".join(
+            "({}, [{}])".format(c, ", ".join(repr(x) for x in row))
+            for c, row in enumerate(cents)
+        )
+        sql = (
+            f"WITH centx(cell, c) AS (VALUES {vals}), "
+            f"{_super_rounds_sql(g, cent='centx')} "
+            f"SELECT cell, grp FROM sasg{_SUPER_ROUNDS} ORDER BY cell"
+        )
+        got = [(int(a), int(b)) for a, b in duck.execute(sql).fetchall()]
+        asg, _sc = _super_quantize(cents)
+        assert got == [(c, asg[c]) for c in range(k)], (seed, k, dim)
+
+
 def test_two_level_probe_matches_flat_when_groups_agree(spark):
     """On the real corpus the two-level probe must return exactly
     nprobe cells per vector, every one of them a member of that
