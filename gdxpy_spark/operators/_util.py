@@ -150,13 +150,16 @@ def sql_money4(expr: str, alias: str) -> str:
 #
 # DELIBERATELY OUTSIDE this discipline: the driver-side METADATA memos
 # (llm._BPE_MERGE_MEMO — 10 merge tuples/dataset, llm._KMEANS_MEMO —
-# k×64 quantized doubles/dataset). Those hold kilobytes in the DRIVER
-# process, not executor storage, and their whole point is surviving
-# the query cadence (bpe_train → bpe_apply, kmeans_lloyd →
-# ann_ivf_checked fit once per session). Each is content-addressed by
-# dataset fingerprint (never stale) and LRU-capped at
-# llm._BPE_MERGE_MEMO_CAP entries (process-lifetime retention bounded
-# to a handful of KB; cap pinned in tests/test_r12_ops.py).
+# k×64 quantized doubles/dataset, llm._PQ_MEMO — 4×16×16 sub-codebooks/
+# dataset, llm._SUPER_MEMO — (grp_of, super-centers) per fitted coarse
+# quantizer). Those hold kilobytes in the DRIVER process, not executor
+# storage, and their whole point is surviving the query cadence
+# (bpe_train → bpe_apply, kmeans_lloyd → ann_ivf_checked fit once per
+# session, probe calls reusing one quantizer). Each is
+# content-addressed (dataset fingerprint or packed-centers md5 — never
+# stale) and true-LRU capped at its own *_CAP constant via
+# llm._memo_get/_memo_put (process-lifetime retention bounded to a
+# handful of KB; caps + LRU pinned in tests/test_r12_ops.py).
 _live_caches: list[DataFrame] = []
 
 

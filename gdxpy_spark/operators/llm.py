@@ -1498,7 +1498,15 @@ def llm_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cosine_top1(e, lsh_candidate_pairs(bucketed, n_probe_bits=n_bits))
 
 
-def _ivf_k(n: int, lo: int = 16) -> int:
+# The small-corpus floor for the dynamic IVF cell count. Used by BOTH
+# _ivf_k's default `lo` and the oracle's kv CTE (_ivf_lloyd_rounds_sql)
+# — a dedicated constant so tuning the unrelated llm_kmeans_lloyd's
+# _KMEANS_K can never silently shift the oracle's k floor away from
+# the engine's (r12 advice; they coincided at 16 by accident).
+_IVF_K_FLOOR = 16
+
+
+def _ivf_k(n: int, lo: int = _IVF_K_FLOOR) -> int:
     """Corpus-sized IVF cell count, k ≈ √n: the self-join/batch-query
     workload costs n·k rows in the coarse search (every vector ranks
     every centroid) plus nprobe·n·(n/k) exact cosines in the probed
@@ -1623,6 +1631,27 @@ def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+_SUPER_MEMO: dict = {}  # centers-fingerprint -> (grp_of, scents): the
+# driver-side Lloyd over centroid metadata is O(k·g·d·rounds) pure
+# Python — at the 10^9-vector posture (k≈31.6k, g≈178) that is >10^9
+# float ops PER QUERY if recomputed on every _ivf_probe_cells call
+# (r12 advice). Content-addressed like _KMEANS_MEMO; true-LRU capped.
+_SUPER_MEMO_CAP = 4
+
+
+def _centers_fingerprint(cells: list, cents: list) -> str:
+    """md5 over the packed (cell, center bytes) stream — a content
+    address for a fitted coarse quantizer (metadata-sized input)."""
+    import hashlib
+    import struct
+
+    h = hashlib.md5()
+    for c, vec in zip(cells, cents):
+        h.update(struct.pack("<q", int(c)))
+        h.update(struct.pack(f"<{len(vec)}d", *vec))
+    return h.hexdigest()
+
+
 def _ivf_probe_cells(
     q: DataFrame, centers: DataFrame, nprobe: int = 2, nprobe_super: int = 2
 ) -> DataFrame:
@@ -1670,7 +1699,14 @@ def _ivf_probe_cells(
             .select("vec_id", "embedding", "norm", "cell")
         )
     cents = [[float(x) for x in r["center"]] for r in crows]
-    grp_of, scents = _super_quantize(cents)
+    cell_ids = [int(r["cell"]) for r in crows]
+    sfp = _centers_fingerprint(cell_ids, cents)
+    memo_hit = _memo_get(_SUPER_MEMO, sfp)
+    if memo_hit is not None:
+        grp_of, scents = memo_hit
+    else:
+        grp_of, scents = _super_quantize(cents, cell_ids=cell_ids)
+        _memo_put(_SUPER_MEMO, sfp, (grp_of, scents), _SUPER_MEMO_CAP)
     supers = spark.createDataFrame(
         [(j, sc) for j, sc in enumerate(scents)],
         "grp INT, scenter ARRAY<DOUBLE>",
@@ -3790,10 +3826,32 @@ def _bpe_merge_fold(l: str, r: str):
 # Lifetime is deliberately NOT tied to release_managed_caches(): that
 # runs between every registered query, which would force a retrain
 # between bpe_train and bpe_apply and defeat the memo. Instead the dict
-# is LRU-capped (insertion-ordered evict below) so many datasets in one
+# is true-LRU capped (_memo_get refreshes recency on hit, _memo_put
+# evicts the least-recently-used beyond the cap) so many datasets in one
 # driver process can never grow it past a handful of 10-tuple entries.
 _BPE_MERGE_MEMO: dict = {}
 _BPE_MERGE_MEMO_CAP = 4
+
+
+def _memo_get(memo: dict, key):
+    """Hit path shared by all driver-side metadata memos
+    (_BPE_MERGE_MEMO / _KMEANS_MEMO / _PQ_MEMO / _SUPER_MEMO): reinsert
+    the key on hit so insertion order tracks RECENCY — true LRU, so a
+    hot dataset fingerprint can't be evicted while colder ones survive
+    (r12 advice: the bare `memo[key]` read made the caps FIFO)."""
+    if key in memo:
+        memo[key] = memo.pop(key)
+        return memo[key]
+    return None
+
+
+def _memo_put(memo: dict, key, value, cap: int) -> None:
+    """Insert + evict-oldest down to ``cap`` — the shared producer-side
+    idiom (content-addressed keys are never stale, the cap bounds
+    process-lifetime retention to a handful of KB-sized entries)."""
+    memo[key] = value
+    while len(memo) > cap:
+        memo.pop(next(iter(memo)))
 # training-sample cap (docs): above this, _bpe_train_merges trains on a
 # deterministic md5-range sample of ~this many docs (see its body)
 _BPE_TRAIN_DOC_CAP = 2000
@@ -3808,8 +3866,9 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> list:
     from gdxpy_spark.operators._util import files_fingerprint
 
     memo_key = files_fingerprint([os.path.join(sf_dir, "documents.parquet")])
-    if memo_key in _BPE_MERGE_MEMO:
-        return _BPE_MERGE_MEMO[memo_key]
+    hit = _memo_get(_BPE_MERGE_MEMO, memo_key)
+    if hit is not None:
+        return hit
     docs = table(spark, sf_dir, "documents")
     # r11 (verdict directive #5): train on an md5-range hash sample
     # capped at _BPE_TRAIN_DOC_CAP docs, so the ten driver-paced merge
@@ -3884,9 +3943,7 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> list:
                 _bpe_merge_fold(l, r),
             ),
         ).localCheckpoint(eager=False)
-    _BPE_MERGE_MEMO[memo_key] = merges
-    while len(_BPE_MERGE_MEMO) > _BPE_MERGE_MEMO_CAP:
-        _BPE_MERGE_MEMO.pop(next(iter(_BPE_MERGE_MEMO)))
+    _memo_put(_BPE_MERGE_MEMO, memo_key, merges, _BPE_MERGE_MEMO_CAP)
     return merges
 
 
@@ -4407,6 +4464,7 @@ def llm_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # content-addressed — never stale) so llm_kmeans_lloyd +
 # llm_ann_ivf_checked in one session fit once and serve after
 _KMEANS_MEMO: dict = {}
+_KMEANS_MEMO_CAP = 4
 
 
 def _kmeans_fit(
@@ -4446,8 +4504,9 @@ def _kmeans_fit(
             "vec_id", F.posexplode("embedding").alias("pos", "v")
         ).withColumn("v", F.col("v").cast("double"))
     )
-    if memo_key in _KMEANS_MEMO:
-        centroids = _KMEANS_MEMO[memo_key]
+    memo_hit = _memo_get(_KMEANS_MEMO, memo_key)
+    if memo_hit is not None:
+        centroids = memo_hit
         rounds = 0  # fit cached: serve-only (one final assignment job)
         fit_ve = ve
     else:
@@ -4518,9 +4577,7 @@ def _kmeans_fit(
         )
         for row in upd:  # empty cells keep their previous centroid
             centroids[row["cell"]] = list(row["c"])
-    _KMEANS_MEMO[memo_key] = centroids
-    while len(_KMEANS_MEMO) > _BPE_MERGE_MEMO_CAP:
-        _KMEANS_MEMO.pop(next(iter(_KMEANS_MEMO)))
+    _memo_put(_KMEANS_MEMO, memo_key, centroids, _KMEANS_MEMO_CAP)
     return assign(centroids, ve), centroids
 
 
@@ -4571,7 +4628,7 @@ def _round9(x: float) -> float:
 
 
 def _super_quantize(
-    cents: list, rounds: int = _SUPER_ROUNDS
+    cents: list, rounds: int = _SUPER_ROUNDS, cell_ids: list = None
 ) -> tuple[list, list]:
     """Deterministic driver-side Lloyd over the CENTROIDS themselves:
     group the k coarse centroids into g = _super_g(k) super-groups.
@@ -4586,13 +4643,21 @@ def _super_quantize(
     ascending-cell order, ROUND HALF_UP to 9 decimals via _round9);
     argmin tie-break (d2, grp); an emptied group keeps its previous
     center. Residual cross-engine float risk is the accepted
-    knife-edge class documented on _kmeans_rounds_sql."""
+    knife-edge class documented on _kmeans_rounds_sql.
+
+    ``cell_ids`` (default 0..k-1) are the ACTUAL cell ids of the
+    centroids: the seed order hashes these, mirroring the SQL twin's
+    md5(CAST(cell AS VARCHAR)) — r12 advice fix: hashing list POSITION
+    agreed with the oracle only while cell ids happened to be
+    contiguous and sorted."""
     import hashlib
 
     k = len(cents)
+    ids = list(range(k)) if cell_ids is None else [int(c) for c in cell_ids]
+    assert len(ids) == k
     g = _super_g(k)
     order = sorted(
-        range(k), key=lambda c: hashlib.md5(str(c).encode()).hexdigest()
+        range(k), key=lambda c: hashlib.md5(str(ids[c]).encode()).hexdigest()
     )
     sc = [list(cents[c]) for c in order[:g]]
     asg = [0] * k
@@ -4781,6 +4846,8 @@ def llm_ann_ivf_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k=16 the FLOP win is modest — the point of this twin is that the
     # pruning SEMANTICS (group restriction before the (d2, cell) rank)
     # are value-hash-checked against DuckDB every round.
+    # cell ids here ARE list positions (enumerate over _kmeans_fit's
+    # centroids), so the default contiguous cell_ids hash correctly.
     grp_of, scents = _super_quantize(cents)
     srows = [(j, p, x) for j, c in enumerate(scents) for p, x in enumerate(c)]
     sdf = spark.createDataFrame(srows, "grp INT, pos INT, c DOUBLE")
@@ -4838,7 +4905,7 @@ def _ivf_lloyd_rounds_sql(
     parts = [f"""
 e AS MATERIALIZED (
   SELECT vec_id, embedding FROM embeddings),
-kv AS (SELECT GREATEST({_KMEANS_K}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
+kv AS (SELECT GREATEST({_IVF_K_FLOOR}, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT))
            AS k
        FROM e),
 samp AS MATERIALIZED (
@@ -5031,28 +5098,17 @@ _SEMDEDUP_CC_ROUNDS = 7  # same margin discipline as _GRAPH_CC_ROUNDS:
 # equality pinned in tests/test_r12_ops.py
 
 
-def _semdedup_oracle() -> str:
-    """DuckDB twin of llm_semdedup (r12 — was weak through r11; the
-    Lloyd quantizer made the whole pipeline reproducible): dynamic-k
-    sampled Lloyd rounds + super-quantizer + two-level probe (shared
-    CTE text with _ivf_lloyd_oracle), then lsh_candidate_pairs'
-    cap-2048 representative-chaining candidate generation, the exact
-    τ=0.4 cosine verify, and star-contraction CC unrolled
-    (_cc_star_rounds_sql) down to (dup_id, kept_id) child rows.
-
-    ACCEPTED FLOAT RISK: the τ filter compares an UNROUNDED double
-    cosine against 0.4 (both engines may associate the 64-term dot
-    differently) — same knife-edge class as the LSH sign bit
-    (_lsh_oracle), P ≈ 1e-14 per candidate pair; quantizing before the
-    compare would only move the boundary, not shrink it."""
+def _two_level_probe_sql() -> str:
+    """Shared CTE fragment (r13 refactor — byte-identical text formerly
+    duplicated in _semdedup_oracle and _ivf_pq_body): the two-level
+    coarse probe — each vector ranks the super-centroids (vsd), keeps
+    its top-2 groups (vtop), then ranks only those groups' member
+    cells for its nprobe=2 probe set (probes). Mirrors
+    _ivf_probe_cells. Requires e / scent{S} / sasg{S} / dist{R} CTEs
+    in scope."""
     R = _KMEANS_ROUNDS
     S = _SUPER_ROUNDS
-    N = _SEMDEDUP_CC_ROUNDS
-    g_sql = "(SELECT GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) FROM kv)"
-    return f"""
-WITH {_ivf_lloyd_rounds_sql()},
-{_super_rounds_sql(g_sql)},
-vsd AS MATERIALIZED (
+    return f"""vsd AS MATERIALIZED (
   SELECT e.vec_id, s.grp,
          SUM((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
               - s.c[CAST(i AS INT)])
@@ -5076,8 +5132,17 @@ probes AS MATERIALIZED (
     FROM dist{R} d
     JOIN sasg{S} m USING (cell)
     JOIN vtop v ON v.vec_id = d.vec_id AND v.grp = m.grp)
-  WHERE rn <= 2),
-buck AS MATERIALIZED (SELECT vec_id, cell AS bucket FROM asg{R}),
+  WHERE rn <= 2)"""
+
+
+def _semdedup_cand_sql() -> str:
+    """Shared CTE fragment: SemDeDup's DIRECTED candidate generation —
+    top-1 cell buckets (buck), the cap-2048 representative-chaining
+    index side (bidx), and the probe-join candidate pairs cand0
+    (lsh_candidate_pairs' q_probes semantics; UNION dedups). Requires
+    asg{R} + probes CTEs in scope."""
+    R = _KMEANS_ROUNDS
+    return f"""buck AS MATERIALIZED (SELECT vec_id, cell AS bucket FROM asg{R}),
 bsz AS MATERIALIZED (
   SELECT bucket, COUNT(*) AS bsize, MIN(vec_id) AS rep
   FROM buck GROUP BY bucket),
@@ -5095,12 +5160,17 @@ cand0 AS MATERIALIZED (
   WHERE q.vec_id <> x.vec_id
   UNION
   SELECT rep AS vec_id, vec_id AS nn_id
-  FROM bd WHERE bsize > 2048 AND vec_id <> rep),
-cand AS MATERIALIZED (
-  SELECT DISTINCT LEAST(vec_id, nn_id) AS va,
-                  GREATEST(vec_id, nn_id) AS vb
-  FROM cand0),
-en AS MATERIALIZED (
+  FROM bd WHERE bsize > 2048 AND vec_id <> rep)"""
+
+
+def _semdedup_tau_cc_sql() -> str:
+    """Shared tail fragment: exact τ=0.4 cosine verify over the
+    normalized candidate pairs CTE ``cand`` (va, vb), then
+    star-contraction CC down to (dup_id, kept_id) child rows. The τ
+    filter's unrounded-double knife-edge is documented on
+    _semdedup_oracle."""
+    N = _SEMDEDUP_CC_ROUNDS
+    return f"""en AS MATERIALIZED (
   SELECT vec_id, embedding,
          sqrt(list_aggregate(list_transform(embedding,
               v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')) AS norm
@@ -5122,6 +5192,33 @@ se0 AS MATERIALIZED (
 {_cc_star_rounds_sql(N)}
 SELECT DISTINCT u AS dup_id, v AS kept_id FROM se{N}
 """
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB twin of llm_semdedup (r12 — was weak through r11; the
+    Lloyd quantizer made the whole pipeline reproducible): dynamic-k
+    sampled Lloyd rounds + super-quantizer + two-level probe (shared
+    CTE text with _ivf_lloyd_oracle), then lsh_candidate_pairs'
+    cap-2048 representative-chaining candidate generation, the exact
+    τ=0.4 cosine verify, and star-contraction CC unrolled
+    (_cc_star_rounds_sql) down to (dup_id, kept_id) child rows.
+
+    ACCEPTED FLOAT RISK: the τ filter compares an UNROUNDED double
+    cosine against 0.4 (both engines may associate the 64-term dot
+    differently) — same knife-edge class as the LSH sign bit
+    (_lsh_oracle), P ≈ 1e-14 per candidate pair; quantizing before the
+    compare would only move the boundary, not shrink it."""
+    g_sql = "(SELECT GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) FROM kv)"
+    return f"""
+WITH {_ivf_lloyd_rounds_sql()},
+{_super_rounds_sql(g_sql)},
+{_two_level_probe_sql()},
+{_semdedup_cand_sql()},
+cand AS MATERIALIZED (
+  SELECT DISTINCT LEAST(vec_id, nn_id) AS va,
+                  GREATEST(vec_id, nn_id) AS vb
+  FROM cand0),
+{_semdedup_tau_cc_sql()}"""
 @register("llm_semdedup", oracle=_semdedup_oracle(), category="K")
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
@@ -5335,6 +5432,8 @@ _PQ_SAMPLE = 1024   # codebook training sample (md5-smallest vec_ids)
 
 _PQ_MEMO: dict = {}  # fp -> list[4] of 16x16 codebooks (metadata KBs;
 # same LRU/content-addressing discipline as _KMEANS_MEMO)
+_PQ_MEMO_CAP = 4  # r13: its own cap (r12 borrowed _BPE_MERGE_MEMO_CAP,
+# whose name lied about its scope)
 
 
 def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
@@ -5350,8 +5449,9 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
     from gdxpy_spark.operators._util import files_fingerprint
 
     fp = files_fingerprint([os.path.join(sf_dir, "embeddings.parquet")])
-    if fp in _PQ_MEMO:
-        return _PQ_MEMO[fp]
+    hit = _memo_get(_PQ_MEMO, fp)
+    if hit is not None:
+        return hit
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # repartition after the sort-limit (see _kmeans_fit: GlobalLimit's
     # single partition would single-thread every fit round)
@@ -5403,9 +5503,7 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
             for row in upd:  # empty sub-cells keep their previous centroid
                 cents[row["cell"]] = list(row["c"])
         books.append(cents)
-    _PQ_MEMO[fp] = books
-    while len(_PQ_MEMO) > _BPE_MERGE_MEMO_CAP:
-        _PQ_MEMO.pop(next(iter(_PQ_MEMO)))
+    _memo_put(_PQ_MEMO, fp, books, _PQ_MEMO_CAP)
     return books
 
 
@@ -5468,7 +5566,6 @@ def _ivf_pq_body() -> str:
     (_pq_rounds_sql), the full-corpus codes, each query's 64-entry ADC
     distance table, and table-lookup scoring of every candidate."""
     R = _KMEANS_ROUNDS
-    S = _SUPER_ROUNDS
     g_sql = "(SELECT GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) FROM kv)"
     pq = ",".join(_pq_rounds_sql(m) for m in range(_PQ_M))
     codes_union = " UNION ALL ".join(
@@ -5481,31 +5578,7 @@ def _ivf_pq_body() -> str:
     )
     return f"""{_ivf_lloyd_rounds_sql()},
 {_super_rounds_sql(g_sql)},
-vsd AS MATERIALIZED (
-  SELECT e.vec_id, s.grp,
-         SUM((CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
-              - s.c[CAST(i AS INT)])
-             * (CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
-                - s.c[CAST(i AS INT)])) AS d2
-  FROM e CROSS JOIN scent{S} s
-  CROSS JOIN generate_series(1, 64) t(i)
-  WHERE i <= len(e.embedding)
-  GROUP BY e.vec_id, s.grp),
-vtop AS MATERIALIZED (
-  SELECT vec_id, grp FROM (
-    SELECT vec_id, grp,
-           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, grp) AS rn
-    FROM vsd)
-  WHERE rn <= 2),
-probes AS MATERIALIZED (
-  SELECT vec_id, cell FROM (
-    SELECT d.vec_id, d.cell,
-           ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY d.d2, d.cell)
-               AS rn
-    FROM dist{R} d
-    JOIN sasg{S} m USING (cell)
-    JOIN vtop v ON v.vec_id = d.vec_id AND v.grp = m.grp)
-  WHERE rn <= 2),
+{_two_level_probe_sql()},
 idx AS MATERIALIZED (SELECT vec_id, cell FROM asg{R}),
 cand AS MATERIALIZED (
   SELECT DISTINCT p.vec_id, x.vec_id AS nn_id
@@ -5580,18 +5653,17 @@ WHERE rn = 1
 """
 
 
-def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The shared IVF-PQ ADC frame (vec_id, nn_id, adc_d2 — unrounded)
-    behind llm_ann_ivf_pq and llm_ann_ivf_pq_rerank: persisted-index
-    candidates scored by product-quantized table lookups. Mirrors the
-    oracle CTE body _ivf_pq_body stage for stage."""
-    import os
-
-    idx = _ensure_ivf_index(spark, sf_dir)
-    centers = spark.read.parquet(os.path.join(idx, "centers"))
-    cells = managed_cache(spark.read.parquet(os.path.join(idx, "cells")))
+def _pq_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(qtab, codes) — the two PQ frames every ADC consumer shares:
+    ``qtab`` is the per-(vector, subspace) squared distance to all
+    _PQ_K sub-centroids (each vector's 64-entry ADC lookup table,
+    managed_cache'd — n·64 skinny rows), ``codes`` is its argmin row
+    per (vec_id, m): the vector's 4-smallint PQ encoding. Split out of
+    _pq_scored in r13 so llm_semdedup_pq can score ITS candidate set
+    with the same tables."""
     books = _pq_codebooks(spark, sf_dir)
-
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     ve = managed_cache(
         e.select(
@@ -5623,6 +5695,37 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "m", "code")
     )
+    return qtab, codes
+
+
+def _pq_adc(cand: DataFrame, qtab: DataFrame, codes: DataFrame) -> DataFrame:
+    """ADC-score directed candidate id pairs: each (vec_id, nn_id)
+    becomes four table lookups — nn's code indexes vec's distance
+    table — summed to (vec_id, nn_id, adc_d2 — unrounded). The scoring
+    shuffle carries ids + smallint codes, never embeddings."""
+    xcodes = codes.select(F.col("vec_id").alias("nn_id"), "m", "code")
+    return (
+        cand.join(xcodes, "nn_id")
+        .join(
+            qtab.select("vec_id", "m", "code", "d2"),
+            ["vec_id", "m", "code"],
+        )
+        .groupBy("vec_id", "nn_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+    )
+
+
+def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared IVF-PQ ADC frame (vec_id, nn_id, adc_d2 — unrounded)
+    behind llm_ann_ivf_pq and llm_ann_ivf_pq_rerank: persisted-index
+    candidates scored by product-quantized table lookups. Mirrors the
+    oracle CTE body _ivf_pq_body stage for stage."""
+    import os
+
+    idx = _ensure_ivf_index(spark, sf_dir)
+    centers = spark.read.parquet(os.path.join(idx, "centers"))
+    cells = managed_cache(spark.read.parquet(os.path.join(idx, "cells")))
+    qtab, codes = _pq_tables(spark, sf_dir)
     probes = _ivf_probe_cells(
         cells.select("vec_id", "embedding", "norm"), centers, nprobe=2
     ).select("vec_id", "cell")
@@ -5633,19 +5736,7 @@ def _pq_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("q.vec_id").alias("vec_id"), F.col("x.vec_id").alias("nn_id"))
         .distinct()
     )
-    xcodes = codes.select(
-        F.col("vec_id").alias("nn_id"), "m", "code"
-    )
-    scored = (
-        cand.join(xcodes, "nn_id")
-        .join(
-            qtab.select("vec_id", "m", "code", "d2"),
-            ["vec_id", "m", "code"],
-        )
-        .groupBy("vec_id", "nn_id")
-        .agg(F.sum("d2").alias("adc_d2"))
-    )
-    return scored
+    return _pq_adc(cand, qtab, codes)
 
 
 @register("llm_ann_ivf_pq", oracle=_ivf_pq_oracle(), category="K")
@@ -5714,3 +5805,149 @@ def llm_ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
     return _cosine_top1(en, shortlist)
+
+
+# ---------------------------------------------------------------------------
+# r13 (r12 verdict #5): the PQ tier extended to the DEDUP path —
+# SemDeDup whose candidate shuffle carries 4-smallint codes instead of
+# 512-byte embedding pairs.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_PQ_R = 32  # per-query ADC shortlist width: the exact τ verify
+# touches at most R candidates per vector instead of the whole probed
+# cell. Planted 1%-noise twins score ≈ the quantization distortion
+# under ADC while non-dups in the same cell score ≈ ||a-b||² + that
+# distortion, so true near-dups rank far inside the top-32; groups
+# larger than R survive through CC transitivity (each member needs ANY
+# dup edge, not all of them). Recall floor pinned in tests/test_ann.py.
+
+
+def _semdedup_pq_oracle() -> str:
+    """DuckDB twin of llm_semdedup_pq: the SemDeDup CTE chain with the
+    PQ shortlist spliced between candidate generation and the exact τ
+    verify — coarse quantizer + two-level probe + cap-2048 directed
+    candidates (shared fragments with _semdedup_oracle), then the four
+    sub-codebook fits / full-corpus codes / ADC tables (shared text
+    with _ivf_pq_body), ADC scoring of the DIRECTED candidates, the
+    per-query top-{R} rank, pair normalization, τ=0.4 verify, star-CC.
+
+    Float knife-edges: the τ compare (documented on _semdedup_oracle)
+    plus the ADC rank's (adc_d2, nn_id) tie-break — adc_d2 sums 4
+    doubles that each sum 16 terms, the same accepted association
+    class as _ivf_pq_oracle."""
+    g_sql = "(SELECT GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) FROM kv)"
+    pq = ",".join(_pq_rounds_sql(m) for m in range(_PQ_M))
+    codes_union = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, cell AS code FROM p{m}aF"
+        for m in range(_PQ_M)
+    )
+    qtab_union = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS m, cell AS code, d2 FROM p{m}dF"
+        for m in range(_PQ_M)
+    )
+    return f"""
+WITH {_ivf_lloyd_rounds_sql()},
+{_super_rounds_sql(g_sql)},
+{_two_level_probe_sql()},
+{_semdedup_cand_sql()},
+pqsamp AS MATERIALIZED (
+  SELECT vec_id, embedding FROM e
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {_PQ_SAMPLE}),
+{pq},
+codes AS MATERIALIZED ({codes_union}),
+qtab AS MATERIALIZED ({qtab_union}),
+pscored AS MATERIALIZED (
+  SELECT c.vec_id, c.nn_id, SUM(q.d2) AS adc_d2
+  FROM cand0 c
+  JOIN codes x ON x.vec_id = c.nn_id
+  JOIN qtab q ON q.vec_id = c.vec_id AND q.m = x.m AND q.code = x.code
+  GROUP BY c.vec_id, c.nn_id),
+pshort AS MATERIALIZED (
+  SELECT vec_id, nn_id FROM (
+    SELECT vec_id, nn_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY adc_d2, nn_id) AS rn
+    FROM pscored)
+  WHERE rn <= {_SEMDEDUP_PQ_R}),
+cand AS MATERIALIZED (
+  SELECT DISTINCT LEAST(vec_id, nn_id) AS va,
+                  GREATEST(vec_id, nn_id) AS vb
+  FROM pshort),
+{_semdedup_tau_cc_sql()}"""
+
+
+@register("llm_semdedup_pq", oracle=_semdedup_pq_oracle(), category="K")
+def llm_semdedup_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a PRODUCT-QUANTIZED candidate shortlist (r13) —
+    the Abbas et al. 2023 cluster-scoped dedup (llm_semdedup's exact
+    pipeline) with the IVF-PQ serving tier's trick applied to the
+    dedup candidate stream: candidates are ADC-scored from 4-bit PQ
+    codes (_pq_tables/_pq_adc — the llm_ann_ivf_pq machinery on a
+    different candidate set), each vector keeps only its
+    _SEMDEDUP_PQ_R ADC-nearest candidates, and ONLY that shortlist is
+    joined back to raw embeddings for the exact τ=0.4 cosine verify.
+    Tail is llm_semdedup's: surviving edges star-contract to
+    (dup_id, kept_id = min id of the semantic group).
+
+    WHY AT 100 TB: llm_semdedup's verify join carries TWO 512-byte
+    embeddings per candidate — at the measured 100× probe that
+    candidate shuffle is the dominant cost (SCALE.md r12). Here the
+    per-candidate shuffle rows are (ids + 4 smallint codes) ~50×
+    smaller, and raw embeddings ride only R·n shortlist rows — the
+    same byte-diet llm_ann_ivf_pq_rerank applies to serving, now on
+    the dedup path. DECLARED APPROXIMATION vs llm_semdedup: a true
+    τ-pair outside its query's top-R ADC shortlist is lost (planted
+    1%-noise twins rank ~1st by ADC; the recall floor is pinned in
+    tests/test_ann.py); precision is EXACT because every emitted edge
+    still passes the full-precision τ verify.
+
+    Fully hash-oracled: _semdedup_pq_oracle replays quantizer, probe,
+    candidates, PQ fits, ADC rank, τ verify and star-CC in DuckDB."""
+    import os
+
+    idx = _ensure_ivf_index(spark, sf_dir)
+    cells = managed_cache(spark.read.parquet(os.path.join(idx, "cells")))
+    centers = spark.read.parquet(os.path.join(idx, "centers"))
+    probes = _ivf_probe_cells(
+        cells.select("vec_id", "embedding", "norm"), centers, nprobe=2
+    ).select("vec_id", F.col("cell").cast("bigint").alias("bucket"))
+    # DIRECTED distinct candidates (normalization happens AFTER the
+    # per-query ADC rank — the shortlist is a per-QUERY budget)
+    cand = lsh_candidate_pairs(
+        cells.select("vec_id", F.col("cell").cast("bigint").alias("bucket")),
+        q_probes=probes,
+        max_bucket=2048,
+    )
+    qtab, codes = _pq_tables(spark, sf_dir)
+    scored = _pq_adc(cand, qtab, codes)
+    ws = W.partitionBy("vec_id").orderBy(
+        F.col("adc_d2").asc(), F.col("nn_id").asc()
+    )
+    short = (
+        scored.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _SEMDEDUP_PQ_R)
+        .select(
+            F.least("vec_id", "nn_id").alias("vec_id"),
+            F.greatest("vec_id", "nn_id").alias("nn_id"),
+        )
+        .distinct()
+    )
+    ea = cells.select("vec_id", F.col("embedding").alias("emb_a"),
+                      F.col("norm").alias("norm_a"))
+    eb = cells.select(F.col("vec_id").alias("nn_id"),
+                      F.col("embedding").alias("emb_b"),
+                      F.col("norm").alias("norm_b"))
+    edges = (
+        short.join(ea, "vec_id")
+        .join(eb, "nn_id")
+        .filter(
+            _dot(F.col("emb_a"), F.col("emb_b"))
+            / (F.col("norm_a") * F.col("norm_b"))
+            >= 0.4
+        )
+        .select(F.col("vec_id").alias("doc_a"), F.col("nn_id").alias("doc_b"))
+    )
+    cc = connected_components(spark, edges)
+    return cc.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias("dup_id"), F.col("component_id").alias("kept_id")
+    )

@@ -103,62 +103,18 @@ def load_all() -> None:
 # builder-run — the driver's CORRECTNESS ledger is the independent
 # record, and with a 50-ID window an early-verified ID can go many
 # rounds without fresh driver evidence. Order: (1) queries NEW this
-# round (no ledger row exists anywhere), (2) queries whose
-# implementation changed this round, (3) everything else ascending by
-# the round the cumulative r1..r11 ledger last verified it (oldest
-# first — the r01 relational spine has waited longest), name-sorted
-# within a round. Regenerate next round by bumping the ledger glob.
+# round (no ledger row exists anywhere), (2) everything else ascending
+# by the round the cumulative r1..r12 ledger last verified it (oldest
+# first; name-sorted within a round). r13 executes the r12 verdict's
+# strict-by-age ask: the 50 oldest are 3 r5 + 46 r6 + 1 r7 IDs — with
+# the r13 new ops prepended, the cap pushes the youngest tail
+# (win_sessionize, agg_bool_logic) to the r14 window. The r12-changed
+# IVF family is NOT re-front-loaded: its r13 diff is behavior-
+# preserving hygiene (memo LRU, cell-id hashing), re-verified by a
+# subset selfcheck this round. Regenerate next round from the ledger.
 _ARTIFACT_PRIORITY = [
-    "llm_ann_ivf_pq_rerank",  # NEW r12
-    "llm_ann_ivf_pq",  # NEW r12
-    "llm_ann_range_search",  # NEW r12
-    "llm_ivf_cell_stats",  # NEW r12
-    "llm_ann_ivf",  # r12: changed this round
-    "llm_ann_ivf_served",  # r12: changed this round
-    "llm_ann_ivf_checked",  # r12: changed this round
-    "llm_kmeans_lloyd",  # r12: changed this round
-    "llm_semdedup",  # r12: changed this round
-    "llm_dedup_clusters",  # r12: changed this round
-    "set_union_all",  # r01
-    "set_union_distinct",  # r01
-    "sort_limit_topk",  # r01
-    "win_first_last",  # r01
-    "win_lag_lead",  # r01
-    "win_moving_avg",  # r01
-    "win_range_frame",  # r01
-    "win_rank_dense",  # r01
-    "win_row_number_topk",  # r01
-    "win_running_sum",  # r01
-    "gdx_densify",  # r05
-    "gdx_domain_check",  # r05
-    "gdx_scenario_concat",  # r05
-    "gdx_scenario_diff",  # r05
-    "gdx_squeeze",  # r05
-    "gdx_symbol_wide",  # r05
-    "llm_bigram_score",  # r05
-    "llm_cosine_pairs",  # r05
-    "llm_doc_quality",  # r05
-    "llm_doc_stats",  # r05
-    "llm_embed_dedup",  # r05
-    "llm_exact_dedup",  # r05
-    "llm_fingerprint",  # r05
-    "llm_fuzzy_match",  # r05
-    "llm_knn_brute",  # r05
-    "llm_knn_topk",  # r05
-    "llm_lang_id",  # r05
-    "llm_ngram_jaccard",  # r05
-    "llm_pack_sequences",  # r05
-    "llm_quality_filter",  # r05
-    "llm_tf",  # r05
-    "llm_tfidf",  # r05
-    "llm_token_bpe",  # r05
-    "llm_token_wordcount",  # r05
-    "mm_frame_sample",  # r05
-    "mm_image_meta",  # r05
-    "mm_resize",  # r05
-    "src_parquet_partitioned",  # r05
-    "src_parquet_scan",  # r05
-    "src_values_inline",  # r05
+    # -- r13 NEW ops (day-one driver verification) --
+    "llm_semdedup_pq",  # NEW r13
     "tpch_q10_shape",  # r05
     "tpch_q3_shape",  # r05
     "tpch_q5_shape",  # r05
@@ -207,182 +163,8 @@ _ARTIFACT_PRIORITY = [
     "udf_python_scalar",  # r06
     "udtf_split_words",  # r06
     "win_funnel_stages",  # r06
-    "win_ntile_pct_sketch",  # r06
     "win_sessionize",  # r06
     "agg_bool_logic",  # r07
-    "agg_mode_tiebreak",  # r07
-    "agg_regression_ols",  # r07
-    "agg_skew_kurtosis",  # r07
-    "agg_weighted_avg",  # r07
-    "fn_hash_digests",  # r07
-    "fn_try_arith",  # r07
-    "fn_url_parse",  # r07
-    "fn_variant_json",  # r07
-    "fn_xml_extract",  # r07
-    "join_asof_tolerance",  # r07
-    "join_dynamic_partition_prune",  # r07
-    "join_lateral_topn",  # r07
-    "join_null_safe",  # r07
-    "join_range_bucketed",  # r07
-    "join_scd2_asof",  # r07
-    "llm_chunk_overlap",  # r07
-    "llm_embed_centroid",  # r07
-    "llm_html_strip",  # r07
-    "llm_incremental_dedup",  # r07
-    "llm_pii_text",  # r07
-    "llm_url_normalize",  # r07
-    "llm_winnowing",  # r07
-    "mm_audio_window",  # r07
-    "set_union_by_name",  # r07
-    "src_csv_malformed",  # r07
-    "src_gdx_catalog",  # r07
-    "src_gdx_gams_read",  # r07
-    "src_gdx_write",  # r07
-    "src_parquet_merge_schema",  # r07
-    "src_parquet_nested_prune",  # r07
-    "tpch_q18_shape",  # r07
-    "ts_fill_forward",  # r07
-    "ts_interpolate",  # r07
-    "ts_zscore_anomaly",  # r07
-    "win_distinct_rolling",  # r07
-    "win_median_rolling",  # r07
-    "win_streaks",  # r07
-    "agg_corr_pairs",  # r08
-    "fn_char_jaccard",  # r08
-    "gdx_uel_dictionary",  # r08
-    "join_asof_nearest",  # r08
-    "join_bucketed_colocated",  # r08
-    "llm_dataset_mixture",  # r08
-    "llm_heavy_hitters",  # r08
-    "llm_sample_stratified",  # r08
-    "llm_token_budget",  # r08
-    "llm_train_split",  # r08
-    "mm_patch_grid",  # r08
-    "proj_struct_pack",  # r08
-    "sort_multi_nulls",  # r08
-    "src_csv_gzip",  # r08
-    "src_csv_roundtrip",  # r08
-    "src_gdx_read",  # r08
-    "src_json_roundtrip",  # r08
-    "src_orc_roundtrip",  # r08
-    "src_parquet_zstd",  # r08
-    "ts_time_bucket",  # r08
-    "win_ntile_pct",  # r08
-    "win_ratio_to_report",  # r08
-    "agg_bitmask_sets",  # r09
-    "agg_entropy",  # r09
-    "agg_histogram",  # r09
-    "agg_string_concat",  # r09
-    "fn_base64_binary",  # r09
-    "fn_format_strings",  # r09
-    "fn_geo_haversine",  # r09
-    "fn_levenshtein",  # r09
-    "fn_regex_extract_all",  # r09
-    "llm_dedup_keep_best",  # r09
-    "llm_docfreq_prune",  # r09
-    "llm_graph_pagerank",  # r09
-    "llm_hash_sample",  # r09
-    "llm_perplexity_proxy",  # r09
-    "proj_profile_stats",  # r09
-    "set_reconcile_report",  # r09
-    "src_binary_files",  # r09
-    "stream_outer_join",  # r09
-    "ts_calendar_join",  # r09
-    "ts_seasonal_profile",  # r09
-    "udf_arrow_scalar",  # r09
-    "agg_approx_topk",  # r10
-    "agg_hll_rollup",  # r10
-    "fn_collate_group",  # r10
-    "fn_ip_cidr",  # r10
-    "fn_zorder",  # r10
-    "graph_degree_topk",  # r10
-    "graph_triangles",  # r10
-    "join_geo_radius",  # r10
-    "join_interval_overlap",  # r10
-    "llm_bm25_score",  # r10
-    "llm_boilerplate_ngrams",  # r10
-    "llm_corpus_card",  # r10
-    "llm_gopher_rep_stats",  # r10
-    "llm_length_blocking",  # r10
-    "llm_mlm_mask",  # r10
-    "llm_span_corruption",  # r10
-    "llm_vocab_coverage",  # r10
-    "llm_warc_parse",  # r10
-    "llm_zipf_slope",  # r10
-    "mm_exact_dedup",  # r10
-    "mm_shard_pack",  # r10
-    "sql_pipe_query",  # r10
-    "src_parquet_zorder",  # r10
-    "stream_foreach_batch",  # r10
-    "tpch_q12_shape",  # r10
-    "tpch_q13_shape",  # r10
-    "tpch_q14_shape",  # r10
-    "tpch_q15_shape",  # r10
-    "tpch_q16_shape",  # r10
-    "tpch_q17_shape",  # r10
-    "tpch_q19_shape",  # r10
-    "tpch_q1_shape",  # r10
-    "tpch_q21_shape",  # r10
-    "tpch_q22_shape",  # r10
-    "tpch_q2_shape",  # r10
-    "tpch_q4_shape",  # r10
-    "tpch_q6_shape",  # r10
-    "tpch_q7_shape",  # r10
-    "tpch_q8_shape",  # r10
-    "ts_autocorr",  # r10
-    "ts_ewma",  # r10
-    "ts_holt_winters",  # r10
-    "ts_vwap_hourly",  # r10
-    "udtf_table_arg",  # r10
-    "win_pareto_concentration",  # r10
-    "win_time_range_frame",  # r10
-    "agg_approx_distinct",  # r11
-    "agg_approx_percentile",  # r11
-    "agg_collect_sorted",  # r11
-    "agg_count_distinct",  # r11
-    "agg_cube",  # r11
-    "agg_groupby_basic",  # r11
-    "agg_grouping_sets",  # r11
-    "agg_having",  # r11
-    "agg_minmax_by",  # r11
-    "agg_multi_distinct",  # r11
-    "agg_percentile",  # r11
-    "agg_rollup",  # r11
-    "agg_stats",  # r11
-    "filt_comparison",  # r11
-    "filt_correlated_subquery",  # r11
-    "filt_distinct_rows",  # r11
-    "filt_in_like",  # r11
-    "filt_null_semantics",  # r11
-    "graph_components",  # r11
-    "join_asof",  # r11
-    "join_broadcast",  # r11
-    "join_cross",  # r11
-    "join_full_outer",  # r11
-    "join_inner_equi",  # r11
-    "join_left_anti",  # r11
-    "join_left_outer",  # r11
-    "join_left_semi",  # r11
-    "join_multi_key",  # r11
-    "join_range_interval",  # r11
-    "join_right_outer",  # r11
-    "join_theta",  # r11
-    "llm_ann_lsh",  # r11
-    "llm_ann_lsh_multiprobe",  # r11
-    "llm_bpe_apply",  # r11
-    "llm_bpe_train",  # r11
-    "llm_dsir_weights",  # r11
-    "llm_kneser_ney",  # r11
-    "llm_minhash_dedup",  # r11
-    "llm_minhash_sig",  # r11
-    "llm_simhash",  # r11
-    "mm_feature_extract",  # r11
-    "proj_computed_expr",  # r11
-    "proj_select_rename",  # r11
-    "set_intersect",  # r11
-    "tpch_q11_shape",  # r11
-    "tpch_q20_shape",  # r11
-    "tpch_q9_shape",  # r11
 ]
 
 

@@ -55,6 +55,13 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "SELFCHECK.json"))
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated query IDs: check just these (iteration "
+        "subset for verifying changed ops; the committed SELFCHECK.json "
+        "artifact must still come from a FULL run)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -73,7 +80,10 @@ def main() -> None:
 
     out, n_ok, n_weak, n_bad = {}, 0, 0, 0
     t0 = time.time()
+    only = set(args.only.split(",")) if args.only else None
     for name, q in registry.all_queries().items():
+        if only is not None and name not in only:
+            continue
         rec = {"check": "oracle" if q.oracle else "rows_only", "err": None}
         try:
             sdf = q.fn(spark, args.sf_dir)

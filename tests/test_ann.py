@@ -226,3 +226,66 @@ def test_semdedup_finds_planted_dups_with_exact_precision(spark, planted_dir):
                 f"semdedup grouped {d} with {k} but its best in-group cos "
                 f"is {best:.3f}"
             )
+
+
+def test_semdedup_pq_planted_recall_and_exact_precision(spark, planted_dir):
+    """The PQ-shortlisted variant must hold llm_semdedup's planted
+    floor: each 1%-noise twin scores ~the quantization distortion under
+    ADC (it shares all four sub-cells with its base w.h.p.) so it ranks
+    far inside the top-R shortlist — and precision stays EXACT because
+    every emitted edge passes the full-precision τ verify (same brute
+    recompute check as the exact op)."""
+    import math
+
+    sd = ALL["llm_semdedup_pq"].fn(spark, planted_dir)
+    comp = {r["dup_id"]: r["kept_id"] for r in sd.collect()}
+    hits = sum(
+        1 for i in range(N_PLANT)
+        if comp.get(100000 + i) == i or comp.get(i) == comp.get(100000 + i, -1)
+    )
+    assert hits >= N_PLANT - 2, f"semdedup_pq planted recall {hits}/{N_PLANT}"
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in table(spark, planted_dir, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return num / (na * nb)
+
+    groups: dict[int, list[int]] = {}
+    for d, k in comp.items():
+        groups.setdefault(k, [k]).append(d)
+    for k, members in groups.items():
+        for d in members:
+            if d == k:
+                continue
+            best = max(cos(emb[d], emb[m]) for m in members if m != d)
+            assert best >= 0.4 - 1e-9, (
+                f"semdedup_pq grouped {d} with {k} but its best in-group "
+                f"cos is {best:.3f}"
+            )
+
+
+def test_semdedup_pq_is_subset_of_exact_semdedup_groups(spark):
+    """Shortlisting can only DROP candidate edges, never add them, and
+    the τ verify is shared — so every (dup, kept) the PQ variant emits
+    must place dup and kept in the SAME exact-semdedup component (the
+    PQ dedup under-merges at worst, never mis-merges)."""
+    exact = ALL["llm_semdedup"].fn(spark, SF_DIR).collect()
+    pq = ALL["llm_semdedup_pq"].fn(spark, SF_DIR).collect()
+    comp = {r["dup_id"]: r["kept_id"] for r in exact}
+    for r in comp.copy():
+        comp.setdefault(comp[r], comp[r])  # roots map to themselves
+
+    def root(x):
+        return comp.get(x, x)
+
+    for r in pq:
+        assert root(r["dup_id"]) == root(r["kept_id"]), (
+            f"PQ merged {r['dup_id']} with {r['kept_id']} but exact "
+            f"semdedup has them in different components"
+        )

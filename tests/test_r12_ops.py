@@ -16,23 +16,39 @@ from tests.test_ann import planted_dir  # noqa: F401  (fixture reuse)
 
 
 def test_metadata_memos_are_lru_capped():
+    """All four driver-side metadata memos share the _memo_get/_memo_put
+    helpers: capped at their own constant, and TRUE LRU — a hit
+    refreshes recency, so a hot fingerprint survives cap+1 colder
+    inserts (the r12 FIFO would have evicted it)."""
     from gdxpy_spark.operators import llm
 
-    for memo_name in ("_BPE_MERGE_MEMO", "_KMEANS_MEMO"):
+    for memo_name, cap_name in (
+        ("_BPE_MERGE_MEMO", "_BPE_MERGE_MEMO_CAP"),
+        ("_KMEANS_MEMO", "_KMEANS_MEMO_CAP"),
+        ("_PQ_MEMO", "_PQ_MEMO_CAP"),
+        ("_SUPER_MEMO", "_SUPER_MEMO_CAP"),
+    ):
         memo = getattr(llm, memo_name)
+        cap = getattr(llm, cap_name)
         saved = dict(memo)
         try:
             memo.clear()
-            # insert cap+3 synthetic entries through the same evict idiom
-            # the producers use (insert then while>cap pop-oldest)
-            for i in range(llm._BPE_MERGE_MEMO_CAP + 3):
-                memo[f"fp{i}"] = [i]
-                while len(memo) > llm._BPE_MERGE_MEMO_CAP:
-                    memo.pop(next(iter(memo)))
-            assert len(memo) == llm._BPE_MERGE_MEMO_CAP, memo_name
+            for i in range(cap + 3):
+                llm._memo_put(memo, f"fp{i}", [i], cap)
+            assert len(memo) == cap, memo_name
             # oldest evicted first, newest retained
-            assert f"fp{llm._BPE_MERGE_MEMO_CAP + 2}" in memo, memo_name
+            assert f"fp{cap + 2}" in memo, memo_name
             assert "fp0" not in memo, memo_name
+            # LRU, not FIFO: touch the oldest survivor, then overflow —
+            # the touched key must outlive the untouched next-oldest
+            oldest = next(iter(memo))
+            second = list(memo)[1]
+            assert llm._memo_get(memo, oldest) == memo[oldest]
+            llm._memo_put(memo, "fp_new", [99], cap)
+            assert oldest in memo, memo_name
+            assert second not in memo, memo_name
+            # miss path returns None without mutating
+            assert llm._memo_get(memo, "absent") is None
         finally:
             memo.clear()
             memo.update(saved)
@@ -145,7 +161,9 @@ def test_posture_cache_key_covers_all_sources():
     import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    # repo root derived from this file's location, not a hardcoded
+    # absolute path (r12 advice: the test broke on any relocation)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import scale_posture_100x as sp
     from gdxpy_spark.operators._util import files_fingerprint
 
@@ -283,5 +301,4 @@ def test_kmeans_producer_evicts_at_cap():
     import inspect
 
     src = inspect.getsource(llm._kmeans_fit)
-    assert "_KMEANS_MEMO[memo_key] = " in src
-    assert "while len(_KMEANS_MEMO) > _BPE_MERGE_MEMO_CAP" in src
+    assert "_memo_put(_KMEANS_MEMO, memo_key, centroids, _KMEANS_MEMO_CAP)" in src
