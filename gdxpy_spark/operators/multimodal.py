@@ -667,3 +667,165 @@ def mm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# r13 (r12 verdict #6): perceptual near-dup for the media column —
+# the LAION-style stage between the exact head digest (mm_exact_dedup,
+# which any single changed byte defeats) and semantic embedding dedup.
+# ---------------------------------------------------------------------------
+
+_PHASH_SHINGLE = 4    # byte 4-grams: the content-defined unit
+_PHASH_BANDS = 4      # 4 x 16-bit Hamming-LSH bands
+_PHASH_HAM_T = 3      # near-dup threshold; t < bands => pigeonhole-exact
+
+
+def _phash_oracle() -> str:
+    """DuckDB twin of mm_phash_neardup — the ALL-PAIRS semantic
+    definition: recompute each blob's 64-bit content hash from `text`
+    (payload bytes ARE the utf-8 text by the media_table construction
+    and the corpus is pure ASCII — the mm_exact_dedup argument), then
+    emit every pair with bit_count(xor) <= t. Because the engine's
+    banded join is pigeonhole-EXACT for t < bands, hash-matching this
+    all-pairs twin proves the banding loses nothing, every round.
+
+    Hash recipe shared with _simhash_oracle (md5 hi·2³²+lo in UBIGINT,
+    literal power-of-two bit packing — DuckDB's << overflows checked
+    at bit 63); the vote unit is the DISTINCT payload byte 4-gram
+    instead of the whitespace token."""
+    K = _PHASH_SHINGLE
+    votes = ",\n".join(
+        f"  SUM(CASE WHEN ((hu >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(64)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
+        for j in range(64)
+    )
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n, text
+  FROM documents WHERE n_chars >= {K}),
+pos AS MATERIALIZED (
+  SELECT doc_id, text, unnest(range(1, n - {K - 2})) AS i FROM p),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), {K}) AS g
+  FROM pos),
+h AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) * 4294967296
+         + CAST(('0x' || substr(md5(g), 9, 8)) AS UBIGINT) AS hu
+  FROM sh),
+votes AS MATERIALIZED (
+  SELECT doc_id,
+{votes}
+  FROM h GROUP BY doc_id),
+sig AS MATERIALIZED (SELECT doc_id, {sig} AS ph FROM votes)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.ph, b.ph)) <= {_PHASH_HAM_T}
+"""
+
+
+@register("mm_phash_neardup", oracle=_phash_oracle(), category="MM")
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL near-dup over the binary media column — a 64-bit
+    CONTENT-DEFINED fuzzy hash per blob (the ssdeep/TLSH family): a
+    SimHash where every distinct payload byte 4-gram votes ±1 on each
+    bit. Being shingle-set based, the signature is ALIGNMENT- and
+    LENGTH-invariant: a re-encoded copy whose payload gained a short
+    trailer (the corpus plants exactly these — same content ±4 trailing
+    bytes) moves only the few votes its new shingles cast, so the pair
+    lands at hamming ≤3 while mm_exact_dedup's head digest already
+    fails on any changed head byte. A position-binned 8×8 dHash was
+    measured and REJECTED for this payload regime: at ~300-byte
+    payloads each bin is ~5 bytes, so a 4-byte length shift replaces
+    whole bins and decorrelates the hash (planted pairs landed at
+    hamming ≥11; SCALE.md r13) — the fixed-grid recipe needs real
+    pixel rasters (decode_real's swap-in point) to average over.
+
+    Pairs are found by a 4-band 16-bit Hamming-LSH self-join, and
+    because t=3 < 4 bands the pigeonhole principle makes the banded
+    join EXACT — the all-pairs oracle hash-checks that exactness every
+    round (llm_simhash's single top-16 band trades recall instead;
+    this op upgrades the machinery where exactness is provable).
+
+    Scale: shingling/hashing/votes are scan-fused JVM HOFs over the
+    payload (binary never shuffles — only (doc_id, sig) leaves the
+    stage); the banded join shuffles 4 narrow rows per doc with
+    candidate volume Σ_bucket n_b²/2¹⁶ per band — the llm_simhash cost
+    model with a 4× table fan-out."""
+    K = _PHASH_SHINGLE
+    media = media_table(spark, sf_dir)
+    payload = F.expr("CAST(substring(media, 17, length(media) - 16) AS STRING)")
+    sh = (
+        media.select("doc_id", payload.alias("body"))
+        .filter(F.length("body") >= K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(body) - {K - 1}),"
+                        f" i -> substring(body, i, {K}))"
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    md5c = F.md5("g")
+    hi = F.conv(F.substring(md5c, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(md5c, 9, 8), 16, 10).cast("bigint")
+    tok = sh.withColumn("h", F.shiftleft(hi, 32).bitwiseOR(lo))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    sig = None
+    for j in range(64):
+        bit = F.when(F.col(f"v{j}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    sigs = votes.select("doc_id", sig.alias("phash"))
+    bands = sigs.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band_id"),
+                        F.shiftrightunsigned("phash", 16 * k)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for k in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "phash", "bb.band_id", "bb.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _PHASH_HAM_T)
+        .distinct()
+    )
