@@ -141,6 +141,49 @@ def main() -> None:
     except OSError:
         uptime_s = -1.0
 
+    # Gate-artifact calibration policy (r12 verdict #3: r12 rewrote its
+    # committed bench three times chasing a box whose cpu probe swung
+    # 0.33→1.53, publishing four different ratios). Compare this run's
+    # cpu probe against the PREVIOUS committed BENCH_DETAIL.json's: a
+    # run >1.3× slower is box weather, not plans — it still writes its
+    # artifacts (the driver's per-round record must exist), but both
+    # artifacts carry `calibration_degraded` + the prior value, and
+    # stderr says plainly not to commit it as the round's gate evidence.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prev_cal_cpu = None
+    try:
+        # the COMMITTED artifact, not the worktree file: a degraded
+        # run's own write must not become the next run's baseline
+        import subprocess
+
+        committed = subprocess.run(
+            ["git", "-C", repo_dir, "show", "HEAD:BENCH_DETAIL.json"],
+            capture_output=True, text=True, timeout=10,
+        )
+        if committed.returncode == 0:
+            prev_cal_cpu = json.loads(committed.stdout).get(
+                "calibration", {}
+            ).get("cpu")
+    except (OSError, ValueError, subprocess.SubprocessError):
+        prev_cal_cpu = None
+    if prev_cal_cpu is None:
+        try:
+            with open(os.path.join(repo_dir, "BENCH_DETAIL.json")) as f:
+                prev_cal_cpu = json.load(f).get("calibration", {}).get("cpu")
+        except (OSError, ValueError):
+            prev_cal_cpu = None
+    cal_degraded = bool(
+        prev_cal_cpu and cal["cpu"] > 1.3 * float(prev_cal_cpu)
+    )
+    if cal_degraded:
+        print(
+            f"WARNING: calibration cpu {cal['cpu']} is "
+            f"{cal['cpu'] / float(prev_cal_cpu):.2f}x the committed run's "
+            f"{prev_cal_cpu} — box degraded; do NOT commit this run as "
+            "gate evidence, re-run on a quiet box",
+            file=sys.stderr,
+        )
+
     trials = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
     if "--trials" in sys.argv:
         trials = int(sys.argv[sys.argv.index("--trials") + 1])
@@ -179,7 +222,6 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
     duckdb_path = os.path.join(repo_dir, "DUCKDB.json")
     if ratio is not None:
         # persist the gate evidence SEPARATELY (r11 verdict #3): the
@@ -199,6 +241,9 @@ def main() -> None:
                     "queries_duckdb": dtimes,
                     "boot_id": boot_id,
                     "uptime_s": uptime_s,
+                    "calibration_cpu": cal["cpu"],
+                    "calibration_cpu_prev_committed": prev_cal_cpu,
+                    "calibration_degraded": cal_degraded,
                 },
                 f,
                 indent=1,
@@ -222,6 +267,8 @@ def main() -> None:
         "sf": _sf_of(sf_dir),
         "queries": times,
         "calibration": cal,
+        "calibration_cpu_prev_committed": prev_cal_cpu,
+        "calibration_degraded": cal_degraded,
         "boot_id": boot_id,
         "uptime_s": uptime_s,
     }
@@ -247,6 +294,7 @@ def main() -> None:
         "queries": headline,
         "sf": _sf_of(sf_dir),
         "calibration": cal,
+        "calibration_degraded": cal_degraded,
         "boot_id": boot_id[:8],
         "uptime_s": uptime_s,
     }

@@ -1506,7 +1506,35 @@ def llm_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_K_FLOOR = 16
 
 
-def _ivf_k(n: int, lo: int = _IVF_K_FLOOR) -> int:
+def _ivf_target_cell() -> int | None:
+    """Probe/deployment override for the IVF cell-count regime: when
+    GDXPS_IVF_TARGET_CELL is set, the quantizer is sized k = n/target
+    (the SemDeDup-paper sizing — hold the CELL SIZE constant as the
+    corpus grows) instead of the default k = √n serving optimum.
+
+    WORKLOAD SPLIT (r12 verdict #1, MEASURED at the r13 100× probe —
+    SCALE.md r13): DEDUP wants k ∝ n/target_cell for COST — it
+    replaces the √n regime's O(n^1.5) candidate mass with
+    O(n·target_cell), measured ×148 → ×33 wall (1276 s → 320 s at
+    100×, near-linear) at statistically identical output; POINT-QUERY
+    SERVING is insensitive at probe scale (×28 vs ×30) and keeps √n
+    as the classic balance default. The r12 hypothesis that k-sizing
+    also recovers sharded dedup RECALL was REFUTED by the same probe:
+    recall is bounded by embedding clusterability (the synthetic
+    near-orthogonal corpus gives shard-mixed cells at any k — 99% of
+    cells span ≥5 of 100 disjoint shards), not by cell count; the
+    τ=0.4-tail miss is the declared approximation, while ≥0.9
+    near-twins (the paper's production dedup regime) co-cell by
+    construction (planted floor pytest-pinned). ORACLE CAVEAT: the
+    registered DuckDB twins replay the DEFAULT k=√n spec — run
+    correctness gates with the knob unset."""
+    import os
+
+    tc = os.environ.get("GDXPS_IVF_TARGET_CELL")
+    return int(tc) if tc else None
+
+
+def _ivf_k(n: int, lo: int = _IVF_K_FLOOR, target_cell: int = None) -> int:
     """Corpus-sized IVF cell count, k ≈ √n: the self-join/batch-query
     workload costs n·k rows in the coarse search (every vector ranks
     every centroid) plus nprobe·n·(n/k) exact cosines in the probed
@@ -1521,9 +1549,20 @@ def _ivf_k(n: int, lo: int = _IVF_K_FLOOR) -> int:
     probe) — closed in r12 by the second-level quantizer over the
     centroids (_super_quantize/_ivf_probe_cells: coarse cost
     n·n^0.25), the same move FAISS makes with a coarse index over the
-    centroid set."""
+    centroid set.
+
+    ``target_cell`` selects the DEDUP-COST regime instead (see
+    _ivf_target_cell for the measured workload split): k =
+    n/target_cell holds the CELL SIZE constant as the corpus grows, so
+    the within-cell candidate mass is O(n·target_cell) — linear —
+    instead of √n-cells' O(n^1.5) (measured ×148 → ×33 dedup wall at
+    the 100× probe). The coarse-search n·k term this re-inflates is
+    absorbed by the two-level probe's n·√k, and the large-k FIT by
+    _kmeans_assign's BLAS path."""
     import math
 
+    if target_cell:
+        return max(lo, math.ceil(n / target_cell))
     return max(lo, math.ceil(math.sqrt(n)))
 
 
@@ -1576,9 +1615,13 @@ def _ivf_index_dir(sf_dir: str) -> str:
     # replaces v3's MLlib KMeans so the persisted index is
     # oracle-reproducible (v3: k = √n; v2: k = n/256, whose coarse
     # search re-created the quadratic; v1: fixed k=16). The spec is
-    # part of the layout, so the v-tag bumps with it.
+    # part of the layout, so the v-tag bumps with it — and the
+    # target-cell regime (r13) is part of the spec: a _tc-tagged dir
+    # can never be served where the default-√n index is expected.
+    tc = _ivf_target_cell()
+    tag = f"_tc{tc}" if tc else ""
     return os.path.join(
-        parent, f"ivf_v4_{os.path.basename(sf_dir.rstrip('/'))}_{fp}"
+        parent, f"ivf_v4_{os.path.basename(sf_dir.rstrip('/'))}_{fp}{tag}"
     )
 
 
@@ -4467,6 +4510,92 @@ _KMEANS_MEMO: dict = {}
 _KMEANS_MEMO_CAP = 4
 
 
+_KMEANS_JOIN_ASSIGN_MAX_K = 64  # strategy switch for _kmeans_assign
+
+
+def _kmeans_assign(spark: SparkSession, cents, frame_ve, frame_rows):
+    """Nearest-centroid assignment → (vec_id, cell, d2). One semantic,
+    two physical strategies by k (the Catalyst-style cost cut made
+    explicit, r13):
+
+    - k ≤ {max_k}: distances as one codegen'd equi-join — (vec,pos,v)
+      × broadcast (cell,pos,c) on pos, partial-agg sum of squares,
+      argmin as a groupBy min-struct. No window, no interpreted HOFs
+      (a 16-fold zip_with variant measured 22.7 s at sf0.1 vs ~3 s for
+      this shape). Every REGISTERED oracle path runs here (k ≤ ~45 at
+      the driver's scales), so oracle-checked plans are byte-identical
+      to r12's.
+    - k > {max_k}: the join shape explodes n·k·64 rows — the measured
+      fit wall at the 100× probe, and the blocker for the
+      k ∝ n/target_cell regime (r12 verdict #1). Large k switches to
+      the llm_knn_brute pattern: broadcast the k×64 centroid matrix
+      (metadata — 1.6 MB at k=3136) and argmin per Arrow batch with
+      one BLAS GEMM (n·k·d FLOPs, n rows — no row explosion, no
+      shuffle; output is the same narrow (vec_id, cell, d2) frame).
+      Tie-break matches the min-struct exactly: np.argmin returns the
+      FIRST minimal index = lowest cell. d2 is computed as
+      |v|²−2v·c+|c|² (clamped at 0), whose float association differs
+      from the join path's Σ(v−c)² in ulps — the accepted knife-edge
+      class documented on _kmeans_rounds_sql; assignment equivalence
+      at the boundary is pinned in tests/test_r13_ops.py."""
+    k = len(cents)
+    if k <= _KMEANS_JOIN_ASSIGN_MAX_K:
+        cent_rows = [
+            (j, p, x) for j, c in enumerate(cents) for p, x in enumerate(c)
+        ]
+        cdf = spark.createDataFrame(cent_rows, "cell INT, pos INT, c DOUBLE")
+        d2 = (
+            frame_ve.join(F.broadcast(cdf), "pos")
+            .groupBy("vec_id", "cell")
+            .agg(
+                F.sum(
+                    (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+                ).alias("d2")
+            )
+        )
+        best = d2.groupBy("vec_id").agg(
+            F.min(F.struct("d2", "cell")).alias("b")
+        )
+        return best.select(
+            "vec_id", F.col("b.cell").alias("cell"), F.col("b.d2").alias("d2")
+        )
+    import numpy as np
+
+    bc = spark.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
+
+    def part(it):
+        import numpy as np
+        import pandas as pd
+
+        cm = bc.value
+        cn = (cm * cm).sum(axis=1)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            vm = np.asarray(
+                [np.asarray(x, dtype=np.float64) for x in pdf["embedding"]]
+            )
+            d2 = (vm * vm).sum(1)[:, None] - 2.0 * (vm @ cm.T) + cn[None, :]
+            cell = d2.argmin(1)
+            best = d2[np.arange(len(vm)), cell]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell": cell.astype("int32"),
+                    "d2": np.maximum(best, 0.0),
+                }
+            )
+
+    return frame_rows.mapInPandas(
+        part, schema="vec_id BIGINT, cell INT, d2 DOUBLE"
+    )
+
+
+_kmeans_assign.__doc__ = _kmeans_assign.__doc__.format(
+    max_k=_KMEANS_JOIN_ASSIGN_MAX_K
+)
+
+
 def _kmeans_fit(
     spark: SparkSession,
     sf_dir: str,
@@ -4508,11 +4637,11 @@ def _kmeans_fit(
     if memo_hit is not None:
         centroids = memo_hit
         rounds = 0  # fit cached: serve-only (one final assignment job)
-        fit_ve = ve
+        fit_ve, fit_rows = ve, e
     else:
         cap = k * sample_per_cell if sample_per_cell else None
         if cap is None:
-            fit_ve = ve
+            fit_ve, fit_rows = ve, e
         else:
             # repartition AFTER the sort-limit: Spark's GlobalLimit
             # leaves ONE partition, which would run every fit round's
@@ -4523,6 +4652,7 @@ def _kmeans_fit(
             samp = e.orderBy(F.md5(F.col("vec_id").cast("string"))).limit(
                 cap
             ).repartition("vec_id")
+            fit_rows = managed_cache(samp)
             fit_ve = managed_cache(
                 samp.select(
                     "vec_id", F.posexplode("embedding").alias("pos", "v")
@@ -4539,29 +4669,8 @@ def _kmeans_fit(
         centroids = [list(r["c"]) for r in seeds]  # k x 64 doubles: metadata
         rounds = _KMEANS_ROUNDS
 
-    def assign(cents, frame):
-        # distances as one codegen'd equi-join: (vec,pos,v) x broadcast
-        # (cell,pos,c) on pos, partial-agg sum of squares, argmin as a
-        # groupBy min-struct — no window, no interpreted HOFs (a 16-fold
-        # zip_with variant measured 22.7 s at sf0.1; this shape: ~3 s)
-        cent_rows = [
-            (j, p, x) for j, c in enumerate(cents) for p, x in enumerate(c)
-        ]
-        cdf = spark.createDataFrame(cent_rows, "cell INT, pos INT, c DOUBLE")
-        d2 = (
-            frame.join(F.broadcast(cdf), "pos")
-            .groupBy("vec_id", "cell")
-            .agg(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias("d2"))
-        )
-        best = d2.groupBy("vec_id").agg(
-            F.min(F.struct("d2", "cell")).alias("b")
-        )
-        return best.select(
-            "vec_id", F.col("b.cell").alias("cell"), F.col("b.d2").alias("d2")
-        )
-
     for _r in range(rounds):
-        asg = assign(centroids, fit_ve)
+        asg = _kmeans_assign(spark, centroids, fit_ve, fit_rows)
         upd = (
             asg.join(fit_ve, "vec_id")
             .groupBy("cell", "pos")
@@ -4578,7 +4687,7 @@ def _kmeans_fit(
         for row in upd:  # empty cells keep their previous centroid
             centroids[row["cell"]] = list(row["c"])
     _memo_put(_KMEANS_MEMO, memo_key, centroids, _KMEANS_MEMO_CAP)
-    return assign(centroids, ve), centroids
+    return _kmeans_assign(spark, centroids, ve, e), centroids
 
 
 _IVF_SAMPLE_PER_CELL = 64
@@ -4593,7 +4702,7 @@ def _lloyd_ivf_fit(spark: SparkSession, sf_dir: str):
     DuckDB oracle (_ivf_lloyd_oracle); ivf_mllib_demo keeps the
     pyspark.ml integration surface."""
     e = table(spark, sf_dir, "embeddings")
-    k = _ivf_k(e.count())
+    k = _ivf_k(e.count(), target_cell=_ivf_target_cell())
     return _kmeans_fit(
         spark, sf_dir, k=k, sample_per_cell=_IVF_SAMPLE_PER_CELL
     )

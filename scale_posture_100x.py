@@ -235,7 +235,8 @@ def main() -> None:
         n = queries[name].fn(spark, sf).count()
         return round(time.perf_counter() - t0, 1), n
 
-    for name in ("llm_minhash_dedup", "llm_substring_dedup",
+    for name in () if "--ktc" in sys.argv else (
+                 "llm_minhash_dedup", "llm_substring_dedup",
                  # r11 (verdict #8): ANN/semantic family on the
                  # disjoint-shard embeddings — n vs n² separation the
                  # twin-heavy 10× corpus can't give
@@ -248,6 +249,49 @@ def main() -> None:
             f"wall x{w100 / max(w1, 1e-9):.1f}  rows x{n100 / max(n1, 1):.1f}",
             flush=True,
         )
+
+    if "--ktc" in sys.argv:
+        # r13 (r12 verdict #1): the k-regime probe. Run the two
+        # perf-weak ops under BOTH quantizer sizings on the same box,
+        # same session: the default k=√n serving optimum vs the
+        # SemDeDup-paper k = n/target_cell (target 64 ≈ the 1× corpus's
+        # own cell size, so the 1× and 100× runs see the SAME per-shard
+        # resolution — the regime the r12 analysis says recovers
+        # per-shard dedup recall). The env knob is read by
+        # _lloyd_ivf_fit/_ivf_index_dir (content-keyed _tc dirs, so
+        # regimes can't poison each other's persisted index).
+        d1, d100 = build_d256(spark)
+
+        def run2(name, sf):
+            best, n = 1e9, 0
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n = queries[name].fn(spark, sf).count()
+                best = min(best, time.perf_counter() - t0)
+            return round(best, 1), n
+
+        for tc in (None, 64):
+            if tc:
+                os.environ["GDXPS_IVF_TARGET_CELL"] = str(tc)
+            else:
+                os.environ.pop("GDXPS_IVF_TARGET_CELL", None)
+            label = f"tc={tc}" if tc else "k=sqrt(n)"
+            for name, s1, s100 in (
+                ("llm_ann_ivf_served", S1, S100),
+                ("llm_semdedup", d1, d100),
+            ):
+                w1, n1 = run2(name, s1)
+                w100, n100 = run2(name, s100)
+                print(
+                    f"{name:22s} [{label:9s}] 1x: {w1:7.1f}s /"
+                    f" {n1:>10,} rows   100x: {w100:7.1f}s /"
+                    f" {n100:>10,} rows   wall x{w100 / max(w1, 1e-9):.1f}"
+                    f"  rows x{n100 / max(n1, 1):.1f}",
+                    flush=True,
+                )
+        os.environ.pop("GDXPS_IVF_TARGET_CELL", None)
+        spark.stop()
+        return
 
     if "--d256" in sys.argv:
         # r11 verdict #2: SemDeDup's posture at production

@@ -150,3 +150,49 @@ def test_phash_head_digest_blindspot_is_covered(spark, phash_planted_dir):
         "every emitted pair is byte-identical — the perceptual hash adds "
         "nothing over exact dedup on this corpus"
     )
+
+
+def test_kmeans_assign_blas_matches_join_path(spark):
+    """_kmeans_assign's two physical strategies (codegen'd equi-join at
+    k<=64, broadcast-BLAS mapInPandas above) must produce the SAME
+    assignment on the same centroids: run both shapes explicitly on
+    sf0.01 embeddings with k=80 centroids (past the switch) and with
+    k=20 (under it), comparing (vec_id, cell) exactly and d2 to 1e-9 —
+    the accepted float-association ulp class."""
+    from pyspark.sql import functions as F
+
+    from gdxpy_spark.operators import llm
+
+    e = table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    ve = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    seeds = (
+        e.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(80)
+        .select(F.transform("embedding", lambda v: v.cast("double")).alias("c"))
+        .collect()
+    )
+    cents = [list(r["c"]) for r in seeds]
+    for k in (20, 80):
+        sub = cents[:k]
+        # force each physical path regardless of the k switch
+        saved = llm._KMEANS_JOIN_ASSIGN_MAX_K
+        try:
+            llm._KMEANS_JOIN_ASSIGN_MAX_K = 10 ** 9
+            join_res = {
+                r["vec_id"]: (r["cell"], r["d2"])
+                for r in llm._kmeans_assign(spark, sub, ve, e).collect()
+            }
+            llm._KMEANS_JOIN_ASSIGN_MAX_K = 0
+            blas_res = {
+                r["vec_id"]: (r["cell"], r["d2"])
+                for r in llm._kmeans_assign(spark, sub, ve, e).collect()
+            }
+        finally:
+            llm._KMEANS_JOIN_ASSIGN_MAX_K = saved
+        assert set(join_res) == set(blas_res)
+        for vid, (cell, d2) in join_res.items():
+            bcell, bd2 = blas_res[vid]
+            assert bcell == cell, f"k={k} vec {vid}: join {cell} vs blas {bcell}"
+            assert abs(bd2 - d2) <= 1e-9 * max(1.0, abs(d2)), (vid, d2, bd2)
