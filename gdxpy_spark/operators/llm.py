@@ -1712,8 +1712,14 @@ def _ivf_probe_cells(
     member centroids (≈ nprobe_super·n·√k rows) for the final
     ``nprobe`` cells. Total coarse cost O(n·n^0.25) instead of the flat
     rank's O(n·n^0.5); both rank windows shuffle narrow (id, d2) rows
-    partitioned by vec_id. Approximation surface: a true nearest cell
-    whose super-group is outside the query's top-``nprobe_super``
+    partitioned by vec_id — r13 made that claim TRUE in the plan: the
+    distance frames project the embedding away BEFORE each window (the
+    new test_plans.py Exchange audit caught n·g rank rows carrying the
+    512-byte embedding through the shuffle), and the vectors are
+    equi-joined back exactly twice (once for the level-2 distances,
+    once for the final output) — O(n) embedding rows per pass instead
+    of O(n·g) through the rank. Approximation surface: a true nearest
+    cell whose super-group is outside the query's top-``nprobe_super``
     groups is not probed — recall floors pinned in tests/test_ann.py.
     Centroids below 9 stay on the flat single-level rank (a hierarchy
     over <3 groups prunes nothing)."""
@@ -1734,12 +1740,17 @@ def _ivf_probe_cells(
     crows = sorted(centers.collect(), key=lambda r: r["cell"])
     k = len(crows)
     if k < 9:
-        return (
-            q.crossJoin(F.broadcast(centers))
+        picked = (
+            q.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(centers))
             .withColumn("d2", d2_against(F.col("center")))
+            .select("vec_id", "cell", "d2")
             .withColumn("rn", F.row_number().over(wq))
             .filter(F.col("rn") <= nprobe)
-            .select("vec_id", "embedding", "norm", "cell")
+            .select("vec_id", "cell")
+        )
+        return picked.join(q, "vec_id").select(
+            "vec_id", "embedding", "norm", "cell"
         )
     cents = [[float(x) for x in r["center"]] for r in crows]
     cell_ids = [int(r["cell"]) for r in crows]
@@ -1760,18 +1771,25 @@ def _ivf_probe_cells(
     )
     ws = W.partitionBy("vec_id").orderBy(F.col("sd2").asc(), F.col("grp").asc())
     l1 = (
-        q.crossJoin(F.broadcast(supers))
+        q.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(supers))
         .withColumn("sd2", d2_against(F.col("scenter")))
+        .select("vec_id", "grp", "sd2")
         .withColumn("srn", F.row_number().over(ws))
         .filter(F.col("srn") <= nprobe_super)
-        .select("vec_id", "embedding", "norm", "grp")
+        .select("vec_id", "grp")
     )
-    return (
-        l1.join(F.broadcast(memb), "grp")
+    picked = (
+        l1.join(q.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(memb), "grp")
         .withColumn("d2", d2_against(F.col("center")))
+        .select("vec_id", "cell", "d2")
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= nprobe)
-        .select("vec_id", "embedding", "norm", "cell")
+        .select("vec_id", "cell")
+    )
+    return picked.join(q, "vec_id").select(
+        "vec_id", "embedding", "norm", "cell"
     )
 
 

@@ -108,6 +108,17 @@ PICKS = [
      "against the broadcast 4x16x16 codebook frame; raw vectors are "
      "touched only in the persisted-index scan and the query-side "
      "table build"),
+    ("llm_semdedup_pq",
+     "PQ-shortlisted SemDeDup (r13): the dedup candidate stream is "
+     "ADC-scored through the same code-sized joins (ids + smallint "
+     "codes, ~50x lighter than embedding pairs); raw embeddings join "
+     "only the per-query top-32 shortlist for the exact tau verify, "
+     "then star-CC"),
+    ("mm_phash_neardup",
+     "perceptual media near-dup (r13): shingle/vote/signature are "
+     "scan-fused JVM HOFs over the binary payload — the binary column "
+     "never reaches an Exchange; the banded Hamming self-join "
+     "shuffles 4 narrow (band, id, sig) rows per doc"),
     ("src_parquet_zorder",
      "z-ordered layout (r10): both halves of the 2-D predicate reach "
      "the persisted layout scan as PushedFilters — user AND time prune "

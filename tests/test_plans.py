@@ -461,3 +461,63 @@ def test_ivf_served_two_level_probe_shape(spark):
     bhj_grp = re.search(r"keys \[1\]: \[grp#", plan)
     assert bhj_grp, "two-level probe's grp equi-join missing:\n" + plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def _exchange_inputs(plan: str) -> list:
+    """The formatted-plan detail sections of every Exchange node: each
+    section runs from its '(N) Exchange' header to the next '(N+1) ...'
+    header and contains the node's Input column list — exactly the rows
+    that cross that shuffle."""
+    import re
+
+    sections = re.split(r"\n\(\d+\) ", "\n" + plan)
+    return [s for s in sections if s.startswith("Exchange")]
+
+
+def test_phash_binary_never_shuffles(spark):
+    """mm_phash_neardup's contract: the media BINARY column is consumed
+    scan-side (shingle/vote HOFs inside the mapInPandas stage) — only
+    (doc_id, phash, band) rows may cross an Exchange. A media#/body#
+    column inside any Exchange section means the fuse regressed and
+    blobs are riding the banded self-join shuffle."""
+    plan = formatted_plan(_df(spark, "mm_phash_neardup"))
+    exchanges = _exchange_inputs(plan)
+    assert exchanges, "expected at least the banded-join shuffles"
+    for sec in exchanges:
+        assert "media#" not in sec and "body#" not in sec, sec[:800]
+
+
+def test_semdedup_pq_candidate_scoring_is_code_sized(spark):
+    """llm_semdedup_pq's 100 TB claim: the ADC candidate-scoring stage
+    shuffles ids + smallint codes, never embeddings. Asserted on the
+    _pq_adc frame (the registered query's tail adds the
+    shortlist-sized exact verify, which legitimately carries
+    embeddings): no Exchange in the scoring plan may carry an
+    embedding/emb_* column."""
+    import os
+
+    from gdxpy_spark.operators.llm import (
+        _ensure_ivf_index,
+        _ivf_probe_cells,
+        _pq_adc,
+        _pq_tables,
+    )
+    from pyspark.sql import functions as F
+
+    idx = _ensure_ivf_index(spark, SF_DIR)
+    cells = spark.read.parquet(os.path.join(idx, "cells"))
+    centers = spark.read.parquet(os.path.join(idx, "centers"))
+    probes = _ivf_probe_cells(
+        cells.select("vec_id", "embedding", "norm"), centers, nprobe=2
+    ).select("vec_id", F.col("cell").cast("bigint").alias("bucket"))
+    from gdxpy_spark.operators.llm import lsh_candidate_pairs
+
+    cand = lsh_candidate_pairs(
+        cells.select("vec_id", F.col("cell").cast("bigint").alias("bucket")),
+        q_probes=probes,
+        max_bucket=2048,
+    )
+    qtab, codes = _pq_tables(spark, SF_DIR)
+    plan = formatted_plan(_pq_adc(cand, qtab, codes))
+    for sec in _exchange_inputs(plan):
+        assert "embedding#" not in sec and "emb_a#" not in sec, sec[:800]
