@@ -1798,9 +1798,18 @@ def _ivf_candidates_top1(indexed: DataFrame, centers: DataFrame) -> DataFrame:
     and llm_ann_ivf_served (persisted index): probe each vector's 2
     nearest centroids, equi-join probed cells against the index side,
     exact cosine, deterministic top-1 per query. `indexed` must carry
-    (vec_id, embedding, norm, cell)."""
+    (vec_id, embedding, norm, cell).
+
+    The QUERY-side projection is managed_cache'd (r13): the narrowed
+    probe reads it three times (level-1 rank source + two embedding
+    join-backs), and uncached each read re-listed the ~k-partition
+    cells layout — measured +51% serving wall at the k=3136 probe. The
+    INDEX side stays an uncached scan on purpose: that is the side the
+    partitionBy(cell) layout prunes for selective query batches."""
     probes = _ivf_probe_cells(
-        indexed.select("vec_id", "embedding", "norm"), centers, nprobe=2
+        managed_cache(indexed.select("vec_id", "embedding", "norm")),
+        centers,
+        nprobe=2,
     )
     qa = probes.alias("q")
     xa = indexed.alias("x")
