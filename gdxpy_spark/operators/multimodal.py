@@ -680,19 +680,15 @@ _PHASH_BANDS = 4      # 4 x 16-bit Hamming-LSH bands
 _PHASH_HAM_T = 3      # near-dup threshold; t < bands => pigeonhole-exact
 
 
-def _phash_oracle() -> str:
-    """DuckDB twin of mm_phash_neardup — the ALL-PAIRS semantic
-    definition: recompute each blob's 64-bit content hash from `text`
-    (payload bytes ARE the utf-8 text by the media_table construction
-    and the corpus is pure ASCII — the mm_exact_dedup argument), then
-    emit every pair with bit_count(xor) <= t. Because the engine's
-    banded join is pigeonhole-EXACT for t < bands, hash-matching this
-    all-pairs twin proves the banding loses nothing, every round.
-
-    Hash recipe shared with _simhash_oracle (md5 hi·2³²+lo in UBIGINT,
-    literal power-of-two bit packing — DuckDB's << overflows checked
-    at bit 63); the vote unit is the DISTINCT payload byte 4-gram
-    instead of the whitespace token."""
+def _phash_sig_cte() -> str:
+    """Shared WITH-body: each blob's 64-bit content hash recomputed
+    from `text` (payload bytes ARE the utf-8 text by the media_table
+    construction and the corpus is pure ASCII — the mm_exact_dedup
+    argument), ending at CTE sig(doc_id, ph). Hash recipe shared with
+    _simhash_oracle (md5 hi·2³²+lo in UBIGINT, literal power-of-two
+    bit packing — DuckDB's << overflows checked at bit 63); the vote
+    unit is the DISTINCT payload byte 4-gram instead of the
+    whitespace token."""
     K = _PHASH_SHINGLE
     votes = ",\n".join(
         f"  SUM(CASE WHEN ((hu >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}"
@@ -702,8 +698,7 @@ def _phash_oracle() -> str:
         f"(CASE WHEN v{j} > 0 THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
         for j in range(64)
     )
-    return f"""
-WITH p AS MATERIALIZED (
+    return f"""p AS MATERIALIZED (
   SELECT doc_id, CAST(n_chars AS BIGINT) AS n, text
   FROM documents WHERE n_chars >= {K}),
 pos AS MATERIALIZED (
@@ -720,7 +715,17 @@ votes AS MATERIALIZED (
   SELECT doc_id,
 {votes}
   FROM h GROUP BY doc_id),
-sig AS MATERIALIZED (SELECT doc_id, {sig} AS ph FROM votes)
+sig AS MATERIALIZED (SELECT doc_id, {sig} AS ph FROM votes)"""
+
+
+def _phash_oracle() -> str:
+    """DuckDB twin of mm_phash_neardup — the ALL-PAIRS semantic
+    definition: every pair with bit_count(xor) <= t over the
+    _phash_sig_cte signatures. Because the engine's banded join is
+    pigeonhole-EXACT for t < bands, hash-matching this all-pairs twin
+    proves the banding loses nothing, every round."""
+    return f"""
+WITH {_phash_sig_cte()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -828,4 +833,57 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= _PHASH_HAM_T)
         .distinct()
+    )
+
+
+_PHASH_CC_ROUNDS = 7  # same margin discipline as _SEMDEDUP_CC_ROUNDS:
+# phash dup graphs are tiny stars (pairs/triples), 3-4 contraction
+# rounds suffice; rounds-vs-rounds+1 equality pinned in test_r13_ops.py
+
+
+def _phash_clusters_oracle() -> str:
+    """DuckDB twin of mm_phash_clusters: the all-pairs phash pairs CTE
+    normalized to oriented (big, small) edges, then
+    _cc_star_rounds_sql's star contraction down to (dup_id, kept_id)
+    child rows — the exact oracle shape _semdedup_oracle uses for its
+    CC tail."""
+    from gdxpy_spark.operators.llm import _cc_star_rounds_sql
+
+    N = _PHASH_CC_ROUNDS
+    return f"""
+WITH {_phash_sig_cte()},
+pairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ph, b.ph)) <= {_PHASH_HAM_T}),
+se0 AS MATERIALIZED (
+  SELECT DISTINCT GREATEST(doc_a, doc_b) AS u, LEAST(doc_a, doc_b) AS v
+  FROM pairs),
+{_cc_star_rounds_sql(N)}
+SELECT DISTINCT u AS dup_id, v AS kept_id FROM se{N}
+"""
+
+
+@register("mm_phash_clusters", oracle=_phash_clusters_oracle(), category="MM")
+def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup GROUPS — the report a media dedup dry-run
+    actually acts on: mm_phash_neardup's hamming<=3 pairs closed under
+    transitivity by star-contraction connected components (Kiveris
+    2014 — the same CC machinery llm_semdedup and llm_minhash_dedup
+    ride), each group keeping its min doc_id. Emits (dup_id,
+    kept_id = group min), singletons omitted — llm_semdedup's contract
+    on the media column, so a pipeline can chain exact-head dedup
+    (mm_exact_dedup) -> perceptual groups (this op) -> semantic dedup
+    (llm_semdedup) with one downstream shape.
+
+    Scale: the pairs stage is mm_phash_neardup's plan (binary never
+    shuffles, banded join); CC adds 3-4 contraction rounds of two
+    shuffles each over the SHRINKING pair set — the dup-graph edge
+    volume, orders of magnitude below n."""
+    pairs = mm_phash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    from gdxpy_spark.operators.llm import connected_components
+
+    cc = connected_components(spark, pairs)
+    return cc.filter(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias("dup_id"), F.col("component_id").alias("kept_id")
     )

@@ -116,6 +116,7 @@ _ARTIFACT_PRIORITY = [
     # -- r13 NEW ops (day-one driver verification) --
     "llm_semdedup_pq",  # NEW r13
     "mm_phash_neardup",  # NEW r13
+    "mm_phash_clusters",  # NEW r13
     "tpch_q10_shape",  # r05
     "tpch_q3_shape",  # r05
     "tpch_q5_shape",  # r05

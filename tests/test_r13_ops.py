@@ -196,3 +196,56 @@ def test_kmeans_assign_blas_matches_join_path(spark):
             bcell, bd2 = blas_res[vid]
             assert bcell == cell, f"k={k} vec {vid}: join {cell} vs blas {bcell}"
             assert abs(bd2 - d2) <= 1e-9 * max(1.0, abs(d2)), (vid, d2, bd2)
+
+
+def test_phash_clusters_oracle_cc_rounds_converged(duck):
+    """The unrolled star-contraction depth must be converged: running
+    the clusters oracle at _PHASH_CC_ROUNDS and at +1 rounds must give
+    identical (dup_id, kept_id) sets (the _semdedup_oracle discipline
+    applied to the phash dup graph)."""
+    from gdxpy_spark.operators import multimodal as mm
+
+    base = mm._phash_clusters_oracle()
+    deeper_n = mm._PHASH_CC_ROUNDS + 1
+    saved = mm._PHASH_CC_ROUNDS
+    try:
+        mm._PHASH_CC_ROUNDS = deeper_n
+        deeper = mm._phash_clusters_oracle()
+    finally:
+        mm._PHASH_CC_ROUNDS = saved
+    r1 = sorted(duck.execute(base).fetchall())
+    r2 = sorted(duck.execute(deeper).fetchall())
+    assert r1 == r2
+
+
+def test_phash_clusters_match_union_find_on_planted(spark, phash_planted_dir):
+    """Groups must equal a pure-python union-find over the brute-force
+    hamming<=3 pairs of the python signatures — third-source pin of
+    pairs + CC together on data with real multi-member groups."""
+    got = {
+        (r["dup_id"], r["kept_id"])
+        for r in ALL["mm_phash_clusters"].fn(spark, phash_planted_dir).collect()
+    }
+    docs = (
+        table(spark, phash_planted_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    sigs = {r["doc_id"]: _py_phash(r["text"]) for r in docs if len(r["text"]) >= 4}
+    ids = sorted(sigs)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for ai, a in enumerate(ids):
+        for b in ids[ai + 1 :]:
+            if bin(sigs[a] ^ sigs[b]).count("1") <= 3:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    want = {(i, find(i)) for i in ids if find(i) != i}
+    assert got == want
