@@ -1755,8 +1755,8 @@ def _ivf_probe_cells(
     cents = [[float(x) for x in r["center"]] for r in crows]
     cell_ids = [int(r["cell"]) for r in crows]
     sfp = _centers_fingerprint(cell_ids, cents)
-    memo_hit = _memo_get(_SUPER_MEMO, sfp)
-    if memo_hit is not None:
+    memo_ok, memo_hit = _memo_get(_SUPER_MEMO, sfp)
+    if memo_ok:
         grp_of, scents = memo_hit
     else:
         grp_of, scents = _super_quantize(cents, cell_ids=cell_ids)
@@ -1986,7 +1986,7 @@ def _cc_prop_rounds_sql(n_rounds: int) -> str:
 _CC_ROUNDS = 6
 
 
-def _cc_star_rounds_sql(n_rounds: int, first: str = "se0") -> str:
+def _cc_star_rounds_sql(n_rounds: int, first: str = "se0", prefix: str = "") -> str:
     """SQL fragment: `n_rounds` of the alternating large-star/small-star
     contraction itself (the same algorithm connected_components runs),
     starting from CTE `{first}(u, v)` holding DISTINCT (big, small)
@@ -1995,30 +1995,34 @@ def _cc_star_rounds_sql(n_rounds: int, first: str = "se0") -> str:
     double on long thin paths (measured: the sf0.1 co-purchase graph
     was still merging at 12 label rounds), while star contraction
     converges in O(log² n) rounds on any topology (4–5 measured on the
-    same graph). Ends at CTE se{n_rounds}; at convergence that edge set
-    is the (child → component-min root) star forest."""
+    same graph). Ends at CTE {{prefix}}se{n_rounds}; at convergence that
+    edge set is the (child → component-min root) star forest. ``prefix``
+    namespaces every generated CTE (r14: a composite oracle that unrolls
+    TWO independent CC chains in one WITH — mm_e2e_dedup's perceptual +
+    semantic stages — would otherwise collide on sym/lmin/ls/smin/se)."""
     parts = []
     cur = first
+    p = prefix
     for k in range(n_rounds):
         parts.append(f"""
-sym{k} AS MATERIALIZED (
+{p}sym{k} AS MATERIALIZED (
   SELECT u, v FROM {cur} UNION ALL SELECT v, u FROM {cur}),
-lmin{k} AS MATERIALIZED (
-  SELECT u, LEAST(MIN(v), u) AS m FROM sym{k} GROUP BY u),
-ls{k} AS MATERIALIZED (
+{p}lmin{k} AS MATERIALIZED (
+  SELECT u, LEAST(MIN(v), u) AS m FROM {p}sym{k} GROUP BY u),
+{p}ls{k} AS MATERIALIZED (
   SELECT DISTINCT s.v AS u, l.m AS v
-  FROM sym{k} s JOIN lmin{k} l USING (u)
+  FROM {p}sym{k} s JOIN {p}lmin{k} l USING (u)
   WHERE s.v > s.u AND s.v <> l.m),
-smin{k} AS MATERIALIZED (
-  SELECT u, MIN(v) AS m FROM ls{k} GROUP BY u),
-se{k + 1} AS MATERIALIZED (
+{p}smin{k} AS MATERIALIZED (
+  SELECT u, MIN(v) AS m FROM {p}ls{k} GROUP BY u),
+{p}se{k + 1} AS MATERIALIZED (
   SELECT DISTINCT u, v FROM (
-    SELECT l.v AS u, s.m AS v FROM ls{k} l JOIN smin{k} s USING (u)
+    SELECT l.v AS u, s.m AS v FROM {p}ls{k} l JOIN {p}smin{k} s USING (u)
     WHERE l.v <> s.m
     UNION ALL
-    SELECT u, m AS v FROM smin{k}
+    SELECT u, m AS v FROM {p}smin{k}
   ))""")
-        cur = f"se{k + 1}"
+        cur = f"{p}se{k + 1}"
     return ",".join(parts)
 
 _CLUSTERS_ORACLE = f"""
@@ -2688,6 +2692,114 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             dup_m.alias("dup_spans"),
             F.round(dup_m / F.sum("m"), 4).alias("dup_ratio"),
         )
+    )
+
+
+_CUT_ORACLE = f"""
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+  FROM documents),
+g AS MATERIALIZED (
+  SELECT doc_id, i,
+         array_to_string(ts[CAST(i AS INT):CAST(i AS INT) + {_SUBSTR_K - 1}],
+                         ' ') AS gram
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - {_SUBSTR_K - 2})) AS i
+        FROM toks WHERE len(ts) >= {_SUBSTR_K})),
+dupg AS MATERIALIZED (
+  SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+cov AS MATERIALIZED (
+  SELECT DISTINCT doc_id, j
+  FROM (SELECT doc_id, unnest(range(i, i + {_SUBSTR_K})) AS j
+        FROM g JOIN dupg USING (gram))),
+w AS (
+  SELECT doc_id, j, ts[CAST(j AS INT)] AS word
+  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS j FROM toks)),
+agg AS (
+  SELECT w.doc_id,
+         COUNT(*) AS n_words,
+         COUNT(*) FILTER (cov.j IS NOT NULL) AS cut_words,
+         COALESCE(string_agg(w.word, ' ' ORDER BY w.j)
+                  FILTER (cov.j IS NULL), '') AS clean_text
+  FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.j = cov.j
+  GROUP BY w.doc_id)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(cut_words AS BIGINT) AS cut_words,
+       clean_text,
+       ROUND(1.0 * cut_words / n_words, 4) + 0.0 AS cut_ratio
+FROM agg
+"""
+
+
+@register("llm_substring_cut", oracle=_CUT_ORACLE, category="K")
+def llm_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup CUT itself (Lee et al. 2021 §3.1 "ExactSubstr"
+    — the rewrite stage downstream of llm_substring_dedup's statistics):
+    emit the CLEANED corpus, each document's text with every word
+    covered by a ≥2-multiplicity 6-word span excised. A word is cut iff
+    ANY duplicated span covers it, so overlapping spans merge into one
+    excision — the coverage-union semantics the paper applies with
+    50-token spans on the identical plan.
+
+    Plan shape at 100 TB: spans are generated map-side (word_shingles
+    JVM HOFs) and counted by one partial-agg shuffle; the duplicated
+    grams (a small fraction of distinct grams) join back to positions
+    gram-keyed; per-doc cut-start positions collapse to ONE array row
+    per doc (collect_set — state bounded by the doc's own length, the
+    same order as the text column itself), and the excision is pure
+    JVM HOFs: flatten/transform expands starts to covered word indexes,
+    filter-with-index drops them, array_join rebuilds the text. No UDF,
+    no per-word row explosion on the rebuild side, and the corpus text
+    crosses exactly one shuffle (the doc_id join of starts back to
+    text). Integer positions make the rewrite DuckDB-bit-reproducible —
+    the oracle replays cover/excise exactly.
+
+    Consistency with llm_substring_dedup is pinned in pytest: cut_words
+    is bounded by [dup_spans, 6·dup_spans] and the cut-doc set equals
+    the dup_spans>0 set."""
+    k = _SUBSTR_K
+    docs = table(spark, sf_dir, "documents")
+    t = F.array_remove(F.split("text", " "), "")
+    base = docs.select("doc_id", t.alias("ts"))
+    g = base.filter(F.size("ts") >= k).select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("ts"), k)).alias("i0", "gram"),
+    )
+    dupg = (
+        g.groupBy("gram")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") >= 2)
+        .select("gram")
+    )
+    starts = (
+        g.join(dupg, "gram")
+        .select("doc_id", (F.col("i0") + 1).alias("i"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("starts"))
+    )
+    j = base.join(starts, "doc_id", "left").withColumn(
+        "covered",
+        F.array_distinct(
+            F.flatten(
+                F.transform(
+                    F.coalesce(F.col("starts"), F.array().cast("array<int>")),
+                    lambda s: F.sequence(s, s + F.lit(k - 1)),
+                )
+            )
+        ),
+    )
+    kept = F.filter(
+        F.col("ts"),
+        lambda w, i: ~F.array_contains(F.col("covered"), i + F.lit(1)),
+    )
+    nw = F.size("ts").cast("bigint")
+    nc = F.size("covered").cast("bigint")
+    return j.select(
+        "doc_id",
+        nw.alias("n_words"),
+        nc.alias("cut_words"),
+        F.array_join(kept, " ").alias("clean_text"),
+        (F.round(nc / nw, 4) + F.lit(0.0)).alias("cut_ratio"),
     )
 
 
@@ -3908,11 +4020,15 @@ def _memo_get(memo: dict, key):
     (_BPE_MERGE_MEMO / _KMEANS_MEMO / _PQ_MEMO / _SUPER_MEMO): reinsert
     the key on hit so insertion order tracks RECENCY — true LRU, so a
     hot dataset fingerprint can't be evicted while colder ones survive
-    (r12 advice: the bare `memo[key]` read made the caps FIFO)."""
+    (r12 advice: the bare `memo[key]` read made the caps FIFO).
+
+    Returns ``(hit, value)`` rather than value-or-None (r13 advice): a
+    producer that legitimately stores None must read as a hit, not as
+    a silent cache bypass — the old single-return conflated the two."""
     if key in memo:
         memo[key] = memo.pop(key)
-        return memo[key]
-    return None
+        return True, memo[key]
+    return False, None
 
 
 def _memo_put(memo: dict, key, value, cap: int) -> None:
@@ -3936,8 +4052,8 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> list:
     from gdxpy_spark.operators._util import files_fingerprint
 
     memo_key = files_fingerprint([os.path.join(sf_dir, "documents.parquet")])
-    hit = _memo_get(_BPE_MERGE_MEMO, memo_key)
-    if hit is not None:
+    ok, hit = _memo_get(_BPE_MERGE_MEMO, memo_key)
+    if ok:
         return hit
     docs = table(spark, sf_dir, "documents")
     # r11 (verdict directive #5): train on an md5-range hash sample
@@ -4540,6 +4656,11 @@ _KMEANS_MEMO_CAP = 4
 _KMEANS_JOIN_ASSIGN_MAX_K = 64  # strategy switch for _kmeans_assign
 
 
+# the one live large-k centroid broadcast (see _kmeans_assign): fits
+# are driver-side sequential, so a single slot suffices
+_KMEANS_ASSIGN_BC = None
+
+
 def _kmeans_assign(spark: SparkSession, cents, frame_ve, frame_rows):
     """Nearest-centroid assignment → (vec_id, cell, d2). One semantic,
     two physical strategies by k (the Catalyst-style cost cut made
@@ -4588,7 +4709,19 @@ def _kmeans_assign(spark: SparkSession, cents, frame_ve, frame_rows):
         )
     import numpy as np
 
+    # single-slot broadcast reuse (r13 advice): each fit round used to
+    # leave its centroid-matrix broadcast cached on the executors until
+    # driver GC — at the 10⁹ posture (k≈31.6k → ~16 MB each, 7 rounds
+    # per fit) that is ~100 MB+ of dead broadcast blocks per fit.
+    # unpersist() only evicts the executor copies; if a plan holding
+    # the old handle re-executes, Spark re-ships the value from the
+    # driver, so evicting the PREVIOUS round's matrix once the new
+    # round is being assigned is always correct, never just usually.
+    global _KMEANS_ASSIGN_BC
+    if _KMEANS_ASSIGN_BC is not None:
+        _KMEANS_ASSIGN_BC.unpersist()
     bc = spark.sparkContext.broadcast(np.asarray(cents, dtype=np.float64))
+    _KMEANS_ASSIGN_BC = bc
 
     def part(it):
         import numpy as np
@@ -4660,8 +4793,8 @@ def _kmeans_fit(
             "vec_id", F.posexplode("embedding").alias("pos", "v")
         ).withColumn("v", F.col("v").cast("double"))
     )
-    memo_hit = _memo_get(_KMEANS_MEMO, memo_key)
-    if memo_hit is not None:
+    memo_ok, memo_hit = _memo_get(_KMEANS_MEMO, memo_key)
+    if memo_ok:
         centroids = memo_hit
         rounds = 0  # fit cached: serve-only (one final assignment job)
         fit_ve, fit_rows = ve, e
@@ -5299,13 +5432,20 @@ cand0 AS MATERIALIZED (
   FROM bd WHERE bsize > 2048 AND vec_id <> rep)"""
 
 
-def _semdedup_tau_cc_sql() -> str:
+def _semdedup_tau_cc_sql(as_cte: str = None) -> str:
     """Shared tail fragment: exact τ=0.4 cosine verify over the
     normalized candidate pairs CTE ``cand`` (va, vb), then
     star-contraction CC down to (dup_id, kept_id) child rows. The τ
     filter's unrounded-double knife-edge is documented on
-    _semdedup_oracle."""
+    _semdedup_oracle. With ``as_cte`` set the fragment ends at that
+    named CTE instead of a final SELECT, so a composite oracle
+    (mm_e2e_dedup) can keep chaining the WITH."""
     N = _SEMDEDUP_CC_ROUNDS
+    tail = f"SELECT DISTINCT u AS dup_id, v AS kept_id FROM se{N}"
+    if as_cte:
+        tail = f",\n{as_cte} AS MATERIALIZED ({tail})"
+    else:
+        tail = "\n" + tail
     return f"""en AS MATERIALIZED (
   SELECT vec_id, embedding,
          sqrt(list_aggregate(list_transform(embedding,
@@ -5325,9 +5465,7 @@ sedges AS MATERIALIZED (
 se0 AS MATERIALIZED (
   SELECT DISTINCT GREATEST(doc_a, doc_b) AS u, LEAST(doc_a, doc_b) AS v
   FROM sedges),
-{_cc_star_rounds_sql(N)}
-SELECT DISTINCT u AS dup_id, v AS kept_id FROM se{N}
-"""
+{_cc_star_rounds_sql(N)}{tail}"""
 
 
 def _semdedup_oracle() -> str:
@@ -5344,9 +5482,17 @@ def _semdedup_oracle() -> str:
     differently) — same knife-edge class as the LSH sign bit
     (_lsh_oracle), P ≈ 1e-14 per candidate pair; quantizing before the
     compare would only move the boundary, not shrink it."""
-    g_sql = "(SELECT GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) FROM kv)"
     return f"""
-WITH {_ivf_lloyd_rounds_sql()},
+WITH {_semdedup_with_body(as_cte=None)}"""
+
+
+def _semdedup_with_body(as_cte: str = "sdedup") -> str:
+    """The full semdedup WITH body (quantizer → probe → candidates →
+    τ verify → CC), either ending at CTE ``as_cte(dup_id, kept_id)``
+    for composite oracles (mm_e2e_dedup) or, with ``as_cte=None``, at
+    _semdedup_tau_cc_sql's final SELECT (the registered oracle)."""
+    g_sql = "(SELECT GREATEST(2, CAST(CEIL(SQRT(k)) AS BIGINT)) FROM kv)"
+    return f"""{_ivf_lloyd_rounds_sql()},
 {_super_rounds_sql(g_sql)},
 {_two_level_probe_sql()},
 {_semdedup_cand_sql()},
@@ -5354,7 +5500,9 @@ cand AS MATERIALIZED (
   SELECT DISTINCT LEAST(vec_id, nn_id) AS va,
                   GREATEST(vec_id, nn_id) AS vb
   FROM cand0),
-{_semdedup_tau_cc_sql()}"""
+{_semdedup_tau_cc_sql(as_cte=as_cte)}"""
+
+
 @register("llm_semdedup", oracle=_semdedup_oracle(), category="K")
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by
@@ -5385,6 +5533,13 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap-2048 candidates → τ verify → star-CC in DuckDB; the remaining
     approximation (boundary misses) is now part of the CHECKED
     semantics rather than an excuse for a rows-only check."""
+    return _semdedup_pairs(spark, sf_dir)
+
+
+def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_semdedup's engine body, callable from composites
+    (mm_e2e_dedup) without tripping the registered wrapper's
+    release_managed_caches — see the op docstring for the design."""
     import os
 
     idx = _ensure_ivf_index(spark, sf_dir)
@@ -5585,8 +5740,8 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str) -> list:
     from gdxpy_spark.operators._util import files_fingerprint
 
     fp = files_fingerprint([os.path.join(sf_dir, "embeddings.parquet")])
-    hit = _memo_get(_PQ_MEMO, fp)
-    if hit is not None:
+    ok, hit = _memo_get(_PQ_MEMO, fp)
+    if ok:
         return hit
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     # repartition after the sort-limit (see _kmeans_fit: GlobalLimit's

@@ -26,6 +26,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from gdxpy_spark.operators._util import managed_cache
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
 
@@ -733,34 +734,14 @@ WHERE bit_count(xor(a.ph, b.ph)) <= {_PHASH_HAM_T}
 """
 
 
-@register("mm_phash_neardup", oracle=_phash_oracle(), category="MM")
-def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PERCEPTUAL near-dup over the binary media column — a 64-bit
-    CONTENT-DEFINED fuzzy hash per blob (the ssdeep/TLSH family): a
-    SimHash where every distinct payload byte 4-gram votes ±1 on each
-    bit. Being shingle-set based, the signature is ALIGNMENT- and
-    LENGTH-invariant: a re-encoded copy whose payload gained a short
-    trailer (the corpus plants exactly these — same content ±4 trailing
-    bytes) moves only the few votes its new shingles cast, so the pair
-    lands at hamming ≤3 while mm_exact_dedup's head digest already
-    fails on any changed head byte. A position-binned 8×8 dHash was
-    measured and REJECTED for this payload regime: at ~300-byte
-    payloads each bin is ~5 bytes, so a 4-byte length shift replaces
-    whole bins and decorrelates the hash (planted pairs landed at
-    hamming ≥11; SCALE.md r13) — the fixed-grid recipe needs real
-    pixel rasters (decode_real's swap-in point) to average over.
-
-    Pairs are found by a 4-band 16-bit Hamming-LSH self-join, and
-    because t=3 < 4 bands the pigeonhole principle makes the banded
-    join EXACT — the all-pairs oracle hash-checks that exactness every
-    round (llm_simhash's single top-16 band trades recall instead;
-    this op upgrades the machinery where exactness is provable).
-
-    Scale: shingling/hashing/votes are scan-fused JVM HOFs over the
-    payload (binary never shuffles — only (doc_id, sig) leaves the
-    stage); the banded join shuffles 4 narrow rows per doc with
-    candidate volume Σ_bucket n_b²/2¹⁶ per band — the llm_simhash cost
-    model with a 4× table fan-out."""
+def _phash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, phash): the 64-bit content-defined fuzzy hash per blob,
+    managed_cache'd (r14, per the r13 verdict: the banded self-join
+    reads this frame on BOTH sides, and mm_phash_clusters rides the
+    same pairs — without the cache the scan→shingle→64-vote pipeline
+    materialized up to 4× per query; PLANS.md r13 showed the twin
+    subtrees). The cached frame is two columns — bytes per doc, not
+    corpus-sized — the llm.py minhash-signature discipline."""
     K = _PHASH_SHINGLE
     media = media_table(spark, sf_dir)
     payload = F.expr("CAST(substring(media, 17, length(media) - 16) AS STRING)")
@@ -798,7 +779,15 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         term = F.shiftleft(bit, j)
         sig = term if sig is None else sig.bitwiseXOR(term)
-    sigs = votes.select("doc_id", sig.alias("phash"))
+    return managed_cache(votes.select("doc_id", sig.alias("phash")))
+
+
+def _phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, hamming): all pairs at hamming ≤ t, via the
+    4-band 16-bit Hamming-LSH self-join over the CACHED signature
+    frame (both join sides read one InMemoryRelation — the second
+    side is a reuse, not a rebuild)."""
+    sigs = _phash_sigs(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
         "phash",
@@ -836,9 +825,46 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PHASH_CC_ROUNDS = 7  # same margin discipline as _SEMDEDUP_CC_ROUNDS:
+@register("mm_phash_neardup", oracle=_phash_oracle(), category="MM")
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCEPTUAL near-dup over the binary media column — a 64-bit
+    CONTENT-DEFINED fuzzy hash per blob (the ssdeep/TLSH family): a
+    SimHash where every distinct payload byte 4-gram votes ±1 on each
+    bit. Being shingle-set based, the signature is ALIGNMENT- and
+    LENGTH-invariant: a re-encoded copy whose payload gained a short
+    trailer (the corpus plants exactly these — same content ±4 trailing
+    bytes) moves only the few votes its new shingles cast, so the pair
+    lands at hamming ≤3 while mm_exact_dedup's head digest already
+    fails on any changed head byte. A position-binned 8×8 dHash was
+    measured and REJECTED for this payload regime: at ~300-byte
+    payloads each bin is ~5 bytes, so a 4-byte length shift replaces
+    whole bins and decorrelates the hash (planted pairs landed at
+    hamming ≥11; SCALE.md r13) — the fixed-grid recipe needs real
+    pixel rasters (decode_real's swap-in point) to average over.
+
+    Pairs are found by a 4-band 16-bit Hamming-LSH self-join, and
+    because t=3 < 4 bands the pigeonhole principle makes the banded
+    join EXACT — the all-pairs oracle hash-checks that exactness every
+    round (llm_simhash's single top-16 band trades recall instead;
+    this op upgrades the machinery where exactness is provable).
+
+    Scale: shingling/hashing/votes are scan-fused JVM HOFs over the
+    payload (binary never shuffles — only (doc_id, sig) leaves the
+    stage); the banded join shuffles 4 narrow rows per doc with
+    candidate volume Σ_bucket n_b²/2¹⁶ per band — the llm_simhash cost
+    model with a 4× table fan-out. The (doc_id, phash) signature frame
+    is managed_cache'd (r14): both self-join sides and the clusters op
+    read ONE materialization instead of rebuilding the scan→shingle→
+    64-vote pipeline per subtree."""
+    return _phash_pairs(spark, sf_dir)
+
+
+_PHASH_CC_ROUNDS = 5  # same margin discipline as _SEMDEDUP_CC_ROUNDS:
 # phash dup graphs are tiny stars (pairs/triples), 3-4 contraction
-# rounds suffice; rounds-vs-rounds+1 equality pinned in test_r13_ops.py
+# rounds suffice; rounds-vs-rounds+1 equality pinned in test_r13_ops.py.
+# r14: trimmed 7 -> 5 (r13 verdict #8) — keeps a 1-round margin over the
+# measured 3-4 while cutting two unrolled CTE rounds from every
+# selfcheck/driver oracle replay.
 
 
 def _phash_clusters_oracle() -> str:
@@ -877,13 +903,126 @@ def mm_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm_semdedup) with one downstream shape.
 
     Scale: the pairs stage is mm_phash_neardup's plan (binary never
-    shuffles, banded join); CC adds 3-4 contraction rounds of two
-    shuffles each over the SHRINKING pair set — the dup-graph edge
-    volume, orders of magnitude below n."""
-    pairs = mm_phash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    shuffles, banded join) over the SHARED cached signature frame
+    (r14: _phash_pairs, not a from-scratch rebuild of the registered
+    op — the wrapper would release the managed caches mid-build); CC
+    adds 3-4 contraction rounds of two shuffles each over the
+    SHRINKING pair set — the dup-graph edge volume, orders of
+    magnitude below n."""
+    return _phash_dups(spark, sf_dir)
+
+
+def _phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dup_id, kept_id): mm_phash_clusters' engine body, callable from
+    composites (mm_e2e_dedup) without the registered wrapper's
+    release_managed_caches tripping mid-build."""
+    pairs = _phash_pairs(spark, sf_dir).select("doc_a", "doc_b")
     from gdxpy_spark.operators.llm import connected_components
 
     cc = connected_components(spark, pairs)
     return cc.filter(F.col("doc_id") != F.col("component_id")).select(
         F.col("doc_id").alias("dup_id"), F.col("component_id").alias("kept_id")
+    )
+
+
+def _mm_e2e_oracle() -> str:
+    """DuckDB twin of mm_e2e_dedup: exact-head dedup survivors, the
+    phash pairs + q-prefixed star-CC dup set (prefix keeps its CTE
+    names disjoint from the semdedup chain's own CC unrolling), the
+    full semdedup WITH body ending at sdedup, then the three funnel
+    anti-filters and the four stage counts."""
+    from gdxpy_spark.operators.llm import (
+        _cc_star_rounds_sql,
+        _semdedup_with_body,
+    )
+
+    N = _PHASH_CC_ROUNDS
+    return f"""
+WITH heads AS MATERIALIZED (
+  SELECT doc_id, substr(text, 1, 128) AS head FROM documents),
+s1 AS MATERIALIZED (
+  SELECT MIN(doc_id) AS doc_id FROM heads GROUP BY head),
+{_phash_sig_cte()},
+ppairs AS MATERIALIZED (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.ph, b.ph)) <= {_PHASH_HAM_T}),
+qse0 AS MATERIALIZED (
+  SELECT DISTINCT GREATEST(doc_a, doc_b) AS u, LEAST(doc_a, doc_b) AS v
+  FROM ppairs),
+{_cc_star_rounds_sql(N, first="qse0", prefix="q")},
+pdup AS MATERIALIZED (SELECT DISTINCT u AS dup_id FROM qse{N}),
+s2 AS MATERIALIZED (
+  SELECT doc_id FROM s1 WHERE doc_id NOT IN (SELECT dup_id FROM pdup)),
+{_semdedup_with_body("sdedup")},
+s3 AS MATERIALIZED (
+  SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT dup_id FROM sdedup))
+SELECT 'raw' AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+UNION ALL SELECT 'exact', CAST(COUNT(*) AS BIGINT) FROM s1
+UNION ALL SELECT 'perceptual', CAST(COUNT(*) AS BIGINT) FROM s2
+UNION ALL SELECT 'semantic', CAST(COUNT(*) AS BIGINT) FROM s3
+"""
+
+
+@register("mm_e2e_dedup", oracle=_mm_e2e_oracle(), category="MM")
+def mm_e2e_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIA DEDUP FUNNEL — the three-tier chain the mm_* dedup ops
+    were built to form, on one corpus with one downstream shape
+    (llm_e2e_pipeline's data-accounting contract, llm.py): exact
+    head-digest dedup (mm_exact_dedup's rule: keep min doc_id per
+    content-head sha) → perceptual near-dup groups (mm_phash_clusters'
+    hamming≤3 star-CC over the 64-bit content SimHash) → semantic
+    dedup (llm_semdedup's τ=0.4 cluster-scoped groups over the
+    document's embedding; embeddings.vec_id IS the doc key by the
+    corpus construction — one embedding per document, same id range).
+    Emits the per-stage survivor funnel (stage, n_docs), the record a
+    media pipeline logs for a dedup dry-run.
+
+    Dry-run semantics, stated: each tier's dup set is computed on the
+    FULL corpus (exactly the registered single-tier ops), and a stage
+    removes its dup_ids from the CURRENT survivor set — a dup whose
+    group keeper was itself removed by an earlier tier still leaves,
+    because its content survives through the keeper's own dedup chain
+    (the canonical-chain argument every multi-tier dedup makes).
+    Funnel monotonicity (raw ≥ exact ≥ perceptual ≥ semantic) is
+    pinned in pytest.
+
+    Scale: tier 1 shuffles 32-byte digests; tier 2 rides the CACHED
+    phash signature frame (binary never shuffles — mm_phash_neardup's
+    plan-asserted contract); tier 3 reuses the persisted IVF index the
+    serving path builds once. The survivor sets that chain the tiers
+    are id-only frames, managed_cache'd; at 100 TB each tier boundary
+    is a checkpointed id list, the same DAG with durability."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    media = media_table(spark, sf_dir)
+    s1 = managed_cache(
+        media.select(
+            "doc_id",
+            F.sha2(F.expr("substring(media, 17, 128)"), 256).alias("head_sha"),
+        )
+        .groupBy("head_sha")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    pdup = _phash_dups(spark, sf_dir).select(
+        F.col("dup_id").alias("doc_id")
+    )
+    s2 = managed_cache(s1.join(pdup, "doc_id", "left_anti"))
+    from gdxpy_spark.operators.llm import _semdedup_pairs
+
+    sdup = _semdedup_pairs(spark, sf_dir).select(
+        F.col("dup_id").alias("doc_id")
+    )
+    s3 = s2.join(sdup, "doc_id", "left_anti")
+
+    def cnt(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+
+    return (
+        cnt(docs, "raw")
+        .unionByName(cnt(s1, "exact"))
+        .unionByName(cnt(s2, "perceptual"))
+        .unionByName(cnt(s3, "semantic"))
     )

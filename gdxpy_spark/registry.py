@@ -98,75 +98,75 @@ def load_all() -> None:
 # Driver artifacts (CORRECTNESS_r*.json) cap at ~50 entries, truncating in
 # queries() iteration order. From r11 on, the window rotates by
 # INDEPENDENT-EVIDENCE AGE (r10 verdict "What's wrong" #4): SELFCHECK
-# re-verifies all ~274 registered queries every round (274 registered /
-# 269 hash-oracled as of r12 — see make_catalog.py for live counts), but it is
+# re-verifies all registered queries every round, but it is
 # builder-run — the driver's CORRECTNESS ledger is the independent
 # record, and with a 50-ID window an early-verified ID can go many
 # rounds without fresh driver evidence. Order: (1) queries NEW this
 # round (no ledger row exists anywhere), (2) everything else ascending
-# by the round the cumulative r1..r12 ledger last verified it (oldest
-# first; name-sorted within a round). r13 executes the r12 verdict's
-# strict-by-age ask: the 50 oldest are 3 r5 + 46 r6 + 1 r7 IDs — with
-# the r13 new ops prepended, the cap pushes the youngest tail
-# (win_sessionize, agg_bool_logic) to the r14 window. The r12-changed
-# IVF family is NOT re-front-loaded: its r13 diff is behavior-
-# preserving hygiene (memo LRU, cell-id hashing), re-verified by a
-# subset selfcheck this round. Regenerate next round from the ledger.
+# by the round the cumulative r1..r13 ledger last verified it (oldest
+# first; name-sorted within a round). r14 executes the r13 verdict's
+# strict-by-age ask exactly: the 50 oldest are the 3 r6 IDs + all 38
+# r7 IDs + the 9 name-first r8 IDs (recomputed from the CORRECTNESS
+# files this round) — with the 2 r14 new ops prepended, the cap pushes
+# the youngest r8 tail (llm_sample_stratified, llm_token_budget) to
+# the r15 window. Regenerate next round from the ledger.
 _ARTIFACT_PRIORITY = [
-    # -- r13 NEW ops (day-one driver verification) --
-    "llm_semdedup_pq",  # NEW r13
-    "mm_phash_neardup",  # NEW r13
-    "mm_phash_clusters",  # NEW r13
-    "tpch_q10_shape",  # r05
-    "tpch_q3_shape",  # r05
-    "tpch_q5_shape",  # r05
-    "agg_cohort_retention",  # r06
-    "agg_salted_sum",  # r06
-    "fn_array_basic",  # r06
-    "fn_array_explode",  # r06
-    "fn_array_lambda",  # r06
-    "fn_bitwise",  # r06
-    "fn_cast",  # r06
-    "fn_conditional",  # r06
-    "fn_date_arith",  # r06
-    "fn_date_parts",  # r06
-    "fn_json_extract",  # r06
-    "fn_map_ops",  # r06
-    "fn_math",  # r06
-    "fn_pivot",  # r06
-    "fn_special_values",  # r06
-    "fn_string_basic",  # r06
-    "fn_string_regex",  # r06
-    "fn_timestamp_unix",  # r06
-    "fn_unpivot",  # r06
-    "join_skew_salted",  # r06
-    "llm_decontaminate",  # r06
-    "llm_e2e_pipeline",  # r06
-    "llm_pii_redact",  # r06
-    "llm_repetition_filter",  # r06
-    "llm_substring_dedup",  # r06
-    "llm_temperature_sample",  # r06
-    "set_except",  # r06
-    "set_except_all",  # r06
-    "set_intersect_all",  # r06
-    "src_stream_events",  # r06
-    "stream_dedup",  # r06
-    "stream_session",  # r06
-    "stream_sliding",  # r06
-    "stream_stateful_running",  # r06
-    "stream_stream_join",  # r06
-    "stream_tumbling",  # r06
-    "stream_watermark_late",  # r06
-    "ts_gap_fill",  # r06
-    "ts_ohlc_hourly",  # r06
-    "udf_grouped_agg",  # r06
-    "udf_grouped_map",  # r06
-    "udf_pandas_scalar",  # r06
-    "udf_python_scalar",  # r06
-    "udtf_split_words",  # r06
+    # -- r14 NEW ops (day-one driver verification) --
+    "llm_substring_cut",  # NEW r14
+    "mm_e2e_dedup",  # NEW r14
+    # -- oldest driver evidence: r06 --
     "win_funnel_stages",  # r06
+    "win_ntile_pct_sketch",  # r06 (weak/rows-only by contract)
     "win_sessionize",  # r06
+    # -- r07 (all 38) --
     "agg_bool_logic",  # r07
+    "agg_mode_tiebreak",  # r07
+    "agg_regression_ols",  # r07
+    "agg_skew_kurtosis",  # r07
+    "agg_weighted_avg",  # r07
+    "fn_hash_digests",  # r07
+    "fn_try_arith",  # r07
+    "fn_url_parse",  # r07
+    "fn_variant_json",  # r07
+    "fn_xml_extract",  # r07
+    "join_asof_tolerance",  # r07
+    "join_dynamic_partition_prune",  # r07
+    "join_lateral_topn",  # r07
+    "join_null_safe",  # r07
+    "join_range_bucketed",  # r07
+    "join_scd2_asof",  # r07
+    "llm_chunk_overlap",  # r07
+    "llm_embed_centroid",  # r07
+    "llm_html_strip",  # r07
+    "llm_incremental_dedup",  # r07
+    "llm_pii_text",  # r07
+    "llm_url_normalize",  # r07
+    "llm_winnowing",  # r07
+    "mm_audio_window",  # r07
+    "set_union_by_name",  # r07
+    "src_csv_malformed",  # r07
+    "src_gdx_catalog",  # r07
+    "src_gdx_gams_read",  # r07
+    "src_gdx_write",  # r07
+    "src_parquet_merge_schema",  # r07
+    "src_parquet_nested_prune",  # r07
+    "tpch_q18_shape",  # r07
+    "ts_fill_forward",  # r07
+    "ts_interpolate",  # r07
+    "ts_zscore_anomaly",  # r07
+    "win_distinct_rolling",  # r07
+    "win_median_rolling",  # r07
+    "win_streaks",  # r07
+    # -- r08 (9 name-first of 27) --
+    "agg_corr_pairs",  # r08
+    "fn_char_jaccard",  # r08
+    "gdx_uel_dictionary",  # r08
+    "join_asof_nearest",  # r08
+    "join_bucketed_colocated",  # r08
+    "llm_dataset_mixture",  # r08
+    "llm_heavy_hitters",  # r08
+    "llm_sample_stratified",  # r08
+    "llm_token_budget",  # r08
 ]
 
 

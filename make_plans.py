@@ -115,10 +115,18 @@ PICKS = [
      "only the per-query top-32 shortlist for the exact tau verify, "
      "then star-CC"),
     ("mm_phash_neardup",
-     "perceptual media near-dup (r13): shingle/vote/signature are "
-     "scan-fused JVM HOFs over the binary payload — the binary column "
-     "never reaches an Exchange; the banded Hamming self-join "
-     "shuffles 4 narrow (band, id, sig) rows per doc"),
+     "perceptual media near-dup (r13; r14 cache): shingle/vote/"
+     "signature are scan-fused JVM HOFs over the binary payload — the "
+     "binary column never reaches an Exchange; the (doc_id, phash) "
+     "signature frame is cached, so BOTH banded self-join sides read "
+     "one InMemoryRelation (the r13 twin-subtree rebuild is gone) and "
+     "the banded Hamming join shuffles 4 narrow rows per doc"),
+    ("llm_substring_cut",
+     "substring-dedup rewrite (r14): span totals from one partial-agg "
+     "shuffle, duplicated grams join back gram-keyed, per-doc cut "
+     "starts collapse to one array row, and the excision is pure JVM "
+     "HOFs (flatten/filter-with-index/array_join) — no UDF, corpus "
+     "text crosses exactly one shuffle"),
     ("src_parquet_zorder",
      "z-ordered layout (r10): both halves of the 2-D predicate reach "
      "the persisted layout scan as PushedFilters — user AND time prune "

@@ -235,7 +235,8 @@ def main() -> None:
         n = queries[name].fn(spark, sf).count()
         return round(time.perf_counter() - t0, 1), n
 
-    for name in () if "--ktc" in sys.argv else (
+    skip_default = "--ktc" in sys.argv or "--phash" in sys.argv
+    for name in () if skip_default else (
                  "llm_minhash_dedup", "llm_substring_dedup",
                  # r11 (verdict #8): ANN/semantic family on the
                  # disjoint-shard embeddings — n vs n² separation the
@@ -270,26 +271,142 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             return round(best, 1), n
 
-        for tc in (None, 64):
-            if tc:
-                os.environ["GDXPS_IVF_TARGET_CELL"] = str(tc)
-            else:
-                os.environ.pop("GDXPS_IVF_TARGET_CELL", None)
-            label = f"tc={tc}" if tc else "k=sqrt(n)"
-            for name, s1, s100 in (
-                ("llm_ann_ivf_served", S1, S100),
-                ("llm_semdedup", d1, d100),
-            ):
-                w1, n1 = run2(name, s1)
-                w100, n100 = run2(name, s100)
+        # try/finally (r13 advice): a probe that dies mid-regime must
+        # not leave the env knob exported for a later selfcheck/bench
+        # run in the same shell (those runners also refuse it outright)
+        try:
+            for tc in (None, 64):
+                if tc:
+                    os.environ["GDXPS_IVF_TARGET_CELL"] = str(tc)
+                else:
+                    os.environ.pop("GDXPS_IVF_TARGET_CELL", None)
+                label = f"tc={tc}" if tc else "k=sqrt(n)"
+                for name, s1, s100 in (
+                    ("llm_ann_ivf_served", S1, S100),
+                    ("llm_semdedup", d1, d100),
+                ):
+                    w1, n1 = run2(name, s1)
+                    w100, n100 = run2(name, s100)
+                    print(
+                        f"{name:22s} [{label:9s}] 1x: {w1:7.1f}s /"
+                        f" {n1:>10,} rows   100x: {w100:7.1f}s /"
+                        f" {n100:>10,} rows   wall x{w100 / max(w1, 1e-9):.1f}"
+                        f"  rows x{n100 / max(n1, 1):.1f}",
+                        flush=True,
+                    )
+        finally:
+            os.environ.pop("GDXPS_IVF_TARGET_CELL", None)
+        spark.stop()
+        return
+
+    if "--phash" in sys.argv:
+        # r13 verdict #5: a measured 100× row for the perceptual media
+        # family — the banded join's Σ n_b²/2¹⁶ cost model and the CC
+        # tail had no probe row, and band-value skew (constant-prefix
+        # payloads piling into one 16-bit bucket) is the realistic
+        # failure mode, so per-band bucket stats are printed alongside
+        # wall. The token-suffix 100× corpus is NOT payload-disjoint at
+        # the byte-4-gram level (grams inside shared token stems
+        # collide across shards), so this probe builds its own corpus:
+        # a per-shard character rotation (letters by i mod 26, digits
+        # by i//26 mod 10 — period 260 > 100 shards, so no two shards
+        # repeat). Rotation is a bijection on byte 4-grams: each
+        # shard's internal shingle-set structure (incl. the planted
+        # trailer near-dups) is preserved isomorphically, while
+        # cross-shard grams are disjoint except the letterless few —
+        # cross-shard signatures decorrelate to hamming ≈ 32.
+        from pyspark.sql import functions as F
+
+        from gdxpy_spark.operators._util import files_fingerprint
+        from gdxpy_spark.operators.multimodal import (
+            _PHASH_BANDS,
+            _phash_sigs,
+        )
+        from gdxpy_spark.tables import table
+
+        fp = files_fingerprint([os.path.join(S1, "documents.parquet")])
+        p100 = f"/tmp/gdxpy_spark_scaleprobe/phash100_{fp}"
+        out = p100 + "/documents.parquet"
+        if not os.path.exists(out + "/_SUCCESS"):
+            t0 = time.perf_counter()
+            docs = table(spark, S1, "documents")
+            lets = "abcdefghijklmnopqrstuvwxyz"
+            ups = lets.upper()
+            digs = "0123456789"
+            copies = []
+            for i in range(COPIES):
+                c = docs.withColumn(
+                    "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)
+                )
+                if i:
+                    rl, rd = i % 26, (i // 26) % 10
+                    src = lets + ups + digs
+                    dst = (
+                        lets[rl:] + lets[:rl]
+                        + ups[rl:] + ups[:rl]
+                        + digs[rd:] + digs[:rd]
+                    )
+                    c = c.withColumn("text", F.translate("text", src, dst))
+                copies.append(c)
+            big = copies[0]
+            for c in copies[1:]:
+                big = big.unionByName(c)
+            big.repartition(64).write.mode("overwrite").parquet(out)
+            print(
+                f"phash 100x corpus ready in {time.perf_counter() - t0:.0f}s",
+                flush=True,
+            )
+
+        for name in ("mm_phash_neardup", "mm_phash_clusters"):
+            w1, n1 = run(name, S1)
+            w100, n100 = run(name, p100)
+            print(
+                f"{name:22s} 1x: {w1:7.1f}s / {n1:>10,} rows   "
+                f"100x: {w100:7.1f}s / {n100:>10,} rows   "
+                f"wall x{w100 / max(w1, 1e-9):.1f}"
+                f"  rows x{n100 / max(n1, 1):.1f}",
+                flush=True,
+            )
+
+        # band-skew report: per band, the candidate mass Σ n_b·(n_b−1)/2
+        # and the largest bucket — the numbers the Σ n_b²/2¹⁶ model and
+        # the cap-and-chain decision need
+        for label, d in (("1x", S1), ("100x", p100)):
+            sigs = _phash_sigs(spark, d)
+            bands = sigs.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(k).alias("band_id"),
+                                F.shiftrightunsigned("phash", 16 * k)
+                                .bitwiseAND(F.lit(0xFFFF))
+                                .alias("band_val"),
+                            )
+                            for k in range(_PHASH_BANDS)
+                        ]
+                    )
+                ).alias("bb")
+            ).select("bb.band_id", "bb.band_val")
+            stats = (
+                bands.groupBy("band_id", "band_val")
+                .agg(F.count("*").alias("n"))
+                .groupBy("band_id")
+                .agg(
+                    F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("cand"),
+                    F.max("n").alias("max_bucket"),
+                    F.count("*").alias("n_buckets"),
+                )
+                .orderBy("band_id")
+                .collect()
+            )
+            for r in stats:
                 print(
-                    f"{name:22s} [{label:9s}] 1x: {w1:7.1f}s /"
-                    f" {n1:>10,} rows   100x: {w100:7.1f}s /"
-                    f" {n100:>10,} rows   wall x{w100 / max(w1, 1e-9):.1f}"
-                    f"  rows x{n100 / max(n1, 1):.1f}",
+                    f"  band[{label:4s}] {r['band_id']}: candidates="
+                    f"{int(r['cand']):>12,}  max_bucket={r['max_bucket']:>7,}"
+                    f"  buckets={r['n_buckets']:>8,}",
                     flush=True,
                 )
-        os.environ.pop("GDXPS_IVF_TARGET_CELL", None)
         spark.stop()
         return
 

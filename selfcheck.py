@@ -53,8 +53,7 @@ def _hash_rows(cols, rows):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "SELFCHECK.json"))
+    ap.add_argument("--out", default=None)
     ap.add_argument(
         "--only",
         default=None,
@@ -63,6 +62,30 @@ def main() -> None:
         "artifact must still come from a FULL run)",
     )
     args = ap.parse_args()
+    if os.environ.get("GDXPS_IVF_TARGET_CELL"):
+        # r13 advice: the probe-only regime knob silently re-sizes the
+        # IVF quantizer while the registered oracles replay k=sqrt(n) —
+        # a leaked export fails the gates loudly but confusingly.
+        sys.exit(
+            "GDXPS_IVF_TARGET_CELL is set (scale-probe regime knob); "
+            "unset it — selfcheck must run the registered k=sqrt(n) "
+            "quantizer the oracles replay"
+        )
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if args.out is None:
+        # r14 (ADVICE): a --only run must never land on the committed
+        # artifact path — an accidental commit after a subset run would
+        # silently shrink the full-inventory ledger to a few entries.
+        args.out = os.path.join(
+            repo, "SELFCHECK_SUBSET.json" if args.only else "SELFCHECK.json"
+        )
+    elif args.only and os.path.abspath(args.out) == os.path.join(
+        repo, "SELFCHECK.json"
+    ):
+        ap.error(
+            "--only writes a subset ledger; refusing to overwrite the "
+            "committed SELFCHECK.json — pass a different --out"
+        )
 
     import duckdb
     from pyspark.sql import SparkSession

@@ -43,12 +43,16 @@ def test_metadata_memos_are_lru_capped():
             # the touched key must outlive the untouched next-oldest
             oldest = next(iter(memo))
             second = list(memo)[1]
-            assert llm._memo_get(memo, oldest) == memo[oldest]
+            assert llm._memo_get(memo, oldest) == (True, memo[oldest])
             llm._memo_put(memo, "fp_new", [99], cap)
             assert oldest in memo, memo_name
             assert second not in memo, memo_name
-            # miss path returns None without mutating
-            assert llm._memo_get(memo, "absent") is None
+            # miss path is (False, None) without mutating — and a
+            # STORED None reads as a hit, not a miss (r13 advice: the
+            # value-or-None return conflated the two)
+            assert llm._memo_get(memo, "absent") == (False, None)
+            llm._memo_put(memo, "fp_none", None, cap)
+            assert llm._memo_get(memo, "fp_none") == (True, None)
         finally:
             memo.clear()
             memo.update(saved)
