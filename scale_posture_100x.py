@@ -308,13 +308,19 @@ def main() -> None:
         # wall. The token-suffix 100× corpus is NOT payload-disjoint at
         # the byte-4-gram level (grams inside shared token stems
         # collide across shards), so this probe builds its own corpus:
-        # a per-shard character rotation (letters by i mod 26, digits
-        # by i//26 mod 10 — period 260 > 100 shards, so no two shards
-        # repeat). Rotation is a bijection on byte 4-grams: each
-        # shard's internal shingle-set structure (incl. the planted
-        # trailer near-dups) is preserved isomorphically, while
-        # cross-shard grams are disjoint except the letterless few —
-        # cross-shard signatures decorrelate to hamming ≈ 32.
+        # a per-shard seeded PERMUTATION of the letter/digit alphabets
+        # (seeded random.Random(i) shuffle — deterministic, and unlike
+        # the v1 rotation it has no period: rotation repeats every 26
+        # shards, which planted ~4-way cross-shard twins differing only
+        # in rare digits — 785k cross-shard pairs, measured; that v1
+        # run is kept in SCALE.md as the accidental density stress).
+        # A permutation is a bijection on byte 4-grams: each shard's
+        # internal shingle-set structure (incl. the planted trailer
+        # near-dups) is preserved isomorphically, while any two shards
+        # disagree on ~25/26 letters — cross-shard signatures
+        # decorrelate to hamming ≈ 32.
+        import random as _random
+
         from pyspark.sql import functions as F
 
         from gdxpy_spark.operators._util import files_fingerprint
@@ -325,13 +331,12 @@ def main() -> None:
         from gdxpy_spark.tables import table
 
         fp = files_fingerprint([os.path.join(S1, "documents.parquet")])
-        p100 = f"/tmp/gdxpy_spark_scaleprobe/phash100_{fp}"
+        p100 = f"/tmp/gdxpy_spark_scaleprobe/phash100v2_{fp}"
         out = p100 + "/documents.parquet"
         if not os.path.exists(out + "/_SUCCESS"):
             t0 = time.perf_counter()
             docs = table(spark, S1, "documents")
             lets = "abcdefghijklmnopqrstuvwxyz"
-            ups = lets.upper()
             digs = "0123456789"
             copies = []
             for i in range(COPIES):
@@ -339,12 +344,16 @@ def main() -> None:
                     "doc_id", F.col("doc_id") + F.lit(i * 1_000_000)
                 )
                 if i:
-                    rl, rd = i % 26, (i // 26) % 10
-                    src = lets + ups + digs
+                    rng = _random.Random(i)
+                    pl = list(lets)
+                    rng.shuffle(pl)
+                    pd_ = list(digs)
+                    rng.shuffle(pd_)
+                    src = lets + lets.upper() + digs
                     dst = (
-                        lets[rl:] + lets[:rl]
-                        + ups[rl:] + ups[:rl]
-                        + digs[rd:] + digs[:rd]
+                        "".join(pl)
+                        + "".join(pl).upper()
+                        + "".join(pd_)
                     )
                     c = c.withColumn("text", F.translate("text", src, dst))
                 copies.append(c)
