@@ -1026,3 +1026,133 @@ def mm_e2e_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(cnt(s2, "perceptual"))
         .unionByName(cnt(s3, "semantic"))
     )
+
+
+# ---------------------------------------------------------------------------
+# r14: content-defined chunking (CDC) dedup — the STORAGE tier of the
+# media dedup stack, below exact whole-blob (mm_exact_dedup) and
+# perceptual (mm_phash_neardup): find byte ranges shared ACROSS blobs
+# even when no two blobs are equal or even near-dup as wholes.
+# ---------------------------------------------------------------------------
+
+_CDC_GRAM = 4     # boundary window: the byte 4-gram (phash's unit)
+_CDC_MASK = 31    # 5 low bits => expected chunk ~32 bytes at this corpus
+
+
+def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk): each blob's payload split at CONTENT-DEFINED
+    boundaries — position i is a cut iff the low 32 bits of the md5 of
+    the byte 4-gram starting at i satisfy ``h & _CDC_MASK == 0`` (the
+    LBFS rule, Muthitacharoen et al. 2001: boundaries depend only on a
+    local window, so an insertion re-aligns all downstream chunks
+    instead of shifting every fixed-size block — the property that
+    makes chunk dedup work; FastCDC, Xia et al. 2016, is the
+    production gear-hash swap-in, md5-per-gram here keeps the oracle
+    engine-exact, the _phash_sig_cte discipline). No min/max chunk
+    bound is imposed — that keeps every boundary decision independent
+    (embarrassingly parallel AND exactly SQL-replayable; min/max
+    bounds would make cut i depend on cut i-1, a sequential scan).
+
+    Everything here is per-row JVM HOFs on the scan side — zero
+    shuffles; payload bytes ARE the utf-8 text by the media_table
+    construction (pure-ASCII corpus, the mm_exact_dedup argument), so
+    chars == bytes and DuckDB replays the same cuts on `text`."""
+    K = _CDC_GRAM
+    media = media_table(spark, sf_dir)
+    body = F.expr("CAST(substring(media, 17, length(media) - 16) AS STRING)")
+    cuts = (
+        f"CASE WHEN length(body) >= {K + 1} THEN"
+        f" filter(sequence(2, length(body) - {K - 1}),"
+        f"  i -> (CAST(conv(substring(md5(substring(body, i, {K})), 9, 8),"
+        f"        16, 10) AS BIGINT) & {_CDC_MASK}) = 0)"
+        f" ELSE CAST(array() AS ARRAY<INT>) END"
+    )
+    spans = (
+        f"transform(starts, (s, j) ->"
+        f" substring(body, s,"
+        f"  coalesce(try_element_at(starts, j + 2), length(body) + 1) - s))"
+    )
+    return (
+        media.select("doc_id", body.alias("body"))
+        .withColumn("starts", F.expr(f"concat(array(1), {cuts})"))
+        .select("doc_id", F.explode(F.expr(spans)).alias("chunk"))
+    )
+
+
+def _cdc_oracle() -> str:
+    """DuckDB twin of mm_cdc_dedup: replay the cut rule on `text`
+    (range() is end-exclusive, so ``range(2, greatest(n-2, 2))`` is
+    the engine's ``sequence(2, n-3)`` with the short-doc guard), spans
+    via LEAD over the per-doc start positions, then the duplicated-
+    chunk report."""
+    K = _CDC_GRAM
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n, text AS body FROM documents),
+pos AS MATERIALIZED (
+  SELECT doc_id, body, unnest(range(2, GREATEST(n - {K - 2}, 2))) AS i FROM p),
+cutpos AS (
+  SELECT doc_id, CAST(i AS INT) AS s FROM pos
+  WHERE (CAST(('0x' || substr(md5(substr(body, CAST(i AS INT), {K})), 9, 8))
+         AS UBIGINT) & {_CDC_MASK}) = 0),
+starts AS (
+  SELECT doc_id, 1 AS s FROM p
+  UNION ALL SELECT doc_id, s FROM cutpos),
+spans AS (
+  SELECT st.doc_id, st.s,
+         COALESCE(LEAD(st.s) OVER (PARTITION BY st.doc_id ORDER BY st.s),
+                  CAST(p.n AS INT) + 1) AS e
+  FROM starts st JOIN p USING (doc_id)),
+chunks AS (
+  SELECT sp.doc_id, substr(p.body, sp.s, sp.e - sp.s) AS chunk
+  FROM spans sp JOIN p USING (doc_id))
+SELECT md5(chunk) AS chunk_md5,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(MAX(length(chunk)) AS BIGINT) AS chunk_bytes,
+       CAST((COUNT(*) - 1) * MAX(length(chunk)) AS BIGINT) AS dup_bytes
+FROM chunks GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+@register("mm_cdc_dedup", oracle=_cdc_oracle(), category="MM")
+def mm_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHUNK-level storage dedup over the binary media column — split
+    every payload at content-defined boundaries (_cdc_chunks: the
+    LBFS/FastCDC family) and report each chunk whose digest occurs
+    more than once: copies, distinct blobs touched, chunk size, and
+    the bytes a chunk-store would save ((copies-1)·size). This is the
+    tier mm_exact_dedup can't see (partial overlap between UNequal
+    blobs — shared templates, shared trailers) and mm_phash_neardup
+    only scores (it says "similar", CDC says "these exact byte ranges
+    are the shared part").
+
+    Scale shape: chunking is per-row HOFs fused into the scan (zero
+    pre-shuffle) and digests are computed scan-side; the exact
+    count-distinct over doc_id expands to Spark's standard two-phase
+    distinct aggregate, so the plan has exactly TWO Exchanges — the
+    first keyed (chunk_md5, doc_id) carrying one long + 32-hex + len
+    per chunk occurrence (~48 B, partial-aggregated map-side so
+    within-doc chunk repeats collapse before shuffling), the second
+    per-digest partials only. Payload and chunk text never cross
+    either (plan-pinned in tests). At 100 TB the cost is one pass
+    over payload bytes + digest-keyed shuffles of ~n_chunks·48 B ≈
+    payload·1.5 ‰ — the standard chunk-store ingest plan."""
+    ch = _cdc_chunks(spark, sf_dir).select(
+        "doc_id",
+        F.md5("chunk").alias("chunk_md5"),
+        F.length("chunk").cast("bigint").alias("chunk_len"),
+    )
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(
+            F.count("*").cast("bigint").alias("n_copies"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.max("chunk_len").cast("bigint").alias("chunk_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .withColumn(
+            "dup_bytes",
+            ((F.col("n_copies") - 1) * F.col("chunk_bytes")).cast("bigint"),
+        )
+    )

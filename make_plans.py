@@ -127,6 +127,11 @@ PICKS = [
      "starts collapse to one array row, and the excision is pure JVM "
      "HOFs (flatten/filter-with-index/array_join) — no UDF, corpus "
      "text crosses exactly one shuffle"),
+    ("mm_cdc_dedup",
+     "content-defined chunk dedup (r14): LBFS cut rule + span slicing "
+     "+ md5 digests all fused into the scan as JVM HOFs; the two "
+     "Exchanges are the exact-distinct pair — (chunk_md5, doc_id, len) "
+     "then per-digest partials, ~48 B/chunk, never payload or chunk text"),
     ("src_parquet_zorder",
      "z-ordered layout (r10): both halves of the 2-D predicate reach "
      "the persisted layout scan as PushedFilters — user AND time prune "

@@ -119,3 +119,158 @@ def test_phash_signature_subtree_is_shared(spark):
     assert len(sigs) == 1, [c.columns for c in _util._live_caches]
     assert df.count() >= 0
     _util.release_managed_caches()
+
+
+def test_cdc_python_reference_equivalence(spark):
+    """mm_cdc_dedup against a from-scratch pure-Python reference: chunk
+    every doc with the same LBFS cut rule (md5 low-32 of the byte
+    4-gram & mask == 0), aggregate duplicated digests, and require the
+    engine's report to match EXACTLY — the strongest possible pin,
+    independent of both Spark and DuckDB expression semantics."""
+    import hashlib
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from gdxpy_spark.operators.multimodal import _CDC_GRAM, _CDC_MASK
+
+    tab = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    occ = defaultdict(list)  # digest -> [(doc_id, len)]
+    for doc_id, text in zip(*(c.to_pylist() for c in tab.columns)):
+        n = len(text)
+        starts = [1] + [
+            i
+            for i in range(2, n - _CDC_GRAM + 2)
+            if int(hashlib.md5(text[i - 1 : i - 1 + _CDC_GRAM].encode()).hexdigest()[8:16], 16)
+            & _CDC_MASK
+            == 0
+        ]
+        for s, e in zip(starts, starts[1:] + [n + 1]):
+            ch = text[s - 1 : e - 1]
+            occ[hashlib.md5(ch.encode()).hexdigest()].append((doc_id, len(ch)))
+    expect = {
+        d: (
+            len(v),
+            len({doc for doc, _ in v}),
+            v[0][1],
+            (len(v) - 1) * v[0][1],
+        )
+        for d, v in occ.items()
+        if len(v) > 1
+    }
+    got = {
+        r["chunk_md5"]: (r["n_copies"], r["n_docs"], r["chunk_bytes"], r["dup_bytes"])
+        for r in ALL["mm_cdc_dedup"].fn(spark, SF_DIR).collect()
+    }
+    assert got == expect
+    assert len(got) > 0, "corpus plants shared templates; expected dup chunks"
+
+
+def test_cdc_chunks_cover_payload_exactly(spark):
+    """Reconstruction invariant: per doc, the chunk lengths sum to the
+    payload length and spans are gapless by construction — if any doc's
+    chunks don't tile its body, the span arithmetic is off by one."""
+    from pyspark.sql import functions as F
+
+    from gdxpy_spark.operators.multimodal import _cdc_chunks
+    from gdxpy_spark.tables import table
+
+    got = (
+        _cdc_chunks(spark, SF_DIR)
+        .groupBy("doc_id")
+        .agg(F.sum(F.length("chunk")).alias("covered"))
+    )
+    docs = table(spark, SF_DIR, "documents").select("doc_id", "n_chars")
+    bad = (
+        got.join(docs, "doc_id", "full")
+        .filter(
+            F.coalesce(F.col("covered"), F.lit(-1))
+            != F.coalesce(F.col("n_chars"), F.lit(-2))
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cdc_exchange_carries_only_digests(spark):
+    """mm_cdc_dedup's 100 TB contract: chunking and digesting are fused
+    into the scan; no Exchange may carry the payload, body, or chunk
+    text — only (chunk_md5, chunk_len) partials cross the one shuffle."""
+    from tests.test_plans import _exchange_inputs, formatted_plan
+
+    plan = formatted_plan(ALL["mm_cdc_dedup"].fn(spark, SF_DIR))
+    exchanges = _exchange_inputs(plan)
+    assert exchanges, "expected the digest-keyed aggregation shuffle"
+    for sec in exchanges:
+        assert "media#" not in sec and "body#" not in sec and "chunk#" not in sec, (
+            sec[:800]
+        )
+
+
+def test_cdc_finds_shared_ranges_of_near_equal_blobs(spark):
+    """Semantic pin: the corpus's head-dup groups (same payload modulo a
+    short trailer) are UNequal as whole blobs but share almost all
+    content. CDC's guarantee is conditional, and the pin states it
+    EXACTLY: boundaries are content-defined from local 4-grams, so if
+    any cut lands inside the 128-byte head the group provably shares
+    (grams at i ≤ 125 are identical across members), then the first
+    chunk [1, cut) is byte-identical group-wide and MUST surface as a
+    shared duplicated digest. Groups with no early cut carry no
+    guarantee (a ~186-byte doc with zero cut points is one chunk, and
+    the trailer edit disturbs it — observed: 1 of 22 groups at
+    sf0.01), which is correct CDC behavior, not a miss."""
+    from pyspark.sql import functions as F
+
+    from gdxpy_spark.operators.multimodal import (
+        _CDC_GRAM,
+        _CDC_MASK,
+        _cdc_chunks,
+        media_table,
+    )
+
+    media = media_table(spark, SF_DIR)
+    early_cut = F.expr(
+        f"length(media) - 16 >= 128 AND exists(sequence(2, 125), i ->"
+        f" (CAST(conv(substring(md5(substring("
+        f"CAST(substring(media, 17, length(media) - 16) AS STRING),"
+        f" i, {_CDC_GRAM})), 9, 8), 16, 10) AS BIGINT)"
+        f" & {_CDC_MASK}) = 0)"
+    )
+    groups = (
+        media.select(
+            "doc_id",
+            F.sha2(F.expr("substring(media, 17, 128)"), 256).alias("head_sha"),
+            early_cut.alias("early"),
+        )
+    )
+    sizes = groups.groupBy("head_sha").agg(
+        F.count("*").alias("n"),
+        F.min(F.col("early").cast("int")).alias("all_early"),
+    ).filter(F.col("n") > 1)
+    chunks = _cdc_chunks(spark, SF_DIR).select(
+        "doc_id", F.md5("chunk").alias("d")
+    )
+    # for each group: a digest held by every member
+    member = groups.join(
+        sizes.select("head_sha", F.col("n").alias("gn")), "head_sha"
+    )
+    full_cover = {
+        r["head_sha"]
+        for r in (
+            chunks.join(member, "doc_id")
+            .groupBy("head_sha", "d")
+            .agg(F.countDistinct("doc_id").alias("k"), F.first("gn").alias("gn"))
+            .filter(F.col("k") == F.col("gn"))
+            .select("head_sha")
+            .distinct()
+            .collect()
+        )
+    }
+    guaranteed = {
+        r["head_sha"] for r in sizes.filter(F.col("all_early") == 1).collect()
+    }
+    n_groups = sizes.count()
+    assert n_groups > 1, "corpus plants head-dup groups"
+    assert len(guaranteed) > 0, "expected head-cut groups on this corpus"
+    missed = guaranteed - full_cover
+    assert not missed, missed
