@@ -273,6 +273,16 @@ def main() -> None:
             (n for n in names if per_query[n]["ratio"] > 2.0),
             key=lambda n: -per_query[n]["ratio"],
         )
+        # Materiality cut (r14): at sf0.1 most oracle queries finish in
+        # DuckDB in <50 ms while ANY Spark job pays a fixed ~0.2-1 s
+        # DAG-schedule + task-launch floor, so a raw >2x list is ~80%
+        # floor artifact. over_2x_material keeps only queries where
+        # DuckDB itself does >= 0.25 s of real work — the set whose
+        # ratios measure plans rather than scheduling latency (the
+        # full raw list stays in over_2x for transparency).
+        over_2x_material = [
+            n for n in over_2x if per_query[n]["duckdb_s"] >= 0.25
+        ]
         with open(duckdb_path, "w") as f:
             json.dump(
                 {
@@ -285,6 +295,7 @@ def main() -> None:
                     "sf": _sf_of(sf_dir),
                     "queries": per_query,
                     "over_2x": over_2x,
+                    "over_2x_material": over_2x_material,
                     "boot_id": boot_id,
                     "uptime_s": uptime_s,
                     "calibration_cpu": cal["cpu"],
