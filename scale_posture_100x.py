@@ -235,7 +235,9 @@ def main() -> None:
         n = queries[name].fn(spark, sf).count()
         return round(time.perf_counter() - t0, 1), n
 
-    skip_default = "--ktc" in sys.argv or "--phash" in sys.argv
+    skip_default = (
+        "--ktc" in sys.argv or "--phash" in sys.argv or "--cdc" in sys.argv
+    )
     for name in () if skip_default else (
                  "llm_minhash_dedup", "llm_substring_dedup",
                  # r11 (verdict #8): ANN/semantic family on the
@@ -299,35 +301,18 @@ def main() -> None:
         spark.stop()
         return
 
-    if "--phash" in sys.argv:
-        # r13 verdict #5: a measured 100× row for the perceptual media
-        # family — the banded join's Σ n_b²/2¹⁶ cost model and the CC
-        # tail had no probe row, and band-value skew (constant-prefix
-        # payloads piling into one 16-bit bucket) is the realistic
-        # failure mode, so per-band bucket stats are printed alongside
-        # wall. The token-suffix 100× corpus is NOT payload-disjoint at
-        # the byte-4-gram level (grams inside shared token stems
-        # collide across shards), so this probe builds its own corpus:
-        # a per-shard seeded PERMUTATION of the letter/digit alphabets
-        # (seeded random.Random(i) shuffle — deterministic, and unlike
-        # the v1 rotation it has no period: rotation repeats every 26
-        # shards, which planted ~4-way cross-shard twins differing only
-        # in rare digits — 785k cross-shard pairs, measured; that v1
-        # run is kept in SCALE.md as the accidental density stress).
-        # A permutation is a bijection on byte 4-grams: each shard's
-        # internal shingle-set structure (incl. the planted trailer
-        # near-dups) is preserved isomorphically, while any two shards
-        # disagree on ~25/26 letters — cross-shard signatures
-        # decorrelate to hamming ≈ 32.
+    def permuted_corpus_100x() -> str:
+        """Build (or reuse) the alphabet-PERMUTED 100× documents corpus
+        shared by the payload-content probes (--phash, --cdc): 100
+        shards, shard i's letters/digits remapped by a seeded
+        random.Random(i) permutation — a bijection on byte 4-grams, so
+        each shard keeps the 1× corpus's internal byte-gram structure
+        isomorphically while cross-shard payloads are disjoint."""
         import random as _random
 
         from pyspark.sql import functions as F
 
         from gdxpy_spark.operators._util import files_fingerprint
-        from gdxpy_spark.operators.multimodal import (
-            _PHASH_BANDS,
-            _phash_sigs,
-        )
         from gdxpy_spark.tables import table
 
         fp = files_fingerprint([os.path.join(S1, "documents.parquet")])
@@ -362,9 +347,63 @@ def main() -> None:
                 big = big.unionByName(c)
             big.repartition(64).write.mode("overwrite").parquet(out)
             print(
-                f"phash 100x corpus ready in {time.perf_counter() - t0:.0f}s",
+                f"permuted 100x corpus ready in "
+                f"{time.perf_counter() - t0:.0f}s",
                 flush=True,
             )
+        return p100
+
+    if "--cdc" in sys.argv:
+        # r14: measured 100× row for mm_cdc_dedup on the permuted
+        # corpus (permutation preserves each shard's internal chunk
+        # boundaries isomorphically — cut decisions are 4-gram-local —
+        # while making cross-shard chunks disjoint, so the expected
+        # duplicated-chunk report is the 1× report ×100 with remapped
+        # digests). The op's cost model is one payload pass + two
+        # digest-keyed shuffles ~48 B/chunk; this probe is the check
+        # that the wall tracks that model, i.e. stays ~linear.
+        p100 = permuted_corpus_100x()
+        for name in ("mm_cdc_dedup",):
+            w1, n1 = run(name, S1)
+            w100, n100 = run(name, p100)
+            print(
+                f"{name:22s} 1x: {w1:7.1f}s / {n1:>10,} rows   "
+                f"100x: {w100:7.1f}s / {n100:>10,} rows   "
+                f"wall x{w100 / max(w1, 1e-9):.1f}"
+                f"  rows x{n100 / max(n1, 1):.1f}",
+                flush=True,
+            )
+        spark.stop()
+        return
+
+    if "--phash" in sys.argv:
+        # r13 verdict #5: a measured 100× row for the perceptual media
+        # family — the banded join's Σ n_b²/2¹⁶ cost model and the CC
+        # tail had no probe row, and band-value skew (constant-prefix
+        # payloads piling into one 16-bit bucket) is the realistic
+        # failure mode, so per-band bucket stats are printed alongside
+        # wall. The token-suffix 100× corpus is NOT payload-disjoint at
+        # the byte-4-gram level (grams inside shared token stems
+        # collide across shards), so this probe builds its own corpus:
+        # a per-shard seeded PERMUTATION of the letter/digit alphabets
+        # (seeded random.Random(i) shuffle — deterministic, and unlike
+        # the v1 rotation it has no period: rotation repeats every 26
+        # shards, which planted ~4-way cross-shard twins differing only
+        # in rare digits — 785k cross-shard pairs, measured; that v1
+        # run is kept in SCALE.md as the accidental density stress).
+        # A permutation is a bijection on byte 4-grams: each shard's
+        # internal shingle-set structure (incl. the planted trailer
+        # near-dups) is preserved isomorphically, while any two shards
+        # disagree on ~25/26 letters — cross-shard signatures
+        # decorrelate to hamming ≈ 32.
+        from pyspark.sql import functions as F
+
+        from gdxpy_spark.operators.multimodal import (
+            _PHASH_BANDS,
+            _phash_sigs,
+        )
+
+        p100 = permuted_corpus_100x()
 
         for name in ("mm_phash_neardup", "mm_phash_clusters"):
             w1, n1 = run(name, S1)
