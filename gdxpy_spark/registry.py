@@ -115,6 +115,7 @@ _ARTIFACT_PRIORITY = [
     "llm_substring_cut",  # NEW r14
     "mm_e2e_dedup",  # NEW r14
     "mm_cdc_dedup",  # NEW r14
+    "graph_label_prop",  # NEW r14
     # -- oldest driver evidence: r06 --
     "win_funnel_stages",  # r06
     "win_ntile_pct_sketch",  # r06 (weak/rows-only by contract)

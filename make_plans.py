@@ -132,6 +132,11 @@ PICKS = [
      "+ md5 digests all fused into the scan as JVM HOFs; the two "
      "Exchanges are the exact-distinct pair — (chunk_md5, doc_id, len) "
      "then per-digest partials, ~48 B/chunk, never payload or chunk text"),
+    ("graph_label_prop",
+     "synchronous LPA communities (r14): per round one cached-"
+     "adjacency equi-join + two partial-aggregable shuffles; the "
+     "per-node argmax is min(struct(-cnt,lbl)) — no Window node "
+     "anywhere, so every round combines map-side"),
     ("src_parquet_zorder",
      "z-ordered layout (r10): both halves of the 2-D predicate reach "
      "the persisted layout scan as PushedFilters — user AND time prune "

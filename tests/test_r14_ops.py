@@ -274,3 +274,54 @@ def test_cdc_finds_shared_ranges_of_near_equal_blobs(spark):
     assert len(guaranteed) > 0, "expected head-cut groups on this corpus"
     missed = guaranteed - full_cover
     assert not missed, missed
+
+
+def test_lpa_python_reference_equivalence(spark):
+    """graph_label_prop against a from-scratch pure-Python synchronous
+    LPA (neighbor-majority, ties to smallest label, _LPA_ROUNDS
+    rounds) on the same co-purchase edges — pins the round semantics
+    and tie-break independently of both engines' SQL."""
+    from collections import Counter, defaultdict
+
+    from gdxpy_spark.operators.graphs import (
+        _LPA_ROUNDS,
+        _copurchase_edges,
+    )
+
+    edges = [
+        (r["pa"], r["pb"])
+        for r in _copurchase_edges(spark, SF_DIR).collect()
+    ]
+    nbrs = defaultdict(list)
+    for a, b in edges:
+        nbrs[a].append(b)
+        nbrs[b].append(a)
+    lbl = {v: v for v in nbrs}
+    for _ in range(_LPA_ROUNDS):
+        nxt = {}
+        for v, ns in nbrs.items():
+            c = Counter(lbl[n] for n in ns)
+            top = max(c.values())
+            nxt[v] = min(l for l, k in c.items() if k == top)
+        lbl = nxt
+    got = {
+        r["node"]: r["community_id"]
+        for r in ALL["graph_label_prop"].fn(spark, SF_DIR).collect()
+    }
+    assert got == lbl
+    # sanity: LPA must merge something but not collapse everything
+    n_comm = len(set(lbl.values()))
+    assert 1 < n_comm < len(lbl)
+
+
+def test_lpa_argmax_is_windowless(spark):
+    """The per-node argmax must be the partial-aggregable min(struct)
+    form, not a ROW_NUMBER window: a per-node window sorts every
+    adjacency group per round and resists map-side combine — if a
+    Window node shows up in the plan, the scale shape regressed."""
+    from tests.test_plans import formatted_plan
+
+    plan = formatted_plan(ALL["graph_label_prop"].fn(spark, SF_DIR))
+    assert "Window" not in plan, plan[:1500]
+    # adjacency is cached once and reused across all rounds
+    assert plan.count("InMemoryTableScan") >= 2
