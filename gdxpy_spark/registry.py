@@ -107,15 +107,16 @@ def load_all() -> None:
 # first; name-sorted within a round). r14 executes the r13 verdict's
 # strict-by-age ask exactly: the 50 oldest are the 3 r6 IDs + all 38
 # r7 IDs + the 9 name-first r8 IDs (recomputed from the CORRECTNESS
-# files this round) — with the 2 r14 new ops prepended, the cap pushes
-# the youngest r8 tail (llm_sample_stratified, llm_token_budget) to
-# the r15 window. Regenerate next round from the ledger.
+# files this round) — with the 5 r14 new ops prepended, the ~50 cap
+# pushes the youngest r8 tail (the last 5 listed below) to the r15
+# window. Regenerate next round from the ledger.
 _ARTIFACT_PRIORITY = [
     # -- r14 NEW ops (day-one driver verification) --
     "llm_substring_cut",  # NEW r14
     "mm_e2e_dedup",  # NEW r14
     "mm_cdc_dedup",  # NEW r14
     "graph_label_prop",  # NEW r14
+    "graph_kcore",  # NEW r14
     # -- oldest driver evidence: r06 --
     "win_funnel_stages",  # r06
     "win_ntile_pct_sketch",  # r06 (weak/rows-only by contract)

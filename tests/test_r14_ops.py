@@ -325,3 +325,51 @@ def test_lpa_argmax_is_windowless(spark):
     assert "Window" not in plan, plan[:1500]
     # adjacency is cached once and reused across all rounds
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_kcore_python_reference_equivalence(spark):
+    """graph_kcore against a from-scratch Python peel to the true
+    fixpoint — pins both the engine's driver-loop termination (edge
+    count stability) and the oracle's unroll bound at once."""
+    from collections import defaultdict
+
+    from gdxpy_spark.operators.graphs import _KCORE_K, _copurchase_edges
+
+    es = {
+        (r["pa"], r["pb"])
+        for r in _copurchase_edges(spark, SF_DIR).collect()
+    }
+    n_nodes0 = len({v for ab in es for v in ab})
+    while True:
+        deg = defaultdict(int)
+        for a, b in es:
+            deg[a] += 1
+            deg[b] += 1
+        keep = {v for v, d in deg.items() if d >= _KCORE_K}
+        nxt = {(a, b) for a, b in es if a in keep and b in keep}
+        if nxt == es:
+            break
+        es = nxt
+    expect = defaultdict(int)
+    for a, b in es:
+        expect[a] += 1
+        expect[b] += 1
+    got = {
+        r["node"]: r["core_degree"]
+        for r in ALL["graph_kcore"].fn(spark, SF_DIR).collect()
+    }
+    assert got == dict(expect)
+    assert 0 < len(got) < n_nodes0, "2-core must prune whiskers, not all"
+    assert min(got.values()) >= _KCORE_K
+
+
+def test_kcore_oracle_rounds_past_fixpoint(spark, duck):
+    """The oracle's unroll bound: _KCORE_ROUNDS and _KCORE_ROUNDS+1
+    rounds must give identical results at the oracle SF — peeling is
+    monotone, so equality at depth R proves R is past the fixpoint
+    (the graph_components rounds-margin discipline)."""
+    from gdxpy_spark.operators.graphs import _KCORE_ROUNDS, _kcore_oracle
+
+    a = duck.execute(_kcore_oracle(_KCORE_ROUNDS)).fetchall()
+    b = duck.execute(_kcore_oracle(_KCORE_ROUNDS + 1)).fetchall()
+    assert sorted(a) == sorted(b)
