@@ -236,7 +236,10 @@ def main() -> None:
         return round(time.perf_counter() - t0, 1), n
 
     skip_default = (
-        "--ktc" in sys.argv or "--phash" in sys.argv or "--cdc" in sys.argv
+        "--ktc" in sys.argv
+        or "--phash" in sys.argv
+        or "--cdc" in sys.argv
+        or "--graph" in sys.argv
     )
     for name in () if skip_default else (
                  "llm_minhash_dedup", "llm_substring_dedup",
@@ -352,6 +355,62 @@ def main() -> None:
                 flush=True,
             )
         return p100
+
+    if "--graph" in sys.argv:
+        # r14: day-one 100× rows for the new graph ops. 100 disjoint
+        # copies of the sf0.1 co-purchase graph by shifting both join
+        # keys per shard (orderkey += i·10⁹, partkey += i·10⁷): shards
+        # can never share an order or a part, so the TRUE result is
+        # exactly the 1× result ×100 with shifted ids — rows must grow
+        # ×100 and wall ~linearly (LPA: 4 rounds of join+2 aggs;
+        # kcore: the peel loop, whose round count is a per-shard
+        # property and must NOT grow with shard count).
+        from pyspark.sql import functions as F
+
+        from gdxpy_spark.operators._util import files_fingerprint
+        from gdxpy_spark.tables import table
+
+        fp = files_fingerprint([os.path.join(S1, "lineitem.parquet")])
+        g100 = f"/tmp/gdxpy_spark_scaleprobe/graph100_{fp}"
+        out = g100 + "/lineitem.parquet"
+        if not os.path.exists(out + "/_SUCCESS"):
+            t0 = time.perf_counter()
+            li = table(spark, S1, "lineitem").select(
+                "l_orderkey", "l_partkey", "l_shipdate"
+            )
+            copies = [
+                li.select(
+                    (F.col("l_orderkey") + F.lit(i * 1_000_000_000)).alias(
+                        "l_orderkey"
+                    ),
+                    (F.col("l_partkey") + F.lit(i * 10_000_000)).alias(
+                        "l_partkey"
+                    ),
+                    "l_shipdate",
+                )
+                for i in range(COPIES)
+            ]
+            big = copies[0]
+            for c in copies[1:]:
+                big = big.unionByName(c)
+            big.repartition(64).write.mode("overwrite").parquet(out)
+            print(
+                f"graph 100x corpus ready in {time.perf_counter() - t0:.0f}s",
+                flush=True,
+            )
+
+        for name in ("graph_label_prop", "graph_kcore"):
+            w1, n1 = run(name, S1)
+            w100, n100 = run(name, g100)
+            print(
+                f"{name:22s} 1x: {w1:7.1f}s / {n1:>10,} rows   "
+                f"100x: {w100:7.1f}s / {n100:>10,} rows   "
+                f"wall x{w100 / max(w1, 1e-9):.1f}"
+                f"  rows x{n100 / max(n1, 1):.1f}",
+                flush=True,
+            )
+        spark.stop()
+        return
 
     if "--cdc" in sys.argv:
         # r14: measured 100× row for mm_cdc_dedup on the permuted
