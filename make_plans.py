@@ -135,8 +135,9 @@ PICKS = [
     ("graph_label_prop",
      "synchronous LPA communities (r14): per round one cached-"
      "adjacency equi-join + two partial-aggregable shuffles; the "
-     "per-node argmax is min(struct(-cnt,lbl)) — no Window node "
-     "anywhere, so every round combines map-side"),
+     "per-node argmax is min(struct(-cnt,lbl)) — HashAggregate pair "
+     "for the count, partial+final SortAggregate pair for the "
+     "struct-min (map-side combine on both), no Window node anywhere"),
     ("src_parquet_zorder",
      "z-ordered layout (r10): both halves of the 2-D predicate reach "
      "the persisted layout scan as PushedFilters — user AND time prune "
