@@ -1899,13 +1899,21 @@ def connected_components(
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", "u").alias("m"))
         )
+        # r14 optimization round: ls is NOT checkpointed — the small-star
+        # job below consumes it twice (groupBy-min branch + join branch),
+        # and both branches share ls's distinct-Exchange subtree via
+        # ReusedExchange, so one materialization per round (ss) replaces
+        # the former two eager jobs (guide §2.4: operations keyed the
+        # same way share one exchange; measured before/after in
+        # OPTIMIZATION_r14.md). Lineage is still cut once per round by
+        # the ss checkpoint, so plan growth stays bounded exactly as
+        # before.
         ls = (
             sym.join(lmin, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
         )
         # small-star: edges are (big, small) by construction, so the
         # groupBy key u sees only smaller neighbors; hang them all

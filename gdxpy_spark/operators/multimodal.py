@@ -992,7 +992,26 @@ def mm_e2e_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-asserted contract); tier 3 reuses the persisted IVF index the
     serving path builds once. The survivor sets that chain the tiers
     are id-only frames, managed_cache'd; at 100 TB each tier boundary
-    is a checkpointed id list, the same DAG with durability."""
+    is a checkpointed id list, the same DAG with durability.
+
+    r14 optimization: the three dup sets are INDEPENDENT by the stated
+    dry-run semantics (each tier scopes the FULL corpus, not the
+    previous tier's survivors), so the dry-run's only sequencing is
+    the funnel anti-joins over metadata-sized id lists at the very
+    end. The perceptual and semantic tiers — each a multi-job driver
+    sequence (banded join + star-CC rounds, IVF probe + τ-verify +
+    star-CC) whose per-job tails leave most cores idle — therefore
+    run on concurrent driver threads and the exact tier's cache fill
+    overlaps them (optimization guide §2.6 'overlap independent
+    jobs': actions are only sequential because driver code calls
+    them sequentially). Results are bit-identical — the tier outputs
+    never depended on schedule — and the wall drops from the SUM of
+    the tier walls to ~their MAX (measured before/after in
+    OPTIMIZATION_r14.md)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
     docs = table(spark, sf_dir, "documents").select("doc_id")
     media = media_table(spark, sf_dir)
     s1 = managed_cache(
@@ -1004,15 +1023,34 @@ def mm_e2e_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    pdup = _phash_dups(spark, sf_dir).select(
-        F.col("dup_id").alias("doc_id")
-    )
-    s2 = managed_cache(s1.join(pdup, "doc_id", "left_anti"))
-    from gdxpy_spark.operators.llm import _semdedup_pairs
 
-    sdup = _semdedup_pairs(spark, sf_dir).select(
-        F.col("dup_id").alias("doc_id")
-    )
+    def _tier_exact():
+        # materialize the cached exact-survivor set so the funnel job
+        # at the end reads the InMemoryRelation instead of paying the
+        # media scan serially after the threads join
+        s1.count()
+        return s1
+
+    def _tier_phash():
+        return _phash_dups(spark, sf_dir).select(
+            F.col("dup_id").alias("doc_id")
+        )
+
+    def _tier_sem():
+        from gdxpy_spark.operators.llm import _semdedup_pairs
+
+        return _semdedup_pairs(spark, sf_dir).select(
+            F.col("dup_id").alias("doc_id")
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_exact = pool.submit(inheritable_thread_target(_tier_exact))
+        f_phash = pool.submit(inheritable_thread_target(_tier_phash))
+        f_sem = pool.submit(inheritable_thread_target(_tier_sem))
+        f_exact.result()
+        pdup = f_phash.result()
+        sdup = f_sem.result()
+    s2 = managed_cache(s1.join(pdup, "doc_id", "left_anti"))
     s3 = s2.join(sdup, "doc_id", "left_anti")
 
     def cnt(df: DataFrame, stage: str) -> DataFrame:
