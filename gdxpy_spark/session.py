@@ -42,6 +42,22 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r14 optimization round (guide §3.1): let AQE rewrite a
+        # sort-merge join to shuffled-hash AT RUNTIME when every
+        # post-shuffle partition of the build side measures under 64 MB
+        # — skips both sort passes with no OOM exposure because the
+        # decision uses MEASURED partition bytes, not estimates
+        # (default 0 = never). This is deliberately NOT
+        # spark.sql.join.preferSortMergeJoin=false: the static planner
+        # variant trusts size estimates, whose failure mode at the
+        # 100 TB posture is a build-side OOM. Scale-safe by
+        # construction at any data size; the local A/B was inside box
+        # noise except the large-build-side shapes (tpch_q18 class) —
+        # see OPTIMIZATION_r14.md.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "64m"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python DataSource filter pushdown (gdx chunk pruning) — 4.1

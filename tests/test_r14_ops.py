@@ -373,3 +373,101 @@ def test_kcore_oracle_rounds_past_fixpoint(spark, duck):
     a = duck.execute(_kcore_oracle(_KCORE_ROUNDS)).fetchall()
     b = duck.execute(_kcore_oracle(_KCORE_ROUNDS + 1)).fetchall()
     assert sorted(a) == sorted(b)
+
+
+def test_mm_e2e_threaded_tiers_match_sequential(spark):
+    """r14 optimization round: mm_e2e_dedup runs its three independent
+    dup-set tiers on concurrent driver threads (guide §2.6). Results
+    must be schedule-independent — pin the registered (threaded)
+    funnel against a strictly SEQUENTIAL recomposition of the same
+    tier engine bodies."""
+    from pyspark.sql import functions as F
+
+    from gdxpy_spark.operators.llm import _semdedup_pairs
+    from gdxpy_spark.operators.multimodal import _phash_dups, media_table
+    from gdxpy_spark.tables import table
+
+    got = {
+        r["stage"]: r["n_docs"]
+        for r in ALL["mm_e2e_dedup"].fn(spark, SF_DIR).collect()
+    }
+    media = media_table(spark, SF_DIR)
+    s1 = (
+        media.select(
+            "doc_id",
+            F.sha2(F.expr("substring(media, 17, 128)"), 256).alias("h"),
+        )
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    pdup = _phash_dups(spark, SF_DIR).select(
+        F.col("dup_id").alias("doc_id")
+    )
+    s2 = s1.join(pdup, "doc_id", "left_anti")
+    sdup = _semdedup_pairs(spark, SF_DIR).select(
+        F.col("dup_id").alias("doc_id")
+    )
+    s3 = s2.join(sdup, "doc_id", "left_anti")
+    expect = {
+        "raw": table(spark, SF_DIR, "documents").count(),
+        "exact": s1.count(),
+        "perceptual": s2.count(),
+        "semantic": s3.count(),
+    }
+    assert got == expect
+
+
+def test_cc_single_materialization_reuses_exchanges(spark):
+    """r14 optimization round: connected_components no longer
+    checkpoints the large-star intermediate — the small-star job
+    consumes it twice and must share its shuffle stages via AQE
+    runtime reuse (one computation per round, not two). Machine-check
+    the claim: the EXECUTED plan of one ls+ss round carries
+    ReusedExchange nodes (plans/r14/cc_small_star_round_final_aqe.txt
+    is the committed sf0.1 instance)."""
+    from pyspark.sql import functions as F
+
+    from gdxpy_spark.operators.graphs import _copurchase_edges
+
+    edges = _copurchase_edges(spark, SF_DIR).select(
+        F.col("pa").alias("doc_a"), F.col("pb").alias("doc_b")
+    )
+    e = (
+        edges.select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = e.select("u", "v").union(e.select(F.col("v"), F.col("u")))
+    lmin = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    ls = (
+        sym.join(lmin, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    smin = ls.groupBy("u").agg(F.min("v").alias("m"))
+    ss = (
+        ls.join(smin, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(smin.select("u", F.col("m").alias("v")))
+        .distinct()
+    )
+    # collect() (not count()) so the assertion reads THIS frame's own
+    # executed QueryExecution — count() plans a separate pruned query
+    assert len(ss.collect()) > 0
+    plan = ss._sc._jvm.PythonSQLUtils.explainString(
+        ss._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan[:2000]
