@@ -207,6 +207,35 @@ def shuffle_partitions(spark) -> int:
         return spark.sparkContext.defaultParallelism
 
 
+def fan_out(df: DataFrame, spark) -> DataFrame:
+    """Scale-ADAPTIVE pre-shuffle parallelism repair (r14 optimization
+    round, guide §2.2/§6): the driver test tables are single-file,
+    single-row-group parquet, so their scans yield ONE input split and
+    every map pipeline above them (shingle explodes, per-gram digests,
+    Arrow synthesis) runs on one core until its first Exchange —
+    measured 3-4x of several heavy queries' wall at sf0.1/local[32].
+    Round-robin repartition to defaultParallelism, but ONLY when the
+    input has fewer partitions: at production scale the scan is already
+    >= cores-many splits and this is an identity (no shuffle added), so
+    the knob cannot regress the 100 TB posture — it exists precisely
+    because a constant would be tuned for one of the two regimes
+    (the brief's scale-adaptive-partitioning rule).
+
+    Round-robin, not hash-by-key: deterministic under task retry
+    (sort-before-repartition, SPARK-23207, is on by default), perfectly
+    balanced regardless of key skew, and an explicit-N repartition is
+    never coalesced back to one partition by AQE (a keyed repartition
+    measured SLOWER than no fan-out here — plan pathology recorded in
+    OPTIMIZATION_r14.md). Apply ONLY where the downstream per-row work
+    dwarfs one small exchange + a task wave (~0.3-0.5 s at local[32]):
+    the A/B table in OPTIMIZATION_r14.md lists the light ops where this
+    measured as a net LOSS and is deliberately not applied."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 # --- deterministic global order machinery ------------------------------------
 # global_row_number / global_running_sum used to derive partition ids
 # from monotonically_increasing_id's bit layout over a shared

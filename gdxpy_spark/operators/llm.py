@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from gdxpy_spark.operators._util import (
     davg,
+    fan_out,
     global_row_number,
     global_running_sum,
     managed_cache,
@@ -2681,9 +2682,10 @@ def llm_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuses the totals' partitioning. At petabyte scale you'd shuffle
     xxhash64(span) instead of span text to cut bytes (collision-safe for
     counting at 64 bits); raw strings kept here so the DuckDB oracle can
-    replay the plan exactly."""
+    replay the plan exactly. fan_out (r14): the span explode ran on the
+    one-split toy scan's single core (A/B 0.60x, OPTIMIZATION_r14.md)."""
     k = _SUBSTR_K
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"), spark)
     t = F.array_remove(F.split("text", " "), "")
     g = (
         docs.filter(F.size(t) >= k)
@@ -2764,9 +2766,10 @@ def llm_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Consistency with llm_substring_dedup is pinned in pytest: cut_words
     is bounded by [dup_spans, 6·dup_spans] and the cut-doc set equals
-    the dup_spans>0 set."""
+    the dup_spans>0 set. fan_out (r14): same single-split span-explode
+    wall as llm_substring_dedup (A/B 0.49x, OPTIMIZATION_r14.md)."""
     k = _SUBSTR_K
-    docs = table(spark, sf_dir, "documents")
+    docs = fan_out(table(spark, sf_dir, "documents"), spark)
     t = F.array_remove(F.split("text", " "), "")
     base = docs.select("doc_id", t.alias("ts"))
     g = base.filter(F.size("ts") >= k).select(

@@ -26,7 +26,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gdxpy_spark.operators._util import managed_cache
+from gdxpy_spark.operators._util import fan_out as _fan_out, managed_cache
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
 
@@ -72,12 +72,25 @@ def decode_real(payload: bytes, fmt: str):
         ) from exc
 
 
-def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+def media_table(
+    spark: SparkSession, sf_dir: str, fan_out: bool = False
+) -> DataFrame:
     """documents → (doc_id, media BINARY, media_type STRING): a 16-byte
     header (magic | fmt u8 | width u32 | height u32 | fps u8 | pad) +
     the utf-8 text as payload. Header fields are pure functions of
-    doc_id/n_chars so oracles can recompute them."""
+    doc_id/n_chars so oracles can recompute them.
+
+    fan_out=True repairs scan parallelism BEFORE synthesis (r14,
+    _util.fan_out): the repartition moves narrow (doc_id, text) rows,
+    so the binary column is created already-distributed and still
+    never crosses an Exchange (the plan-pinned contract). Callers with
+    payload-heavy downstream work (phash shingling, CDC chunking) opt
+    in; header-only consumers measured a net LOSS from the extra
+    exchange + 32-way Arrow task wave and stay on the single-split
+    scan (A/B table, OPTIMIZATION_r14.md)."""
     docs = table(spark, sf_dir, "documents")
+    if fan_out:
+        docs = _fan_out(docs, spark)
     fmt_idx = (F.col("doc_id") % 3).cast("int")
     width = (F.col("n_chars") % 640 + 64).cast("int")
     height = (F.col("doc_id") % 480 + 48).cast("int")
@@ -741,9 +754,13 @@ def _phash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same pairs — without the cache the scan→shingle→64-vote pipeline
     materialized up to 4× per query; PLANS.md r13 showed the twin
     subtrees). The cached frame is two columns — bytes per doc, not
-    corpus-sized — the llm.py minhash-signature discipline."""
+    corpus-sized — the llm.py minhash-signature discipline. fan_out
+    (r14): the shingle explode + per-gram md5 is ~300 expression
+    evaluations per payload byte; on the single-split toy scan that
+    pipeline ran on ONE core and was most of the query's wall (A/B
+    0.33x with the fan-out, OPTIMIZATION_r14.md)."""
     K = _PHASH_SHINGLE
-    media = media_table(spark, sf_dir)
+    media = media_table(spark, sf_dir, fan_out=True)
     payload = F.expr("CAST(substring(media, 17, length(media) - 16) AS STRING)")
     sh = (
         media.select("doc_id", payload.alias("body"))
@@ -1094,9 +1111,13 @@ def _cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything here is per-row JVM HOFs on the scan side — zero
     shuffles; payload bytes ARE the utf-8 text by the media_table
     construction (pure-ASCII corpus, the mm_exact_dedup argument), so
-    chars == bytes and DuckDB replays the same cuts on `text`."""
+    chars == bytes and DuckDB replays the same cuts on `text`.
+
+    fan_out (r14): md5-per-4-gram boundary detection is the heaviest
+    per-byte map work in the inventory; single-split it ran on one
+    core (A/B 0.46x with the fan-out, OPTIMIZATION_r14.md)."""
     K = _CDC_GRAM
-    media = media_table(spark, sf_dir)
+    media = media_table(spark, sf_dir, fan_out=True)
     body = F.expr("CAST(substring(media, 17, length(media) - 16) AS STRING)")
     cuts = (
         f"CASE WHEN length(body) >= {K + 1} THEN"

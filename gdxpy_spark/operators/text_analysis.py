@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from gdxpy_spark.operators._util import (
+    fan_out,
     managed_cache,
     r4,
     shuffle_partitions,
@@ -659,8 +660,14 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     fits a task, automatic bitmask_jaccard_pairs fallback for buckets
     that outgrow one (trigram vocab is bounded by alphabet³, but bucket
     POPULATIONS grow with the corpus — the n_docs² bound is the one
-    that trips at scale)."""
-    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    that trips at scale).
+
+    fan_out (r14): the trigram pack explode is the pre-shuffle wall on
+    the single-split toy scan (A/B 0.48x, OPTIMIZATION_r14.md)."""
+    docs = fan_out(
+        table(spark, sf_dir, "documents").filter(F.length("text") >= 3),
+        spark,
+    )
     # shingle via a char array + element_at: substring(text, i, 3) per
     # position is O(i) on UTF8 strings (quadratic per doc); splitting
     # once and indexing is O(1) per element (measured ~2× on the explode).
@@ -725,11 +732,15 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB ascii() for every input), no per-row Python, and ~6× faster
     than the per-character interpreted higher-order fold it replaces
     (Spark HOFs don't whole-stage-codegen). The content-defined-chunking
-    cut-points of a dedup pipeline are windows of exactly this hash."""
+    cut-points of a dedup pipeline are windows of exactly this hash.
+    fan_out (r14): parallelizes the per-character fold across cores on
+    the single-split toy scan (A/B 0.66x, OPTIMIZATION_r14.md)."""
     import numpy as np
     import pandas as pd
 
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fan_out(
+        table(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     P = _FP_MOD
 
     def fp(it):
@@ -1163,8 +1174,9 @@ def llm_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle. At 100 TB the groupBy key would be xxhash64(shingle) with
     the text kept only on the surviving ≥threshold rows (the exact
     swap llm_fingerprint makes); at test scale the text key keeps the
-    oracle honest."""
-    docs = table(spark, sf_dir, "documents")
+    oracle honest. fan_out (r14): the 5-gram shingle explode dominated
+    the single-split scan stage (A/B 0.37x, OPTIMIZATION_r14.md)."""
+    docs = fan_out(table(spark, sf_dir, "documents"), spark)
     t = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     grams = docs.select(
         "doc_id",
@@ -1479,8 +1491,13 @@ def llm_gopher_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     differential would expose it loudly, not silently. (An in-array
     sorted-run fold with O(1) state — zero shuffles — was built and
     rejected: HOF evaluation is interpreted, not codegen'd, and ran
-    ~2× slower than this at 32 cores.)"""
-    docs = table(spark, sf_dir, "documents")
+    ~2× slower than this at 32 cores.)
+
+    fan_out (r14): the five-size gram explode + per-gram xxhash64 was
+    the single largest single-split cost in the inventory — the whole
+    tagged explode ran on one core before the first partial-agg
+    Exchange (A/B 0.23x with the fan-out, OPTIMIZATION_r14.md)."""
+    docs = fan_out(table(spark, sf_dir, "documents"), spark)
     t = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
 
     def tag(n):

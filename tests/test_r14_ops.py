@@ -471,3 +471,42 @@ def test_cc_single_materialization_reuses_exchanges(spark):
     )
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan, plan[:2000]
+
+
+def test_fan_out_is_identity_at_scale_parallelism(spark):
+    """r14 optimization round: _util.fan_out is the SCALE-ADAPTIVE
+    single-split repair — it must add an Exchange only when the input
+    has fewer partitions than defaultParallelism, and be a literal
+    identity (same DataFrame object, no repartition node) otherwise.
+    The identity branch is the 100 TB posture: production scans arrive
+    >= cores-many splits, so the helper cannot add a shuffle there."""
+    from gdxpy_spark.operators._util import fan_out
+
+    tp = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, 1, numPartitions=tp)
+    assert fan_out(wide, spark) is wide
+    wider = spark.range(0, 10_000, 1, numPartitions=tp + 3)
+    assert fan_out(wider, spark) is wider
+
+    narrow = spark.range(0, 10_000, 1, numPartitions=1)
+    fanned = fan_out(narrow, spark)
+    assert fanned is not narrow
+    assert fanned.rdd.getNumPartitions() == tp
+    # round-robin, not keyed: every partition gets an equal share
+    sizes = fanned.rdd.glom().map(len).collect()
+    assert max(sizes) - min(sizes) <= 1, sizes
+
+
+def test_fan_out_preserves_rows(spark):
+    """fan_out must be a pure re-distribution: same rows, same schema,
+    nothing dropped or duplicated by the round-robin exchange."""
+    from pyspark.sql import functions as F
+
+    from gdxpy_spark.operators._util import fan_out
+    from gdxpy_spark.tables import table
+
+    docs = table(spark, SF_DIR, "documents")
+    fp = F.sum(F.xxhash64("doc_id", "text").cast("decimal(38,0)"))
+    a = docs.agg(F.count("*"), fp).first()
+    b = fan_out(docs, spark).agg(F.count("*"), fp).first()
+    assert tuple(a) == tuple(b)
