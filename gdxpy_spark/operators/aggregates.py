@@ -11,7 +11,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gdxpy_spark.operators._util import davg, dec, dsum, r4, sql_davg, sql_dsum
+from gdxpy_spark.operators._util import (
+    davg,
+    dec,
+    dsum,
+    fan_out,
+    r4,
+    sql_davg,
+    sql_dsum,
+)
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
 
@@ -44,12 +52,21 @@ def agg_groupby_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the shipdate predicate is pushed into the parquet scan
     (PushedFilters), only 7 of 11 columns are read (ReadSchema), and the
     aggregate is partial+final so the shuffle is 6 groups × state.
+    fan_out (r14): the single-split test scan serialized the
+    filter+partial-agg pipeline onto one core; repartition above the
+    pushed filter, identity at production split counts (A/B 0.58x,
+    plans/r14/probes/ab_fanout_per_op_lineitem.json).
     """
     li = table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
     return (
-        li.filter(F.col("l_shipdate") <= F.lit(_Q1_CUT).cast("timestamp_ntz"))
+        fan_out(
+            li.filter(
+                F.col("l_shipdate") <= F.lit(_Q1_CUT).cast("timestamp_ntz")
+            ),
+            spark,
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum("l_quantity", "sum_qty"),

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from gdxpy_spark.operators._util import davg, dec, dsum, sql_davg, sql_dsum
+from gdxpy_spark.operators._util import davg, dec, dsum, fan_out, sql_davg, sql_dsum
 from gdxpy_spark.registry import register
 from gdxpy_spark.tables import table
 
@@ -240,9 +240,17 @@ def tpch_q1_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides per-row DECIMAL casts (dsum/davg) so the sums are order-
     independent and hash-identical across engines at any parallelism.
     At 100 TB this plan's cost is the scan — nothing else survives the
-    map side."""
-    li = table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp_ntz")
+    map side. fan_out (r14): on the single-split test scan the whole
+    filter+partial-agg pipeline ran on one core; the round-robin
+    repartition above the pushed filter is identity at production
+    split counts (same-session alternated A/B 0.51x,
+    plans/r14/probes/ab_fanout_per_op_lineitem.json)."""
+    li = fan_out(
+        table(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-01 00:00:00").cast("timestamp_ntz")
+        ),
+        spark,
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
