@@ -79,6 +79,7 @@ def test_lsh_is_subquadratic_candidate_set(spark):
     )
 
 
+@pytest.mark.slow
 def test_multiprobe_recall_dominates_single_probe(spark):
     """Hamming-1 multiprobe must strictly widen the candidate set per
     query, so its real-corpus recall vs brute force must be ≥ the
@@ -96,6 +97,7 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert r_multi >= 0.2, f"multiprobe recall {r_multi:.2f} suspiciously low"
 
 
+@pytest.mark.slow
 def test_lsh_candidates_capped_on_planted_boilerplate(spark):
     """A boilerplate cluster (hundreds of near-identical vectors → one
     LSH bucket) must cost O(cluster) candidates via representative
@@ -141,6 +143,7 @@ def test_embed_dedup_finds_planted_dups(spark, planted_dir):
         assert out.get(100000 + i) == i, f"planted near-dup {i} not deduped"
 
 
+@pytest.mark.slow
 def test_ivf_recall_on_planted_pairs(spark, planted_dir):
     """A 1%-noise copy lands in (or probes into) its base's k-means cell
     — IVF recall on planted pairs must be near-perfect."""
@@ -228,6 +231,7 @@ def test_semdedup_finds_planted_dups_with_exact_precision(spark, planted_dir):
             )
 
 
+@pytest.mark.slow
 def test_semdedup_pq_planted_recall_and_exact_precision(spark, planted_dir):
     """The PQ-shortlisted variant must hold llm_semdedup's planted
     floor: each 1%-noise twin scores ~the quantization distortion under
@@ -270,6 +274,7 @@ def test_semdedup_pq_planted_recall_and_exact_precision(spark, planted_dir):
             )
 
 
+@pytest.mark.slow
 def test_semdedup_pq_is_subset_of_exact_semdedup_groups(spark):
     """Shortlisting can only DROP candidate edges, never add them, and
     the τ verify is shared — so every (dup, kept) the PQ variant emits

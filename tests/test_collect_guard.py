@@ -17,6 +17,8 @@ micro-batch loops during build.)
 
 from __future__ import annotations
 
+import pytest
+
 import pyspark.sql
 
 # build at the smallest SF: the guard checks plan STRUCTURE (does the
@@ -29,6 +31,7 @@ SF_DIR_SMALL = "/root/testdata/sf0.001"
 MAX_INTERNAL_COLLECT_ROWS = 10_000
 
 
+@pytest.mark.slow
 def test_no_registered_query_collects_fact_sized_data(spark, monkeypatch):
     from gdxpy_spark import registry
 

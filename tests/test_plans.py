@@ -56,6 +56,7 @@ def test_semi_anti_join_operators(spark):
     assert "LeftAnti" in formatted_plan(_df(spark, "join_left_anti"))
 
 
+@pytest.mark.slow
 def test_no_accidental_cartesian(spark):
     """Only join_cross and gdx_densify may contain a Cartesian/BNLJ
     product (join_theta's inequality join is BroadcastNestedLoop by
@@ -125,6 +126,7 @@ def test_jaccard_plans_have_no_single_partition_exchange(spark):
     )
 
 
+@pytest.mark.slow
 def test_no_single_partition_window_anywhere(spark):
     """No registered query may rank/order through an unpartitioned Window
     (Exchange SinglePartition → WindowExec: the whole table in one task).
@@ -191,6 +193,7 @@ def test_gdx_scan_partitions_by_chunk(spark):
     assert len(parts) == f.n_chunks(f.find("acctbal"))
 
 
+@pytest.mark.slow
 def test_global_row_number_deterministic_pid(spark):
     """global_row_number's r07 hardening: the bucket id must be a pure
     function of the row's sort key (literal boundary comparisons), so

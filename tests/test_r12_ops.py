@@ -61,6 +61,7 @@ def test_metadata_memos_are_lru_capped():
 # ---- IVF-PQ (r12) ------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_ivf_pq_recall_on_planted_pairs(spark, planted_dir):
     """A 1%-noise twin lands in the same four sub-cells w.h.p., so its
     ADC distance is (near-)minimal — PQ top-1 must recover planted
@@ -142,6 +143,7 @@ def test_semdedup_oracle_cc_rounds_converged(duck):
     assert base == deep and base
 
 
+@pytest.mark.slow
 def test_semdedup_engine_matches_oracle(spark, duck):
     """Direct engine↔oracle differential for the r12 graduation (the
     driver re-proves this every round; this is the in-repo pin)."""

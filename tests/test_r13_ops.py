@@ -61,6 +61,7 @@ def phash_planted_dir(spark, tmp_path_factory):
     return out
 
 
+@pytest.mark.slow
 def test_phash_banded_join_is_exact_vs_brute_force(spark, phash_planted_dir):
     """The pigeonhole claim, pinned on data with real near-pairs: the
     4-band join's output must EQUAL the all-pairs hamming<=3 set over
@@ -132,6 +133,7 @@ def test_phash_trailer_neardup_recall_floor(spark, phash_planted_dir):
     assert hits >= 8, f"trailer near-dup recall {hits}/{N_PLANT}"
 
 
+@pytest.mark.slow
 def test_phash_head_digest_blindspot_is_covered(spark, phash_planted_dir):
     """The division of labor vs mm_exact_dedup, stated as a test: a
     MID-PAYLOAD single-byte edit defeats the 128-byte head digest only
@@ -218,6 +220,7 @@ def test_phash_clusters_oracle_cc_rounds_converged(duck):
     assert r1 == r2
 
 
+@pytest.mark.slow
 def test_phash_clusters_match_union_find_on_planted(spark, phash_planted_dir):
     """Groups must equal a pure-python union-find over the brute-force
     hamming<=3 pairs of the python signatures — third-source pin of

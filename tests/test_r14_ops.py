@@ -4,6 +4,8 @@ signature-cache reuse the r13 verdict asked for."""
 
 from __future__ import annotations
 
+import pytest
+
 from gdxpy_spark import registry
 from tests.conftest import SF_DIR
 
@@ -72,6 +74,7 @@ def test_substring_cut_rebuilds_uncut_text_exactly(spark):
     assert mism == 0
 
 
+@pytest.mark.slow
 def test_mm_e2e_dedup_funnel_monotone(spark):
     """The survivor funnel must be monotone non-increasing through
     raw → exact → perceptual → semantic, anchored at the corpus size,
@@ -90,6 +93,7 @@ def test_mm_e2e_dedup_funnel_monotone(spark):
     assert rows["semantic"] < rows["raw"], "no tier removed anything"
 
 
+@pytest.mark.slow
 def test_phash_signature_subtree_is_shared(spark):
     """r13 verdict #2: the banded self-join must read the (doc_id,
     phash) signature frame from ONE materialization — both sides of
@@ -375,6 +379,7 @@ def test_kcore_oracle_rounds_past_fixpoint(spark, duck):
     assert sorted(a) == sorted(b)
 
 
+@pytest.mark.slow
 def test_mm_e2e_threaded_tiers_match_sequential(spark):
     """r14 optimization round: mm_e2e_dedup runs its three independent
     dup-set tiers on concurrent driver threads (guide §2.6). Results

@@ -199,6 +199,7 @@ def test_minhash_candidates_subquadratic(spark):
     )
 
 
+@pytest.mark.slow
 def test_ntile_closed_form_matches_window_all_remainders(spark):
     """win_ntile_pct's closed forms of (rn, n) must equal Spark's own
     ntile/percent_rank/cume_dist window for every n mod 4 remainder —
@@ -388,6 +389,7 @@ def test_boundary_straddling_pair_found_by_adjacent_probe(spark, tmp_path):
     assert (1, 3) not in got and (2, 3) not in got, got
 
 
+@pytest.mark.slow
 def test_auto_router_sends_giant_bucket_to_bitmask(spark):
     """blocked_jaccard_auto must route a bucket that exceeds the matmul
     memory model through the distributed bitmask path — same exact
@@ -553,6 +555,7 @@ def test_dedup_clusters_matches_recursive_closure(spark, duck):
     assert_frames_match(sdf, rel, name="llm_dedup_clusters_closure")
 
 
+@pytest.mark.slow
 def test_blocked_jaccard_chunked_equals_unchunked(spark):
     """Row-chunking (r8 intra-group parallelism) must not change the
     pair set or any jaccard value — each unordered pair still forms
