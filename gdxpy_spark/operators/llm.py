@@ -2851,8 +2851,13 @@ def llm_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     and embarrassingly scalable (no corpus-wide state at all; at 100 TB
     this is the cheap pre-filter that runs before any dedup join). The
     keep flag compares the RAW fraction (exact bigint division, bitwise
-    identical across engines), not the rounded display value."""
-    docs = table(spark, sf_dir, "documents")
+    identical across engines), not the rounded display value.
+
+    fan_out (r15, VERDICT #6): the bigram shingle explode ran on the
+    single-split test scan's one core; alternated A/B 0.77x
+    (plans/r15/probes/ab_fanout_tail.json), identity at production
+    split counts like every fan_out site."""
+    docs = fan_out(table(spark, sf_dir, "documents"), spark)
     t = F.array_remove(F.split("text", " "), "")
     pg = (
         docs.filter(F.size(t) >= 2)

@@ -1385,8 +1385,14 @@ def llm_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; scoring is map-only — the whole plan is one corpus pass
     with a metadata aggregate, embarrassingly parallel. A multi-term /
     query-table variant becomes a broadcast join on term instead of
-    three literal filters (llm_tfidf has that shape)."""
-    docs = table(spark, sf_dir, "documents")
+    three literal filters (llm_tfidf has that shape).
+
+    fan_out (r15, VERDICT #6): the per-token array filters ran on the
+    single-split test scan's one core in BOTH the stats and the
+    scoring pass; alternated A/B 0.86x
+    (plans/r15/probes/ab_fanout_tail.json), identity at production
+    split counts like every fan_out site."""
+    docs = fan_out(table(spark, sf_dir, "documents"), spark)
     t = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
     t1, t2, t3 = _BM25_TERMS
     tf = docs.select(

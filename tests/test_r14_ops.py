@@ -380,12 +380,16 @@ def test_kcore_oracle_rounds_past_fixpoint(spark, duck):
 
 
 @pytest.mark.slow
-def test_mm_e2e_threaded_tiers_match_sequential(spark):
+def test_mm_e2e_threaded_tiers_match_sequential(spark, monkeypatch):
     """r14 optimization round: mm_e2e_dedup runs its three independent
     dup-set tiers on concurrent driver threads (guide §2.6). Results
     must be schedule-independent — pin the registered (threaded)
     funnel against a strictly SEQUENTIAL recomposition of the same
-    tier engine bodies."""
+    tier engine bodies. r15: the overlap is adaptive (sequential below
+    6 task slots), so force the CONCURRENT path on the local[4] test
+    session via GDXPS_E2E_WORKERS — the pin must keep exercising the
+    threads, not compare sequential against sequential."""
+    monkeypatch.setenv("GDXPS_E2E_WORKERS", "3")
     from pyspark.sql import functions as F
 
     from gdxpy_spark.operators.llm import _semdedup_pairs
